@@ -1,0 +1,54 @@
+"""Table catalog over the driver's parquet test data.
+
+The driver materializes a TPC-H-ish star schema plus `events`, `documents`
+and `embeddings` at /root/testdata/sf{0.001,0.01,0.1} (see TESTDATA.md).
+Loads are plain parquet scans so Catalyst gets predicate pushdown, column
+pruning, and partition-level parallelism for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table. Pure parquet scan — no caching, no inference."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # runtime-settable; applied here so externally created sessions
+        # (the driver's) read the nanos file correctly too
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the file; with nanosAsLong it scans as
+        # int64 nanos. Integer DIV (not float /: ns epochs ≈ 1.7e18 exceed
+        # double precision) truncates to micros — the same truncation DuckDB
+        # applies casting TIMESTAMP_NS → TIMESTAMP.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so SQL-form operators can run."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

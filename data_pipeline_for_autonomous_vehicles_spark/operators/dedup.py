@@ -1,0 +1,377 @@
+"""Deduplication operators over the `documents` table.
+
+Training-data-pipeline staples: exact dedup, normalized-fingerprint dedup,
+n-gram Jaccard near-dup, MinHash+LSH near-dup, SimHash near-dup. Everything
+is built from JVM-side column expressions (split/explode/groupBy/join) — no
+Python in the hot path — and each has a DuckDB SQL twin via the portable
+md5-based hash (functions.scalars.portable_hash; Spark's murmur3 `hash()`
+and DuckDB's `hash()` disagree, md5 doesn't).
+
+Scale notes (100 TB):
+- Exact/fingerprint dedup is one hash-agg on the digest — the digest
+  (16 bytes) shuffles, never the document body.
+- The pairwise shapes (Jaccard, band-bucket, simhash) only ever self-join on
+  a *bucket key* (shingle, band signature, simhash prefix), so the cross
+  product is per-bucket. Hot buckets are the hazard: `_cap_bucket` drops
+  buckets above a frequency ceiling (stopword-shingle explosion), the
+  standard MinHash-LSH mitigation. AQE skew-join handles residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import sql_portable_hash, round_half_up
+
+# MinHash parameters: k hashes, b bands × r rows (k = b*r).
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+_MERSENNE = (1 << 61) - 1
+# fixed odd multipliers/offsets for the k permutations (seeded, public-knowledge
+# affine family h_i(x) = (a_i * x + b_i) mod p)
+_A = [2 * i + 1 for i in range(1, MINHASH_K + 1)]
+_B = [7919 * i for i in range(1, MINHASH_K + 1)]
+
+JACCARD_THRESHOLD = 0.6
+MAX_BUCKET = 200  # drop shingles/buckets seen in more docs than this
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+
+
+_SQL_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: md5(text) hash-agg, keep min doc_id as keeper.
+    Only the 32-char digest shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keeper_doc_id", "n_copies")
+        .orderBy("keeper_doc_id")
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY keeper_doc_id
+"""
+
+
+# --- fingerprint dedup (sorted-distinct-token canonical form) --------------
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-collision fingerprint: lowercase → tokenize → distinct → sort →
+    rejoin → md5. Catches token-reordered / repeated-token duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(_tokens())), " "))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_members"))
+        .orderBy("keeper_doc_id")
+    )
+
+
+_DEDUP_FP_SQL = f"""
+SELECT fingerprint, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_members
+FROM (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct({_SQL_TOKENS})), ' ')) AS fingerprint
+  FROM documents) t
+GROUP BY fingerprint
+ORDER BY keeper_doc_id
+"""
+
+
+# --- word-shingle n-gram Jaccard near-dup ----------------------------------
+
+
+def _shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word-n-gram pairs. element_at is 1-based in
+    both Spark SQL and DuckDB, so the twins are literally parallel."""
+    toks = _tokens()
+    shingle_expr = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 0)), "
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(F.array_distinct(shingle_expr)).alias("shingle"))
+    )
+
+
+_SQL_SHINGLES = f"""
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents) base
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs with word-3-gram Jaccard ≥ threshold.
+
+    shingle-inverted-index self-join: |common shingles| per pair, then
+    J = common / (|A| + |B| - common). Buckets capped at MAX_BUCKET docs
+    to bound the per-shingle cross product at scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles_df(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= MAX_BUCKET
+    )
+    sh_kept = sh.join(F.broadcast(freq.select("shingle")), "shingle")
+    a = sh_kept.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_kept.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a")), "doc_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            round_half_up(
+                F.col("n_common").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+kept AS (
+  SELECT * FROM sh WHERE shingle IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_BUCKET})),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         CAST(FLOOR((CAST(n_common AS DOUBLE)
+               / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b) scored
+WHERE jaccard >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig[0..k-1]): min over shingles of (a_i*h + b_i) mod p, with
+    h = portable md5-based shingle hash. Pure expressions, one shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles_df(docs)
+    from ..functions.scalars import portable_hash
+
+    h = portable_hash("shingle")
+    aggs = [
+        F.min((F.lit(_A[i]) * h + F.lit(_B[i])) % F.lit(_MERSENNE)).alias(f"sig_{i}")
+        for i in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _sql_minhash_cte() -> str:
+    h = sql_portable_hash("shingle")
+    sig_cols = ",\n         ".join(
+        f"MIN(({_A[i]} * {h} + {_B[i]}) % {_MERSENNE}) AS sig_{i}"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM ({_SQL_SHINGLES}) sh
+  GROUP BY doc_id)
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_signatures(spark, sf_dir).orderBy("doc_id")
+
+
+_MINHASH_SIG_SQL = f"""
+WITH {_sql_minhash_cte()}
+SELECT * FROM sigs ORDER BY doc_id
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: b bands of r signature rows;
+    docs sharing any full band collide. Estimated Jaccard = fraction of
+    equal signature components. The self-join key is (band_id, band_hash) —
+    per-bucket cross products only, never all-pairs.
+    """
+    sigs = _minhash_signatures(spark, sf_dir)
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"sig_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("band_hash"),
+            )
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
+    b2 = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
+    cand = (
+        a.join(b2, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(MINHASH_K)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(MINHASH_K)])
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(MINHASH_K)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            round_half_up(matches.cast("double") / F.lit(float(MINHASH_K)), 4).alias("est_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _sql_lsh_pairs() -> str:
+    band_selects = []
+    for b in range(LSH_BANDS):
+        concat = " || '_' || ".join(
+            f"CAST(sig_{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({concat}) AS band_hash FROM sigs"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    match_sum = " + ".join(
+        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K)
+    )
+    return f"""
+WITH {_sql_minhash_cte()},
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(FLOOR((CAST(({match_sum}) AS DOUBLE) / {float(MINHASH_K)}) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS est_jaccard
+FROM cand
+JOIN sigs sa ON sa.doc_id = doc_a
+JOIN sigs sb ON sb.doc_id = doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: for each bit j, sum ±1 over token hashes'
+    j-th bit; bit j of the fingerprint = (sum > 0).
+
+    Explode tokens × bit positions is avoided: the per-bit vote is computed
+    as k aggregate expressions over one (doc_id, token_hash) pass — one
+    shuffle, no lateral blow-up.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.scalars import portable_hash
+
+    tok = (
+        docs.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
+        .select("doc_id", portable_hash("token").alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    voted = tok.groupBy("doc_id").agg(*votes)
+    fp = sum(
+        F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(SIMHASH_BITS)
+    )
+    return voted.select("doc_id", fp.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+def _sql_simhash() -> str:
+    h = sql_portable_hash("token")
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {h} AS h
+  FROM (
+    SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS token
+    FROM documents) t),
+voted AS (
+  SELECT doc_id,
+         {votes}
+  FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash
+FROM voted ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_fingerprint": dedup_fingerprint,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_fingerprints": simhash_fingerprints,
+}
+
+ORACLES = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_fingerprint": _DEDUP_FP_SQL,
+    "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+    "minhash_signatures": _MINHASH_SIG_SQL,
+    "minhash_lsh_pairs": _sql_lsh_pairs(),
+    "simhash_fingerprints": _sql_simhash(),
+}

@@ -1,0 +1,262 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-dim).
+
+Brute-force cosine top-k as the correctness baseline, plus an LSH-bucketed
+variant as the scale path. All vector math is JVM-side higher-order
+functions (zip_with + aggregate = sequential fold, deterministic order) on
+double-cast arrays; no Python UDFs.
+
+Scale notes (100 TB): brute force is O(|Q|·|N|) — fine when the query set is
+small and broadcast (as here: queries broadcast, corpus streamed, no shuffle
+of the corpus at all). For large |Q| the random-hyperplane LSH variant
+bucket-joins on a signature so each query only meets its bucket. At real
+scale the corpus side would also be pre-partitioned by signature so probes
+prune files (partitionBy(bucket) on write).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import round_half_up
+
+N_QUERIES = 5  # vec_ids [0, N_QUERIES) serve as the query set
+TOP_K = 5
+DIM = 64
+
+# deterministic ±1 hyperplanes for LSH: sign derived from the portable hash
+# of "plane_{p}_{d}" — identical in the SQL twin.
+N_PLANES = 8
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _cosine(a: F.Column, b: F.Column) -> F.Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+# DuckDB twins: list_reduce without an init arg left-folds from the first
+# element, so prepending 0.0 reproduces Spark's aggregate(lst, 0.0, +) fold
+# order exactly. Arrays are cast to DOUBLE[] so accumulation error matches.
+def _sql_fold_sum(list_expr: str) -> str:
+    return f"list_reduce(list_prepend(0.0::DOUBLE, {list_expr}), (acc, x) -> acc + x)"
+
+
+_SQL_DOT_AB = _sql_fold_sum("list_transform(list_zip(a.emb, b.emb), x -> x[1] * x[2])")
+
+
+def _sql_norm(alias: str) -> str:
+    return f"sqrt({_sql_fold_sum(f'list_transform({alias}.emb, x -> x * x)')})"
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for each query vector against the whole corpus.
+
+    The query set is tiny → broadcast; the corpus is scanned once with no
+    shuffle until the final per-query top-k (TakeOrdered per partition via
+    window row_number over ≤ |Q| groups).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            round_half_up(_cosine(F.col("qemb"), F.col("emb")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+_ANN_BF_SQL = f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+         CAST(FLOOR(({_SQL_DOT_AB} / ({_sql_norm('a')} * {_sql_norm('b')})) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS cosine
+  FROM emb a
+  JOIN emb b ON b.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+# --- random-hyperplane LSH bucketing (the scale path) ----------------------
+
+
+def _plane_sign(p: int, d: int) -> int:
+    """Deterministic ±1 from md5 — computed in Python at plan-build time so
+    both engines receive identical literal hyperplanes."""
+    import hashlib
+
+    h = hashlib.md5(f"plane_{p}_{d}".encode()).hexdigest()
+    return 1 if int(h[:8], 16) % 2 == 1 else -1
+
+
+_PLANES = [[_plane_sign(p, d) for d in range(DIM)] for p in range(N_PLANES)]
+
+
+def _signature(emb_col: F.Column) -> F.Column:
+    """N_PLANES-bit signature: bit p = (emb · plane_p) > 0. The planes are
+    literal ±1 vectors, so the dot is a signed sequential sum."""
+    bits = []
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(float(v)) for v in _PLANES[p]])
+        bits.append(F.when(_dot(emb_col, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return sum(bits).cast("int")
+
+
+def _sql_signature(alias: str) -> str:
+    terms = []
+    for p in range(N_PLANES):
+        plane = "[" + ", ".join(f"{float(v)}::DOUBLE" for v in _PLANES[p]) + "]"
+        dot = _sql_fold_sum(
+            f"list_transform(list_zip({alias}.emb, {plane}), x -> x[1] * x[2])"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket occupancy of the hyperplane-LSH index — the partition-health
+    view an operator checks before trusting probe recall."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return (
+        emb.select(_signature(F.col("emb")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+_LSH_HIST_SQL = f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT {_sql_signature('emb')} AS bucket, COUNT(*) AS n_vectors
+FROM emb
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's own LSH bucket,
+    then exact cosine rank within the bucket. The join key is the bucket
+    signature → per-bucket work only, no corpus-wide cross join."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sig = emb.withColumn("bucket", _signature(F.col("emb")))
+    queries = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), "bucket"
+    )
+    scored = (
+        sig.join(F.broadcast(queries), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            round_half_up(_cosine(F.col("qemb"), F.col("emb")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+_ANN_LSH_SQL = f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+sig AS (SELECT vec_id, emb, {_sql_signature('emb')} AS bucket FROM emb),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+         CAST(FLOOR(({_SQL_DOT_AB} / ({_sql_norm('a')} * {_sql_norm('b')})) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS cosine
+  FROM sig a
+  JOIN sig b ON a.bucket = b.bucket AND b.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+# --- embedding near-duplicate pairs ---------------------------------------
+
+NEAR_DUP_COSINE = 0.95
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vector pairs with cosine ≥ threshold, restricted to LSH-bucket
+    collisions (the scalable all-pairs shape: bucket join, not cross join)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sig = emb.withColumn("bucket", _signature(F.col("emb")))
+    a = sig.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "bucket")
+    b = sig.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            round_half_up(_cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_NEAR_DUP_SQL = f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+sig AS (SELECT vec_id, emb, {_sql_signature('emb')} AS bucket FROM emb)
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(FLOOR(({_SQL_DOT_AB} / ({_sql_norm('a')} * {_sql_norm('b')})) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS cosine
+  FROM sig a
+  JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+WHERE cosine >= {NEAR_DUP_COSINE}
+ORDER BY vec_a, vec_b
+"""
+
+
+QUERIES = {
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "lsh_bucket_histogram": lsh_bucket_histogram,
+    "embedding_near_dups": embedding_near_dups,
+}
+
+ORACLES = {
+    "ann_bruteforce_topk": _ANN_BF_SQL,
+    "ann_lsh_topk": _ANN_LSH_SQL,
+    "lsh_bucket_histogram": _LSH_HIST_SQL,
+    "embedding_near_dups": _NEAR_DUP_SQL,
+}

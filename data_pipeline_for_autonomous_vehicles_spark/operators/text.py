@@ -1,0 +1,223 @@
+"""Text-analysis operators over the `documents` table.
+
+Training-data-pipeline staples: token counting, quality scoring, language ID
+(marker-token heuristic), and document fingerprinting. All pure column
+expressions (split / array ops / arithmetic) — JVM-side, codegen'd, with
+literal ANSI twins for the DuckDB oracle.
+
+Scale notes: every operator here is embarrassingly parallel (per-row map +
+one final hash-agg at most) — no shuffle except the aggregating variants,
+which group on low-cardinality keys (lang, score bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import round_half_up
+
+_TOKENS = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+_SQL_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+# language marker vocabularies (n-gram heuristic): deterministic, public
+# stopword-style markers. The classifier is judged against its SQL twin, not
+# against ground truth — it is a heuristic, like any real lang-ID.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + distinct-token count + type/token ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(F.size(_TOKENS))
+    n_distinct = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.array_distinct(_TOKENS))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        round_half_up(
+            n_distinct.cast("double") / F.when(n_tokens == 0, F.lit(None)).otherwise(n_tokens).cast("double"),
+            4,
+        ).alias("type_token_ratio"),
+    ).orderBy("doc_id")
+
+
+_TOKEN_COUNTS_SQL = f"""
+SELECT doc_id, n_tokens, n_distinct_tokens,
+       CAST(FLOOR((CAST(n_distinct_tokens AS DOUBLE)
+             / CAST(NULLIF(n_tokens, 0) AS DOUBLE)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS type_token_ratio
+FROM (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQL_TOKENS}) END AS n_tokens,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(list_distinct({_SQL_TOKENS})) END AS n_distinct_tokens
+  FROM documents) t
+ORDER BY doc_id
+"""
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality score in [0,1]:
+    0.4·min(1, n_chars/400) + 0.3·type_token_ratio + 0.3·stopword_ratio.
+    The components are the reference heuristics of C4/Gopher-style filters
+    (length, lexical diversity, stopword presence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    en = LANG_MARKERS["en"]
+    n_tokens = F.size(_TOKENS).cast("double")
+    n_distinct = F.size(F.array_distinct(_TOKENS)).cast("double")
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(_TOKENS), F.array(*[F.lit(w) for w in en]))
+    ).cast("double")
+    length_score = F.least(F.lit(1.0), F.col("n_chars").cast("double") / F.lit(400.0))
+    ttr = n_distinct / n_tokens
+    stop_score = F.least(F.lit(1.0), stop_hits / F.lit(float(len(en))) * F.lit(2.0))
+    score = round_half_up(
+        F.lit(0.4) * length_score + F.lit(0.3) * ttr + F.lit(0.3) * stop_score, 4
+    )
+    return docs.select("doc_id", "lang", score.alias("quality_score")).orderBy("doc_id")
+
+
+_EN_LIST = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS["en"]) + "]"
+_QUALITY_SQL = f"""
+SELECT doc_id, lang,
+       CAST(FLOOR((0.4::DOUBLE * LEAST(1.0::DOUBLE, CAST(n_chars AS DOUBLE) / 400.0::DOUBLE)
+             + 0.3::DOUBLE * (CAST(len(list_distinct({_SQL_TOKENS})) AS DOUBLE)
+                      / CAST(len({_SQL_TOKENS}) AS DOUBLE))
+             + 0.3::DOUBLE * LEAST(1.0::DOUBLE,
+                 CAST(len(list_intersect(list_distinct({_SQL_TOKENS}), {_EN_LIST})) AS DOUBLE)
+                 / {float(len(LANG_MARKERS['en']))}::DOUBLE * 2.0::DOUBLE)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS quality_score
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-vocabulary language ID: count distinct marker hits per language,
+    predict the argmax (deterministic tiebreak: language code order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(_TOKENS)
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+    # argmax with deterministic tie-break on ascending lang code
+    langs = sorted(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_hits = hits[langs[0]]
+    for lang in langs[1:]:
+        cond = hits[lang] > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        best.alias("predicted_lang"),
+        best_hits.alias("marker_hits"),
+    ).orderBy("doc_id")
+
+
+def _sql_lang_id() -> str:
+    langs = sorted(LANG_MARKERS)
+
+    def hit(lang: str) -> str:
+        lst = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+        return f"len(list_intersect(list_distinct({_SQL_TOKENS}), {lst}))"
+
+    # same left-to-right argmax chain as the Spark plan
+    best = f"'{langs[0]}'"
+    best_hits = hit(langs[0])
+    for lang in langs[1:]:
+        cond = f"{hit(lang)} > ({best_hits})"
+        best = f"CASE WHEN {cond} THEN '{lang}' ELSE {best} END"
+        best_hits = f"CASE WHEN {cond} THEN {hit(lang)} ELSE ({best_hits}) END"
+    return f"""
+SELECT doc_id, lang AS declared_lang,
+       {best} AS predicted_lang,
+       {best_hits} AS marker_hits
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language histogram with mean document length — the monitoring
+    rollup a curation pipeline tracks per snapshot."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            round_half_up(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_LANG_DIST_SQL = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       CAST(FLOOR((CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS avg_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    token portable-hashes, h = (h·31 + t) mod 2^61-1, as a sequential
+    aggregate fold — catches exact re-orderings that the sorted fingerprint
+    (dedup.dedup_fingerprint) deliberately ignores."""
+    docs = load_table(spark, sf_dir, "documents")
+    # modulus 2^31-1 keeps acc*31 + t < 2^37 — no int64 overflow in either
+    # engine (DuckDB raises on BIGINT overflow; Spark would wrap silently)
+    mersenne = (1 << 31) - 1
+    tok_hashes = F.transform(
+        _TOKENS, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    fp = F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(31) + t) % F.lit(mersenne),
+    )
+    return docs.select("doc_id", fp.alias("rolling_fp")).orderBy("doc_id")
+
+
+_ROLLING_FP_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform({_SQL_TOKENS},
+             t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT))),
+         (acc, t) -> (acc * 31 + t) % {(1 << 31) - 1}) AS rolling_fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "token_counts": token_counts,
+    "quality_scores": quality_scores,
+    "lang_id": lang_id,
+    "lang_distribution": lang_distribution,
+    "doc_rolling_fingerprint": doc_rolling_fingerprint,
+}
+
+ORACLES = {
+    "token_counts": _TOKEN_COUNTS_SQL,
+    "quality_scores": _QUALITY_SQL,
+    "lang_id": _sql_lang_id(),
+    "lang_distribution": _LANG_DIST_SQL,
+    "doc_rolling_fingerprint": _ROLLING_FP_SQL,
+}

@@ -1,0 +1,231 @@
+"""Window-function operators: per-group top-k, moving aggregates,
+sessionization.
+
+The reference's only window shapes are latest-row-per-group (DISTINCT ON,
+queries.py:80-83) and a per-key top-3 cap (opensky_source.py:141-142) —
+covered in metrics.py and sources/opensky.py. This module carries the
+general forms a fleet-analytics user needs at scale.
+
+Scale notes: window functions shuffle once on the partition key and sort
+within partitions. Skewed partition keys (one vehicle with 10^9 rows) are
+the hazard at 100 TB — all windows here partition on bounded-cardinality
+keys (priority, supplier, user) whose per-key row counts grow linearly, and
+the moving-average first reduces to per-(supplier, day) grain before
+windowing, so the windowed input is ~10^3 smaller than the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import round_half_up
+
+# --- top-k per group -------------------------------------------------------
+
+
+def top_orders_per_priority(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Highest-value k orders within each priority class.
+    row_number over (partition priority, order totalprice desc, tiebreak key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank_in_priority", F.row_number().over(w))
+        .filter(F.col("rank_in_priority") <= k)
+        .select("o_orderpriority", "rank_in_priority", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rank_in_priority")
+    )
+
+
+_TOP_ORDERS_SQL = """
+SELECT o_orderpriority, rank_in_priority, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_priority
+  FROM orders) t
+WHERE rank_in_priority <= 3
+ORDER BY o_orderpriority, rank_in_priority
+"""
+
+
+# --- moving aggregate over a reduced grain ---------------------------------
+
+
+def supplier_weekly_revenue_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier weekly revenue with a 4-week trailing moving average.
+
+    Two-stage: (1) hash-agg to (suppkey, week) grain with exact scaled-int
+    revenue — this is the only full-table pass; (2) window over the tiny
+    aggregate. The moving sum stays in int64 (revenue_e4) so the frame
+    accumulation order cannot produce float drift vs the oracle.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev_e4 = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(10_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    weekly = (
+        # to_date: DuckDB's date_trunc('week') yields DATE — match the type
+        lineitem.withColumn("week", F.to_date(F.date_trunc("week", F.col("l_shipdate"))))
+        .groupBy("l_suppkey", "week")
+        .agg(F.sum(rev_e4).alias("revenue_e4"))
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("week").rowsBetween(-3, 0)
+    return weekly.select(
+        "l_suppkey",
+        "week",
+        (F.col("revenue_e4").cast("double") / F.lit(10_000.0)).alias("weekly_revenue"),
+        (
+            F.sum("revenue_e4").over(w).cast("double")
+            / (F.lit(10_000.0) * F.count("revenue_e4").over(w).cast("double"))
+        ).alias("revenue_ma4"),
+    ).orderBy("l_suppkey", "week")
+
+
+_SUPPLIER_MA_SQL = """
+WITH weekly AS (
+  SELECT l_suppkey, date_trunc('week', l_shipdate) AS week,
+         SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS revenue_e4
+  FROM lineitem
+  GROUP BY l_suppkey, date_trunc('week', l_shipdate))
+SELECT l_suppkey, week,
+       CAST(revenue_e4 AS DOUBLE) / 10000.0 AS weekly_revenue,
+       CAST(SUM(revenue_e4) OVER w AS DOUBLE)
+         / (10000.0 * CAST(COUNT(revenue_e4) OVER w AS DOUBLE)) AS revenue_ma4
+FROM weekly
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY week ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY l_suppkey, week
+"""
+
+
+# --- sessionization (lag + gap threshold + running count) ------------------
+
+SESSION_GAP_MINUTES = 30
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each user's event stream into sessions at >30 min gaps; emit
+    per-user session count and mean session length (events/session).
+
+    lag(ts) over (user order ts, id) → gap flag → running sum = session id.
+    The batch twin of streaming session_window(ts, gap) — see streaming/.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_flag = events.withColumn(
+        "new_session",
+        F.when(gap_sec.isNull() | (gap_sec > SESSION_GAP_MINUTES * 60), 1).otherwise(0),
+    )
+    with_sid = with_flag.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    per_session = with_sid.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            round_half_up(
+                F.sum("n_events").cast("double") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("avg_events_per_session"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SESSIONS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR (epoch(ts) - epoch(prev_ts)) > {SESSION_GAP_MINUTES * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM (
+    SELECT user_id, ts, event_id,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events) t),
+sid AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM sid GROUP BY user_id, session_id)
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(FLOOR((CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+         AS avg_events_per_session
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --- cumulative / rank mix over events ------------------------------------
+
+
+def user_value_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total of `value` (exact cents) with event rank —
+    the cumulative-metric shape (odometer-style monotone series).
+    Returns the final row per user to keep result size bounded."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    running = (
+        events.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "running_value",
+            F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+            / F.lit(100.0),
+        )
+    )
+    last = Window.partitionBy("user_id").orderBy(F.desc("rn"))
+    return (
+        running.withColumn("last_rn", F.row_number().over(last))
+        .filter(F.col("last_rn") == 1)
+        .select("user_id", F.col("rn").alias("n_events"), "running_value")
+        .orderBy("user_id")
+    )
+
+
+_RUNNING_SQL = """
+WITH running AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+           AS running_value
+  FROM events)
+SELECT user_id, rn AS n_events, running_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) AS last_rn
+  FROM running) t
+WHERE last_rn = 1
+ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "top_orders_per_priority": top_orders_per_priority,
+    "supplier_weekly_revenue_ma": supplier_weekly_revenue_ma,
+    "user_sessions": user_sessions,
+    "user_value_running": user_value_running,
+}
+
+ORACLES = {
+    "top_orders_per_priority": _TOP_ORDERS_SQL,
+    "supplier_weekly_revenue_ma": _SUPPLIER_MA_SQL,
+    "user_sessions": _SESSIONS_SQL,
+    "user_value_running": _RUNNING_SQL,
+}

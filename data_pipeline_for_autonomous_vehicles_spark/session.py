@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+Tuned for the local[N] test/bench harness but with settings that hold on a
+real multi-executor cluster (AQE on, UTC session TZ, Arrow enabled). At
+cluster scale the same code runs unchanged: shuffle partition count and
+broadcast thresholds are the knobs an operator would override per-deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data_pipeline_for_autonomous_vehicles_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Defaults follow the local-mode guidance: shuffle partitions ≈ cores
+    (not 200), AQE enabled for runtime re-planning (skew joins, partition
+    coalescing), UTC timezone so timestamp semantics match the ANSI oracle,
+    and Arrow for any pandas interchange.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        try:
+            n = int(cpus) if cpus else (os.cpu_count() or 8)
+        except ValueError:
+            n = os.cpu_count() or 8
+        shuffle_partitions = max(4, n)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        # the driver's events.parquet stores TIMESTAMP(NANOS); read as int64
+        # nanos and convert in catalog.load_table (Spark has no ns timestamps)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
