@@ -1,0 +1,85 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes its full physical plan into the `noop` sink (no
+collect cost, no driver materialization) — the same way a cluster job would
+be measured. A warmup pass on sf0.001 first pays JVM/codegen startup so the
+numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_pipeline_for_autonomous_vehicles_spark.operators import all_queries
+from data_pipeline_for_autonomous_vehicles_spark.session import get_spark
+
+# Headline set: the operator classes that dominate real workloads.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q4_order_priority",
+    "driving_event_counts",
+    "alerts_batch",
+    "latest_telemetry",
+    "km_per_intervention",
+    "fleet_summary",
+    "autopilot_engagement",
+    "top_orders_per_priority",
+    "supplier_weekly_revenue_ma",
+    "user_sessions",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "ann_bruteforce_topk",
+    "token_counts",
+    "quality_scores",
+]
+
+
+def _execute(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # warmup: JVM + codegen + parquet footer caches at the smallest sf
+    for name in ("q1_pricing_summary", "latest_telemetry", "token_counts"):
+        _execute(queries[name](spark, "/root/testdata/sf0.001"))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _execute(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

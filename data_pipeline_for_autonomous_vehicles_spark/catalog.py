@@ -37,11 +37,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (the driver's) read the nanos file correctly too
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ts is TIMESTAMP(NANOS) in the file; with nanosAsLong it scans as
         # int64 nanos. Integer DIV (not float /: ns epochs ≈ 1.7e18 exceed
         # double precision) truncates to micros — the same truncation DuckDB
-        # applies casting TIMESTAMP_NS → TIMESTAMP.
+        # applies casting TIMESTAMP_NS → TIMESTAMP. Micros-encoded files
+        # (e.g. test fixtures) come through as timestamps already.
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.scalars import round_half_up
 
-_TOKENS = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+def _tokens() -> F.Column:
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
 _SQL_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
 # language marker vocabularies (n-gram heuristic): deterministic, public
@@ -36,9 +37,9 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count + distinct-token count + type/token ratio."""
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(F.size(_TOKENS))
+    n_tokens = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(F.size(_tokens()))
     n_distinct = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
-        F.size(F.array_distinct(_TOKENS))
+        F.size(F.array_distinct(_tokens()))
     )
     return docs.select(
         "doc_id",
@@ -72,10 +73,10 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (length, lexical diversity, stopword presence)."""
     docs = load_table(spark, sf_dir, "documents")
     en = LANG_MARKERS["en"]
-    n_tokens = F.size(_TOKENS).cast("double")
-    n_distinct = F.size(F.array_distinct(_TOKENS)).cast("double")
+    n_tokens = F.size(_tokens()).cast("double")
+    n_distinct = F.size(F.array_distinct(_tokens())).cast("double")
     stop_hits = F.size(
-        F.array_intersect(F.array_distinct(_TOKENS), F.array(*[F.lit(w) for w in en]))
+        F.array_intersect(F.array_distinct(_tokens()), F.array(*[F.lit(w) for w in en]))
     ).cast("double")
     length_score = F.least(F.lit(1.0), F.col("n_chars").cast("double") / F.lit(400.0))
     ttr = n_distinct / n_tokens
@@ -104,7 +105,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-vocabulary language ID: count distinct marker hits per language,
     predict the argmax (deterministic tiebreak: language code order)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.array_distinct(_TOKENS)
+    toks = F.array_distinct(_tokens())
     hits = {
         lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
         for lang, words in LANG_MARKERS.items()
@@ -184,7 +185,7 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engine (DuckDB raises on BIGINT overflow; Spark would wrap silently)
     mersenne = (1 << 31) - 1
     tok_hashes = F.transform(
-        _TOKENS, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        _tokens(), lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
     )
     fp = F.aggregate(
         tok_hashes,

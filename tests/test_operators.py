@@ -1,0 +1,106 @@
+"""Operator-level tests over the shared sf0.001 tables: sanity properties
+that complement the differential oracle harness (tools/check_oracle.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+from data_pipeline_for_autonomous_vehicles_spark.operators import (
+    dedup,
+    similarity,
+    text,
+    tpch,
+    windows,
+)
+
+
+def test_q1_groups_and_totals(spark, sf_dir):
+    out = tpch.q1_pricing_summary(spark, sf_dir).collect()
+    assert 1 <= len(out) <= 6  # |returnflag| × |linestatus|
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.filter(F.col("l_shipdate") <= "1998-09-02").count()
+    assert sum(r["count_order"] for r in out) == n
+    for r in out:
+        assert abs(r["avg_qty"] * r["count_order"] - r["sum_qty"]) < 0.5
+        assert r["sum_qty"] > 0 and r["avg_disc"] >= 0
+
+
+def test_q3_topk_is_sorted_and_bounded(spark, sf_dir):
+    out = tpch.q3_shipping_priority(spark, sf_dir).collect()
+    assert len(out) <= 10
+    revs = [r["revenue"] for r in out]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_top_orders_rank_within_group(spark, sf_dir):
+    out = windows.top_orders_per_priority(spark, sf_dir).collect()
+    by_p = {}
+    for r in out:
+        by_p.setdefault(r["o_orderpriority"], []).append(r)
+    for rows in by_p.values():
+        assert [r["rank_in_priority"] for r in rows] == list(range(1, len(rows) + 1))
+        prices = [r["o_totalprice"] for r in rows]
+        assert prices == sorted(prices, reverse=True)
+
+
+def test_sessions_bounded_by_event_count(spark, sf_dir):
+    out = windows.user_sessions(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    counts = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    for r in out:
+        assert 1 <= r["n_sessions"] <= counts[r["user_id"]]
+        assert r["avg_events_per_session"] >= 1.0
+
+
+def test_dedup_exact_partitions_the_corpus(spark, sf_dir):
+    out = dedup.dedup_exact(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_copies"] for r in out) == n_docs
+
+
+def test_minhash_estimates_bounded(spark, sf_dir):
+    out = dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+    for r in out:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_ann_topk_selfconsistent(spark, sf_dir):
+    out = similarity.ann_bruteforce_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == similarity.TOP_K
+        cos = [r["cosine"] for r in rows]
+        assert cos == sorted(cos, reverse=True)
+        assert all(r["vec_id"] != q for r in rows)
+        assert all(-1.0001 <= c <= 1.0001 for c in cos)
+
+
+def test_lsh_topk_subset_of_bucket(spark, sf_dir):
+    """LSH results are a subset of brute-force candidates (same scoring)."""
+    bf = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in similarity.ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    lsh = similarity.ann_lsh_topk(spark, sf_dir).collect()
+    for r in lsh:
+        # any (q, v) present in both must agree on the score
+        if (r["query_id"], r["vec_id"]) in bf:
+            assert bf[(r["query_id"], r["vec_id"])] == r["cosine"]
+
+
+def test_token_counts_nonnegative_ttr(spark, sf_dir):
+    out = text.token_counts(spark, sf_dir).collect()
+    for r in out:
+        assert r["n_tokens"] >= r["n_distinct_tokens"] >= 0
+        if r["n_tokens"]:
+            assert 0.0 < r["type_token_ratio"] <= 1.0
+
+
+def test_quality_scores_in_unit_interval(spark, sf_dir):
+    out = text.quality_scores(spark, sf_dir).collect()
+    for r in out:
+        assert 0.0 <= r["quality_score"] <= 1.0
