@@ -16,19 +16,22 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _modules():
+    from ..streaming import aggregates as streaming_aggregates
     from . import dedup, metrics, similarity, text, tpch, windows
 
+    return (tpch, metrics, windows, dedup, similarity, text, streaming_aggregates)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (tpch, metrics, windows, dedup, similarity, text):
+    for mod in _modules():
         merged.update(mod.QUERIES)
     return merged
 
 
 def all_oracles() -> dict[str, str]:
-    from . import dedup, metrics, similarity, text, tpch, windows
-
     merged: dict[str, str] = {}
-    for mod in (tpch, metrics, windows, dedup, similarity, text):
+    for mod in _modules():
         merged.update(mod.ORACLES)
     return merged

@@ -148,7 +148,7 @@ _SESSIONS_SQL = f"""
 WITH flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN prev_ts IS NULL
-                   OR (epoch(ts) - epoch(prev_ts)) > {SESSION_GAP_MINUTES * 60}
+                   OR (FLOOR(epoch(ts)) - FLOOR(epoch(prev_ts))) > {SESSION_GAP_MINUTES * 60}
               THEN 1 ELSE 0 END AS new_session
   FROM (
     SELECT user_id, ts, event_id,

@@ -1,0 +1,126 @@
+"""Watermarked streaming aggregates — the idiomatic-Spark upgrade the
+reference lacks (SURVEY.md §2.9: "no watermarks, no event-time windows").
+
+Each streaming aggregate here has an exact batch/ANSI twin so the driver's
+DuckDB oracle can verify the *semantics*, not just the row count:
+  - tumbling event-time window counts ≡ date_trunc bucket GROUP BY
+  - session_window(gap) session counts ≡ the lag/cumsum sessionization
+    (operators.windows.user_sessions)
+
+Both run with Trigger.AvailableNow into a memory sink in COMPLETE mode, so
+every window — including the final, not-yet-watermark-closed one — is
+emitted and the result equals the batch computation over the same files.
+
+Scale: streaming state is keyed on (window, key); the watermark bounds state
+size — with a 1-hour watermark and 1-day windows, state holds ≤2 open
+windows per key regardless of input volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .rules import stream_events
+
+_SEQ = 0
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    global _SEQ
+    _SEQ += 1
+    name = f"stream_agg_{_SEQ}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def streaming_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows with a 1-hour watermark:
+    count + exact value sum per (day, event_type)."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("sum_value"),
+        )
+    )
+    out = _run_to_memory(agg)
+    return out.select(
+        F.to_date(F.col("win.start")).alias("day"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("day", "event_type")
+
+
+STREAMING_DAILY_COUNTS_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(ts, 30 min) per user — Spark's native gap-based
+    sessionization. Emits per-user session count + total events; must equal
+    the batch lag/cumsum sessionization (operators.windows.user_sessions)."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = _run_to_memory(agg)
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAMING_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         -- session_window splits when the exact event-time gap is >= the
+         -- 30-min gap (new event lands at/after the previous session end);
+         -- epoch() is fractional DOUBLE, matching micros precision
+         CASE WHEN prev_ts IS NULL OR (epoch(ts) - epoch(prev_ts)) >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM (
+    SELECT user_id, ts, event_id,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events) t)
+SELECT user_id,
+       SUM(new_session) AS n_sessions,
+       COUNT(*) AS total_events
+FROM flagged
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+QUERIES = {
+    "streaming_daily_event_counts": streaming_daily_event_counts,
+    "streaming_user_sessions": streaming_user_sessions,
+}
+
+ORACLES = {
+    "streaming_daily_event_counts": STREAMING_DAILY_COUNTS_SQL,
+    "streaming_user_sessions": STREAMING_SESSIONS_SQL,
+}

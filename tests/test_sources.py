@@ -1,0 +1,168 @@
+"""Tests for the ingestion layer: file readers (coercion contract),
+seeded simulator, OpenSky normalization + proximity join."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_pipeline_for_autonomous_vehicles_spark.sources import files, opensky, simulator
+
+
+# --- file readers (waymo_replay.py coercion semantics) ---------------------
+
+
+def test_csv_coercion_table(spark, tmp_path):
+    p = tmp_path / "replay.csv"
+    p.write_text(
+        "time,vehicle_id,current_speed_kmh,speed_limit_violation,autopilot_engaged,battery_level_pct\n"
+        "2024-01-01 00:00:00,3.0,68.0,yes,no,\n"
+        "2024-01-01 00:00:01,2,,0,1,55.5\n"
+        "2024-01-01 00:00:02,,garbage,true,false,abc\n"
+    )
+    out = files.read_telemetry_csv(spark, str(p)).orderBy("time").collect()
+    # "3.0" → 3 (int-via-float, waymo_replay.py:49)
+    assert out[0]["vehicle_id"] == 3
+    assert out[0]["speed_limit_violation"] is True  # "yes" truthy (:53)
+    assert out[0]["autopilot_engaged"] is False  # "no" falsy (:55)
+    assert out[0]["battery_level_pct"] == 100.0  # empty → default (:46-47)
+    assert out[1]["current_speed_kmh"] == 0.0  # empty numeric → 0.0
+    assert out[1]["speed_limit_violation"] is False  # "0" not truthy
+    assert out[1]["autopilot_engaged"] is True  # "1" not falsy
+    assert out[2]["vehicle_id"] == 0  # missing → 0
+    assert out[2]["current_speed_kmh"] == 0.0  # garbage → default (try/except)
+    assert out[2]["battery_level_pct"] == 100.0
+    # missing columns materialize with defaults
+    assert out[0]["odometer_km"] == 0.0
+    assert out[0]["start_location"] == ""
+
+
+def test_jsonl_reader_and_dispatch(spark, tmp_path):
+    p = tmp_path / "replay.jsonl"
+    p.write_text(
+        '{"time": "2024-01-01 00:00:00", "vehicle_id": "7", "current_speed_kmh": "42.5"}\n'
+        "\n"
+        '{"time": "2024-01-01 00:00:01", "vehicle_id": "8", "speed_limit_violation": "1"}\n'
+    )
+    out = files.read_telemetry_auto(spark, str(p)).orderBy("vehicle_id").collect()
+    assert [r["vehicle_id"] for r in out] == [7, 8]
+    assert out[0]["current_speed_kmh"] == 42.5
+    assert out[1]["speed_limit_violation"] is True
+    try:
+        files.read_telemetry_auto(spark, "x.parquet")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "unsupported" in str(e)
+
+
+# --- simulator -------------------------------------------------------------
+
+
+def test_simulator_deterministic_and_bounded(spark):
+    a = simulator.generate_telemetry(spark, n_vehicles=3, n_ticks=20, seed=7).collect()
+    b = simulator.generate_telemetry(spark, n_vehicles=3, n_ticks=20, seed=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # same seed → same data
+    c = simulator.generate_telemetry(spark, n_vehicles=3, n_ticks=20, seed=8).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))  # seed matters
+    for r in a:
+        assert simulator.SPEED_LO <= r["current_speed_kmh"] <= simulator.SPEED_HI
+        assert r["speed_limit_violation"] == (r["current_speed_kmh"] > 65.0)
+        assert 0.0 <= r["battery_level_pct"] <= 95.0
+        assert abs(r["remaining_range_km"] - r["battery_level_pct"] * 5.2) < 1e-9
+
+
+def test_simulator_monotone_series(spark):
+    tel = simulator.generate_telemetry(spark, n_vehicles=2, n_ticks=30, seed=1)
+    rows = tel.orderBy("vehicle_id", "time").collect()
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r["vehicle_id"], []).append(r)
+    for series in by_v.values():
+        odos = [r["odometer_km"] for r in series]
+        assert odos == sorted(odos)  # odometer non-decreasing
+        bats = [r["battery_level_pct"] for r in series]
+        assert bats == sorted(bats, reverse=True)  # battery non-increasing
+
+
+def test_fleet_streams_shapes(spark):
+    fleet = simulator.generate_fleet(spark, n_vehicles=4, n_ticks=50, seed=3)
+    tel = fleet["vehicle_telemetry"]
+    per = fleet["perception_events"]
+    drv = fleet["driving_events"]
+    assert tel.count() == 200
+    assert per.count() == 200  # one perception per tick
+    n_events = drv.count()
+    assert 0 <= n_events <= 30  # ~2% of 200, loose bound
+    assert set(r["event_type"] for r in drv.collect()) <= set(
+        simulator.DRIVING_EVENT_TYPES
+    )
+    for r in per.take(50):
+        assert 2.0 <= r["object_distance_m"] <= 120.0
+        assert 0.85 <= r["confidence"] <= 1.0
+
+
+# --- OpenSky ---------------------------------------------------------------
+
+
+def _state(icao, lat, lon, vel=100.0, t=1_700_000_000):
+    return (icao, f"CS_{icao}", "Testland", t, lon, lat, vel, 10_000.0)
+
+
+def test_vehicle_id_formula_matches_python(spark):
+    df = opensky.states_from_rows(spark, [_state("abc123", 10.0, 20.0)])
+    out = opensky.normalize_states(df).first()
+    expected = (int("abc123", 16) & 0x7FFFFFFF) % 9999 + 1
+    assert out["vehicle_id"] == expected
+
+
+def test_normalize_drops_null_positions_and_defaults(spark):
+    rows = [
+        _state("aaa111", 10.0, 20.0, vel=None),
+        ("bbb222", None, "X", 1, None, None, 50.0, None),  # null lat/lon → dropped
+    ]
+    df = spark.createDataFrame(rows, opensky.STATE_SCHEMA)
+    out = opensky.normalize_states(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["current_speed_kmh"] == 0.0  # null velocity → 0
+    assert r["start_location"] == "Testland"
+    assert r["destination"] == "CS_aaa111"
+
+
+def test_nearby_aircraft_distance_and_cap(spark):
+    # cluster of 5 at ~0.05° spacing (≈5.5 km) + one far away (≈5°)
+    rows = [
+        _state("a00001", 40.00, 10.00),
+        _state("a00002", 40.05, 10.00),
+        _state("a00003", 40.10, 10.00),
+        _state("a00004", 40.15, 10.00),
+        _state("a00005", 40.20, 10.00),
+        _state("f99999", 45.00, 15.00),
+    ]
+    df = spark.createDataFrame(rows, opensky.STATE_SCHEMA)
+    out = opensky.nearby_aircraft(df).collect()
+    by_left = {}
+    for r in out:
+        by_left.setdefault(r["icao24"], []).append(r)
+    # far aircraft has no neighbors; cluster members have ≤3, sorted by distance
+    assert "f99999" not in by_left
+    for icao, rs in by_left.items():
+        assert 1 <= len(rs) <= opensky.MAX_NEARBY
+        dists = [r["object_distance_m"] for r in rs]
+        assert dists == sorted(dists)
+        assert all(d <= opensky.NEARBY_RADIUS_M for d in dists)
+    # verify one exact distance against the reference formula (python)
+    mid = by_left["a00001"]
+    lat1, lat2 = 40.00, 40.05
+    dlat = (lat1 - lat2) * 111_000.0
+    expected = math.sqrt(dlat * dlat)  # same longitude
+    assert any(abs(r["object_distance_m"] - expected) < 1e-6 for r in mid)
+
+
+def test_nearby_cross_cell_pairs_found(spark):
+    # two aircraft straddling a 0.5° cell boundary, ~11 km apart
+    rows = [_state("c00001", 39.99, 10.00), _state("c00002", 40.09, 10.00)]
+    df = spark.createDataFrame(rows, opensky.STATE_SCHEMA)
+    out = opensky.nearby_aircraft(df).collect()
+    assert {r["icao24"] for r in out} == {"c00001", "c00002"}

@@ -1,0 +1,55 @@
+"""Streaming pipeline tests: bounded runs (Trigger.AvailableNow) mirroring
+the reference's local no-Docker harness (run_full_pipeline_local.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_for_autonomous_vehicles_spark.operators.metrics import alerts_batch
+from data_pipeline_for_autonomous_vehicles_spark.operators.windows import user_sessions
+from data_pipeline_for_autonomous_vehicles_spark.streaming import aggregates, rules
+
+
+def test_streaming_alerts_equal_batch(spark, sf_dir):
+    stream_out = rules.streaming_alerts_table(spark, sf_dir)
+    batch_out = alerts_batch(spark, sf_dir)
+    a = sorted(map(tuple, stream_out.collect()))
+    b = sorted(map(tuple, batch_out.collect()))
+    assert a == b
+
+
+def test_alert_pipeline_foreachbatch_sink(spark, sf_dir, tmp_path):
+    out = tmp_path / "alerts_out"
+    ckpt = tmp_path / "ckpt"
+    n = rules.run_alert_pipeline(spark, sf_dir, str(out), str(ckpt))
+    assert n == alerts_batch(spark, sf_dir).count()
+    written = spark.read.parquet(str(out))
+    assert set(written.columns) == {"time", "vehicle_id", "alert_type", "alert_message"}
+    # exactly-once: re-running with the same checkpoint adds nothing
+    n2 = rules.run_alert_pipeline(spark, sf_dir, str(out), str(ckpt))
+    assert n2 == n
+
+
+def test_streaming_daily_counts_equal_batch(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+
+    stream_out = aggregates.streaming_daily_event_counts(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    s = {(r["day"], r["event_type"]): r["n_events"] for r in stream_out}
+    b = {(r["day"], r["event_type"]): r["n_events"] for r in batch}
+    assert s == b
+
+
+def test_streaming_sessions_match_batch_sessionization(spark, sf_dir):
+    stream_out = aggregates.streaming_user_sessions(spark, sf_dir).collect()
+    batch_out = user_sessions(spark, sf_dir).collect()
+    s = {r["user_id"]: r["n_sessions"] for r in stream_out}
+    b = {r["user_id"]: r["n_sessions"] for r in batch_out}
+    assert s == b
