@@ -18,9 +18,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _modules():
     from ..streaming import aggregates as streaming_aggregates
-    from . import dedup, metrics, similarity, text, tpch, windows
+    from . import dedup, metrics, multimodal, olap, similarity, text, tpch, windows
 
-    return (tpch, metrics, windows, dedup, similarity, text, streaming_aggregates)
+    return (
+        tpch,
+        metrics,
+        windows,
+        olap,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+        streaming_aggregates,
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,230 @@
+"""OLAP extensions beyond the reference's operator set: pivot, rollup/cube,
+exact-moment statistics, percentiles, approximate aggregates.
+
+The reference has no grouping sets, no distinct aggregates, no statistics
+beyond COUNT/MAX/MIN/SUM (SURVEY.md §2.4) — these are the standard
+capabilities a fleet-analytics user reaches for next, each expressed as a
+single declarative plan.
+
+Determinism: stddev/corr are NOT computed with Spark's built-in
+stddev/corr (whose internal float accumulation is partition-order-
+dependent); they are derived from exact scaled-integer moment sums
+(n, Σx, Σx², Σxy), making the final doubles bit-identical on any cluster
+size and equal to the ANSI twin. Approximate aggregates (HLL/quantile
+sketches) are engine-specific by design → rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import round_half_up, sql_round_half_up
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+# --- pivot -----------------------------------------------------------------
+
+
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per user pivoted into one column per event type.
+
+    Explicit pivot values → single-pass pivot (no extra distinct scan);
+    equivalent to conditional aggregation, which is the ANSI twin.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .orderBy("user_id")
+    )
+
+
+_PIVOT_SQL = f"""
+SELECT user_id,
+       {", ".join(f"COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END), 0) AS {t}" for t in EVENT_TYPES)}
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --- rollup ----------------------------------------------------------------
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts + exact total price by (status, priority) with subtotal
+    and grand-total rows (ROLLUP grouping sets)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")).cast("double")
+                / 100.0
+            ).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+# --- exact-moment statistics ----------------------------------------------
+
+
+def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mean / sample stddev / min / max of `value`, with the
+    variance derived from exact integer moment sums:
+        var = (n·Σx² − (Σx)²) / (n·(n−1))   over x in cents.
+    Every intermediate is int64 (exact) until the final double divisions."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("sx"),
+        F.sum(cents * cents).alias("sxx"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    var_cents2 = (F.col("n").cast("double") * sxx - sx * sx) / (n * (n - F.lit(1.0)))
+    return agg.select(
+        "event_type",
+        "n",
+        round_half_up(sx / n / F.lit(100.0), 4).alias("mean_value"),
+        round_half_up(F.sqrt(var_cents2) / F.lit(100.0), 4).alias("stddev_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("event_type")
+
+
+_STATS_SQL = f"""
+WITH m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS sx,
+         SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+             * CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS sxx,
+         MIN(value) AS min_value,
+         MAX(value) AS max_value
+  FROM events GROUP BY event_type)
+SELECT event_type, n,
+       {sql_round_half_up("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0", 4)} AS mean_value,
+       {sql_round_half_up(
+           "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+           " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0", 4)} AS stddev_value,
+       min_value, max_value
+FROM m
+ORDER BY event_type
+"""
+
+
+# --- exact percentiles -----------------------------------------------------
+
+_PCTS = (0.5, 0.9, 0.99)
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles of `value` per event type (linear
+    interpolation — Spark `percentile`, DuckDB `quantile_cont`: same
+    definition; outputs rounded through the portable formula)."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        round_half_up(F.percentile(F.col("value"), F.lit(p)), 4).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in _PCTS
+    ]
+    return ev.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+_PCT_SQL = f"""
+SELECT event_type,
+       {", ".join(sql_round_half_up(f"quantile_cont(value, {p})", 4) + f" AS p{int(p * 100)}" for p in _PCTS)}
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- approximate aggregates (rows-only: sketch impls differ by engine) -----
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type, with relative
+    error vs the exact count. Rows-only check: DuckDB's approx_count_distinct
+    uses a different sketch, so only our own exact-count comparison is
+    meaningful."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .withColumn(
+            "rel_error",
+            round_half_up(
+                F.abs(F.col("approx_users") - F.col("exact_users")).cast("double")
+                / F.col("exact_users").cast("double"),
+                4,
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISTINCT-aggregate twin (expand + two-phase agg in Spark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "user_event_pivot": user_event_pivot,
+    "orders_rollup": orders_rollup,
+    "event_value_stats": event_value_stats,
+    "value_percentiles": value_percentiles,
+    "approx_distinct_users": approx_distinct_users,
+    "distinct_users_exact": distinct_users_exact,
+}
+
+ORACLES = {
+    "user_event_pivot": _PIVOT_SQL,
+    "orders_rollup": _ROLLUP_SQL,
+    "event_value_stats": _STATS_SQL,
+    "value_percentiles": _PCT_SQL,
+    # approx_distinct_users: rows-only by design (sketches differ per engine)
+    "distinct_users_exact": _DISTINCT_SQL,
+}

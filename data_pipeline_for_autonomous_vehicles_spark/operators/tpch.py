@@ -22,7 +22,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.scalars import exact_avg, exact_sum, sql_exact_avg, sql_exact_sum
+from ..functions.scalars import (
+    exact_avg,
+    exact_sum,
+    round_half_up,
+    sql_exact_avg,
+    sql_exact_sum,
+    sql_round_half_up,
+)
 
 # revenue expression: per-row product is IEEE-identical across engines;
 # scale=4 captures the full 2dp*2dp decimal product exactly.
@@ -255,6 +262,166 @@ ORDER BY c_custkey
 """
 
 
+# --- Q6-shape: forecast revenue change (pure scan-filter-agg) --------------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM(extendedprice · discount) under three range predicates — the
+    pushdown showcase: every filter reaches the parquet scan; zero shuffle
+    beyond the final single-row reduce."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue")
+        )
+    )
+
+
+_Q6_SQL = f"""
+SELECT {sql_exact_sum("l_extendedprice * l_discount", 4)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- Q7-shape: volume between nation pairs ---------------------------------
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation trade volume per (supp_nation, cust_nation, year).
+    Two broadcast nation lookups; the orders⋈lineitem shuffle is shared."""
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(exact_sum(_revenue(), _REV_SCALE).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       {sql_exact_sum(_SQL_REV, _REV_SCALE)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- Q14-shape: promotion revenue share ------------------------------------
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 · Σ(promo revenue) / Σ(revenue) over one month — conditional
+    aggregate over a broadcast part join."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev_e4 = F.floor(_revenue() * F.lit(10_000.0) + F.lit(0.5)).cast("long")
+    promo_e4 = F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(F.lit(0))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            round_half_up(
+                F.lit(100.0)
+                * F.sum(promo_e4).cast("double")
+                / F.sum(rev_e4).cast("double"),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_Q14_SQL = f"""
+SELECT {sql_round_half_up(
+    "100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(FLOOR((" + _SQL_REV + ") * 10000.0 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)"
+    " / CAST(SUM(CAST(FLOOR((" + _SQL_REV + ") * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)", 4)} AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+"""
+
+
+# --- Q18-shape: large-volume customers (agg → semi-join back) --------------
+
+Q18_QTY = 150.0
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds a threshold, with customer info —
+    the HAVING-subquery shape: aggregate once, semi-join the fact back."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity", 2).alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+_Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, {sql_exact_sum("l_quantity", 2)} AS total_qty
+  FROM lineitem GROUP BY l_orderkey) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE total_qty > {Q18_QTY}
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -262,6 +429,10 @@ QUERIES = {
     "q10_returned_items": q10_returned_items,
     "q4_order_priority": q4_order_priority,
     "customers_without_orders": customers_without_orders,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_nation_volume": q7_nation_volume,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
 }
 
 ORACLES = {
@@ -271,4 +442,8 @@ ORACLES = {
     "q10_returned_items": _Q10_SQL,
     "q4_order_priority": _Q4_SQL,
     "customers_without_orders": _ANTI_SQL,
+    "q6_forecast_revenue": _Q6_SQL,
+    "q7_nation_volume": _Q7_SQL,
+    "q14_promo_revenue": _Q14_SQL,
+    "q18_large_orders": _Q18_SQL,
 }
