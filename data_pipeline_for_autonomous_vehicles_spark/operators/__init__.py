@@ -18,10 +18,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _modules():
     from ..streaming import aggregates as streaming_aggregates
-    from . import dedup, metrics, multimodal, olap, similarity, text, tpch, windows
+    from . import (
+        dedup,
+        metrics,
+        multimodal,
+        olap,
+        similarity,
+        text,
+        tpch,
+        tpch_ext,
+        windows,
+    )
 
     return (
         tpch,
+        tpch_ext,
         metrics,
         windows,
         olap,

@@ -245,8 +245,12 @@ ORDER BY o_orderpriority
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who never placed a 1-URGENT order (LEFT ANTI join; the
+    unfiltered variant is empty at every driver SF — all customers order)."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
@@ -257,7 +261,9 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANTI_SQL = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 ORDER BY c_custkey
 """
 

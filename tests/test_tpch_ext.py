@@ -1,0 +1,85 @@
+"""Sanity tests for the extended TPC-H query shapes (operators/tpch_ext.py).
+
+The differential oracle harness (tools/check_oracle.py, driver CORRECTNESS
+gate) is the primary correctness check; these assert structural properties
+at sf0.001 — group bounds, monotone sorts, cross-query consistency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+from data_pipeline_for_autonomous_vehicles_spark.operators import tpch_ext
+
+
+def test_q2_one_min_cost_per_part(spark, sf_dir):
+    out = tpch_ext.q2_min_cost_supplier(spark, sf_dir).collect()
+    # every returned (part, supplier) pair carries the per-part minimum:
+    # grouping by part, all unit_costs must be equal
+    by_part = {}
+    for r in out:
+        by_part.setdefault(r["p_partkey"], []).append(r["unit_cost"])
+    for costs in by_part.values():
+        assert max(costs) == min(costs)
+
+
+def test_q8_share_in_unit_interval(spark, sf_dir):
+    out = tpch_ext.q8_market_share(spark, sf_dir).collect()
+    assert out, "q8 returned no year rows"
+    for r in out:
+        assert 0.0 <= r["mkt_share"] <= 1.0
+    years = [r["o_year"] for r in out]
+    assert years == sorted(years)
+
+
+def test_q12_counts_split_exactly(spark, sf_dir):
+    out = tpch_ext.q12_late_shipments(spark, sf_dir).collect()
+    for r in out:
+        high = r["o_orderpriority"] in ("1-URGENT", "2-HIGH")
+        # each priority group is entirely high or entirely low
+        assert (r["low_line_count"] == 0) if high else (r["high_line_count"] == 0)
+
+
+def test_q13_histogram_covers_all_customers(spark, sf_dir):
+    out = tpch_ext.q13_customer_distribution(spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["custdist"] for r in out) == n_cust
+
+
+def test_q15_returns_global_max(spark, sf_dir):
+    out = tpch_ext.q15_top_supplier(spark, sf_dir).collect()
+    assert len(out) >= 1
+    revs = {r["total_revenue"] for r in out}
+    assert len(revs) == 1  # all rows tie at the maximum
+
+
+def test_q16_distinct_bounded_by_suppliers(spark, sf_dir):
+    out = tpch_ext.q16_supplier_part_counts(spark, sf_dir).collect()
+    n_supp = load_table(spark, sf_dir, "supplier").count()
+    assert out
+    for r in out:
+        assert 1 <= r["supplier_cnt"] <= n_supp
+
+
+def test_q21_numwait_bounded_by_f_orders(spark, sf_dir):
+    out = tpch_ext.q21_blocking_suppliers(spark, sf_dir).collect()
+    n_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .count()
+    )
+    assert len(out) <= 20
+    for r in out:
+        assert 1 <= r["numwait"] <= n_f
+
+
+def test_q22_excludes_recent_buyers(spark, sf_dir):
+    out = tpch_ext.q22_sales_opportunity(spark, sf_dir).collect()
+    for r in out:
+        assert r["numcust"] >= 1 and r["totacctbal"] > 0
+
+
+def test_scalar_queries_return_single_row(spark, sf_dir):
+    for fn in (tpch_ext.q17_small_quantity_revenue, tpch_ext.q19_disjunctive_revenue):
+        assert fn(spark, sf_dir).count() == 1
