@@ -24,6 +24,7 @@ def _modules():
         multimodal,
         olap,
         similarity,
+        spatial,
         text,
         tpch,
         tpch_ext,
@@ -38,6 +39,7 @@ def _modules():
         olap,
         dedup,
         similarity,
+        spatial,
         text,
         multimodal,
         streaming_aggregates,

@@ -1,0 +1,182 @@
+"""Spatial proximity self-join — the reference's J3 operator at scale.
+
+Reference: src/ingestion/opensky_source.py:101-143 finds, for each aircraft
+state, other aircraft within 50 km of the same poll via an O(n²) pairwise
+loop (equirectangular distance at :125-127, self-exclusion by icao24 at
+:118, ≤3 matches per left row at :141-142).
+
+Spark-first scale path (SURVEY.md §2.3 J3, §7.3): an O(n²) crossJoin dies at
+fleet scale, so each point is hashed to a radius-sized grid cell and each
+LEFT point probes its 3×3 cell neighborhood — the join becomes an equi-join
+on cell id (shuffle-partitioned by cell, AQE-balanced), and every true
+neighbor within R is guaranteed to be in one of the 9 probed cells. Cost
+drops from O(n²) to O(n · density); at 100 TB the cell id also serves as
+the shuffle/bucketing key so repeated proximity queries reuse one
+partitioning.
+
+Positions are derived deterministically from `events` (the driver schema has
+no lat/lon): each vehicle's latest event (reference W1 latest-row-per-group)
+is mapped into a ~55×61 km city bbox via integer arithmetic — pure column
+expressions, portable to the DuckDB oracle. The oracle twin computes the
+same result with the brute-force O(n²) join, which is exactly the
+reference's semantics — so the check proves bucketed == naive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+RADIUS_M = 3_000.0
+TOP_K = 3
+# equirectangular scale factors (reference opensky_source.py:125-127):
+# meters per degree latitude; longitude shrunk by max(0.7, …) — the bbox
+# sits at ~37°N where the reference's clamp makes the factor exactly 0.7.
+M_PER_DEG_LAT = 111_000.0
+LON_SCALE = 0.7
+# cell sizes: one radius per cell side → all neighbors within R live in
+# the 3×3 neighborhood of a point's cell.
+CELL_LAT_DEG = RADIUS_M / M_PER_DEG_LAT
+CELL_LON_DEG = RADIUS_M / (M_PER_DEG_LAT * LON_SCALE)
+
+
+def vehicle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per vehicle (W1) mapped to a deterministic position
+    inside a 0.5°×0.7° bbox at 37°N (reference bbox clamp, producer.py:69)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("user_id").alias("vehicle_id"))
+    )
+    lat = F.lit(37.0) + ((F.col("vehicle_id") * 37) % 500).cast("double") / F.lit(1000.0)
+    lon = F.lit(-122.5) + ((F.col("vehicle_id") * 73) % 700).cast("double") / F.lit(1000.0)
+    return latest.select("vehicle_id", lat.alias("lat"), lon.alias("lon"))
+
+
+_POSITIONS_SQL = """
+  SELECT user_id AS vehicle_id,
+         37.0 + CAST((user_id * 37) % 500 AS DOUBLE) / 1000.0 AS lat,
+         -122.5 + CAST((user_id * 73) % 700 AS DOUBLE) / 1000.0 AS lon
+  FROM (
+    SELECT user_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) latest
+  WHERE rn = 1
+"""
+
+
+def _dist_m(lat_a, lon_a, lat_b, lon_b):
+    dlat = (lat_a - lat_b) * F.lit(M_PER_DEG_LAT)
+    dlon = (lon_a - lon_b) * F.lit(M_PER_DEG_LAT) * F.lit(LON_SCALE)
+    return F.sqrt(dlat * dlat + dlon * dlon)
+
+
+def nearby_vehicle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≤3 nearest other vehicles within 3 km of each vehicle.
+
+    Bucketed equi-join: RIGHT side keyed by its cell, LEFT side exploded to
+    its 3×3 neighbor cells; join on cell id, then exact distance filter and
+    row_number ≤ K by (distance, id). Equivalent to (and oracle-checked
+    against) the brute-force O(n²) theta join.
+    """
+    pos = vehicle_positions(spark, sf_dir)
+    cell_x = F.floor(F.col("lat") / F.lit(CELL_LAT_DEG)).cast("long")
+    cell_y = F.floor(F.col("lon") / F.lit(CELL_LON_DEG)).cast("long")
+
+    right = pos.select(
+        F.col("vehicle_id").alias("other_id"),
+        F.col("lat").alias("other_lat"),
+        F.col("lon").alias("other_lon"),
+        cell_x.alias("cx"),
+        cell_y.alias("cy"),
+    )
+    offsets = F.expr("explode(sequence(-1, 1))")
+    left = (
+        pos.withColumn("cx0", cell_x)
+        .withColumn("cy0", cell_y)
+        .withColumn("dx", offsets)
+        .withColumn("dy", F.expr("explode(sequence(-1, 1))"))
+        .select(
+            "vehicle_id",
+            "lat",
+            "lon",
+            (F.col("cx0") + F.col("dx")).alias("cx"),
+            (F.col("cy0") + F.col("dy")).alias("cy"),
+        )
+    )
+    dist = _dist_m(F.col("lat"), F.col("lon"), F.col("other_lat"), F.col("other_lon"))
+    w = Window.partitionBy("vehicle_id").orderBy("dist_m", "other_id")
+    return (
+        left.join(right, ["cx", "cy"])
+        .filter(F.col("other_id") != F.col("vehicle_id"))
+        .withColumn("dist_m", dist)
+        .filter(F.col("dist_m") <= RADIUS_M)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("vehicle_id", "other_id", "dist_m", F.col("rnk").cast("long").alias("rnk"))
+        .orderBy("vehicle_id", "rnk")
+    )
+
+
+_NEARBY_SQL = f"""
+WITH pos AS ({_POSITIONS_SQL}),
+pairs AS (
+  SELECT a.vehicle_id, b.vehicle_id AS other_id,
+         SQRT(POW((a.lat - b.lat) * {M_PER_DEG_LAT}, 2)
+            + POW((a.lon - b.lon) * {M_PER_DEG_LAT} * {LON_SCALE}, 2)) AS dist_m
+  FROM pos a JOIN pos b ON a.vehicle_id <> b.vehicle_id),
+ranked AS (
+  SELECT vehicle_id, other_id, dist_m,
+         ROW_NUMBER() OVER (PARTITION BY vehicle_id ORDER BY dist_m, other_id) AS rnk
+  FROM pairs WHERE dist_m <= {RADIUS_M})
+SELECT vehicle_id, other_id, dist_m, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {TOP_K}
+ORDER BY vehicle_id, rnk
+"""
+
+
+def nearby_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet proximity rollup: how many vehicles have 0/1/2/3 close
+    neighbors (reference emits ≤3 perception events per aircraft; this is
+    the aggregate view a fleet operator reads)."""
+    pairs = nearby_vehicle_pairs(spark, sf_dir)
+    per_vehicle = pairs.groupBy("vehicle_id").agg(F.count(F.lit(1)).alias("n_nearby"))
+    return (
+        per_vehicle.groupBy("n_nearby")
+        .agg(F.count(F.lit(1)).alias("n_vehicles"))
+        .orderBy("n_nearby")
+    )
+
+
+_NEARBY_COUNTS_SQL = f"""
+WITH pos AS ({_POSITIONS_SQL}),
+pairs AS (
+  SELECT a.vehicle_id, b.vehicle_id AS other_id,
+         SQRT(POW((a.lat - b.lat) * {M_PER_DEG_LAT}, 2)
+            + POW((a.lon - b.lon) * {M_PER_DEG_LAT} * {LON_SCALE}, 2)) AS dist_m
+  FROM pos a JOIN pos b ON a.vehicle_id <> b.vehicle_id),
+ranked AS (
+  SELECT vehicle_id,
+         ROW_NUMBER() OVER (PARTITION BY vehicle_id ORDER BY dist_m, other_id) AS rnk
+  FROM pairs WHERE dist_m <= {RADIUS_M})
+SELECT n_nearby, COUNT(*) AS n_vehicles
+FROM (SELECT vehicle_id, COUNT(*) AS n_nearby FROM ranked WHERE rnk <= {TOP_K}
+      GROUP BY vehicle_id) pv
+GROUP BY n_nearby
+ORDER BY n_nearby
+"""
+
+
+QUERIES = {
+    "nearby_vehicle_pairs": nearby_vehicle_pairs,
+    "nearby_pair_counts": nearby_pair_counts,
+}
+
+ORACLES = {
+    "nearby_vehicle_pairs": _NEARBY_SQL,
+    "nearby_pair_counts": _NEARBY_COUNTS_SQL,
+}
