@@ -29,6 +29,11 @@ BENCH_QUERIES = [
     "q5_local_supplier_volume",
     "q10_returned_items",
     "q4_order_priority",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q16_supplier_part_counts",
+    "q21_blocking_suppliers",
+    "nearby_vehicle_pairs",
     "driving_event_counts",
     "alerts_batch",
     "latest_telemetry",

@@ -83,7 +83,10 @@ def nearby_vehicle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number ≤ K by (distance, id). Equivalent to (and oracle-checked
     against) the brute-force O(n²) theta join.
     """
-    pos = vehicle_positions(spark, sf_dir)
+    # both join sides derive from the same latest-event window over the full
+    # events table — cache the tiny (one row per vehicle) result so the scan
+    # + window run once
+    pos = vehicle_positions(spark, sf_dir).cache()
     cell_x = F.floor(F.col("lat") / F.lit(CELL_LAT_DEG)).cast("long")
     cell_y = F.floor(F.col("lon") / F.lit(CELL_LON_DEG)).cast("long")
 

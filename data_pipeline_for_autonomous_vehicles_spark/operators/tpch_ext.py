@@ -569,19 +569,21 @@ def q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("l_shipdate").alias("supp_last"))
     )
-    per_order = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.max("supp_last").alias("order_last")
-    )
-    # number of suppliers achieving the order max (ties disqualify all)
-    max_hits = (
-        per_os.join(per_order.select("l_orderkey", "order_last"), "l_orderkey")
-        .filter(F.col("supp_last") == F.col("order_last"))
-        .groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_at_max"))
-    )
+    # all per-order statistics in ONE window pass over the groupBy's own
+    # hash partitioning (n_supp, order max, #suppliers at the max) — no
+    # self-joins, no re-shuffle: the partitionBy key equals the agg key
+    # prefix, so Catalyst reuses the exchange. Ties at the max disqualify
+    # the order (n_at_max > 1).
+    w = Window.partitionBy("l_orderkey")
     counts = (
-        per_os.join(per_order, "l_orderkey")
-        .join(max_hits, "l_orderkey")
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("order_last", F.max("supp_last").over(w))
+        .withColumn(
+            "n_at_max",
+            F.sum(
+                F.when(F.col("supp_last") == F.col("order_last"), 1).otherwise(0)
+            ).over(w),
+        )
         .filter(
             (F.col("n_supp") > 1)
             & (F.col("n_at_max") == 1)
