@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _modules():
     from ..streaming import aggregates as streaming_aggregates
+    from ..streaming import stateful as streaming_stateful
     from . import (
         dedup,
         metrics,
@@ -43,6 +44,7 @@ def _modules():
         text,
         multimodal,
         streaming_aggregates,
+        streaming_stateful,
     )
 
 
