@@ -20,6 +20,7 @@ def _modules():
     from ..streaming import aggregates as streaming_aggregates
     from ..streaming import stateful as streaming_stateful
     from . import (
+        asof,
         dedup,
         metrics,
         multimodal,
@@ -38,6 +39,7 @@ def _modules():
         metrics,
         windows,
         olap,
+        asof,
         dedup,
         similarity,
         spatial,

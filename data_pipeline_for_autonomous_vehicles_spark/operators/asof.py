@@ -1,0 +1,182 @@
+"""As-of (point-in-time) join — a time-series operator Spark has no builtin
+for (SURVEY.md §2.3: the reference has none either; this is the canonical
+telemetry-analytics extension, e.g. "attach the latest telemetry row at or
+before each driving event").
+
+Naive formulations are O(n·m) (theta join on time ranges) or need an
+equality-free merge join. The scalable Spark-first shape used here:
+
+    union(left tagged, right tagged)
+      → window over (key ORDER BY time, tie) with
+        last_value(right_payload, ignoreNulls) ROWS UNBOUNDED PRECEDING
+      → keep left rows
+
+ONE shuffle on the key, linear work per partition, no join operator at
+all. The same trick backs as-of joins in kdb-style engines and Flink's
+temporal joins; on 100 TB it scales exactly like any windowed aggregate
+(state = one carried row per key). The tie/order column makes the result
+total-order deterministic under equal timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    tie: str,
+) -> DataFrame:
+    """Generic as-of join: for each left row, the values of the latest right
+    row with right_time <= left_time (in (time, tie) order) and equal `on`
+    key. Returns all left columns plus `value_cols` (null when no prior
+    right row exists).
+
+    `tie` must be a column present in both frames that totally orders rows
+    within equal timestamps (e.g. a unique event id).
+    """
+    lt = left.select(
+        F.lit(1).alias("_is_left"),
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.col(tie).alias("_tie"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_left_row"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_rv_{c}") for c in value_cols],
+    )
+    rt = right.select(
+        F.lit(0).alias("_is_left"),
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.col(tie).alias("_tie"),
+        F.lit(None).cast(lt.schema["_left_row"].dataType).alias("_left_row"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    )
+    # right rows sort before left rows at equal (_t, _tie) via _is_left, so
+    # a right row with exactly the left row's timestamp IS visible to it
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_is_left", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lt.unionByName(rt).select(
+        "_is_left",
+        "_left_row",
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("_is_left") == 1).select(
+        "_left_row.*", *[f"asof_{c}" for c in value_cols]
+    )
+
+
+def purchases_with_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase event with the value of the user's latest at-or-before
+    view event — the as-of join exercised on the driver's events table."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["view_value"],
+        tie="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "value", F.col("asof_view_value").alias("last_view_value")
+    ).orderBy("event_id")
+
+
+_ASOF_SQL = """
+WITH tagged AS (
+  SELECT 1 AS is_left, user_id AS k, ts AS t, event_id AS tie,
+         event_id, value, NULL::DOUBLE AS rv
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT 0 AS is_left, user_id AS k, ts AS t, event_id AS tie,
+         NULL::BIGINT AS event_id, NULL::DOUBLE AS value, value AS rv
+  FROM events WHERE event_type = 'view'),
+carried AS (
+  SELECT is_left, event_id, k, value,
+         LAST_VALUE(rv IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY t, is_left, tie
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_value
+  FROM tagged)
+SELECT event_id, k AS user_id, value, last_view_value
+FROM carried WHERE is_left = 1
+ORDER BY event_id
+"""
+
+
+def telemetry_at_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-shaped variant: each intervention/disengagement driving
+    event (event_type IN …, SURVEY §2.2 P5) annotated with the vehicle's
+    speed proxy (value) from its latest at-or-before click event — the
+    'telemetry state at event time' query a fleet operator runs."""
+    ev = load_table(spark, sf_dir, "events")
+    incidents = ev.filter(F.col("event_type").isin("error", "signup")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    telemetry = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("speed_proxy")
+    )
+    out = asof_join(
+        incidents,
+        telemetry,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["speed_proxy"],
+        tie="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", F.col("asof_speed_proxy").alias("speed_at_event")
+    ).orderBy("event_id")
+
+
+_TELEMETRY_AT_EVENT_SQL = """
+WITH tagged AS (
+  SELECT 1 AS is_left, user_id AS k, ts AS t, event_id AS tie,
+         event_id, event_type, NULL::DOUBLE AS rv
+  FROM events WHERE event_type IN ('error', 'signup')
+  UNION ALL
+  SELECT 0 AS is_left, user_id AS k, ts AS t, event_id AS tie,
+         NULL::BIGINT AS event_id, NULL::VARCHAR AS event_type, value AS rv
+  FROM events WHERE event_type = 'click'),
+carried AS (
+  SELECT is_left, event_id, k, event_type,
+         LAST_VALUE(rv IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY t, is_left, tie
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS speed_at_event
+  FROM tagged)
+SELECT event_id, k AS user_id, event_type, speed_at_event
+FROM carried WHERE is_left = 1
+ORDER BY event_id
+"""
+
+
+QUERIES = {
+    "purchases_with_last_view": purchases_with_last_view,
+    "telemetry_at_event": telemetry_at_event,
+}
+
+ORACLES = {
+    "purchases_with_last_view": _ASOF_SQL,
+    "telemetry_at_event": _TELEMETRY_AT_EVENT_SQL,
+}

@@ -207,14 +207,123 @@ ORDER BY query_id, rank
 """
 
 
+# --- IVF-style ANN (coarse quantizer → inverted lists → probe) -------------
+
+N_CENTROIDS = 16
+NPROBE = 4
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic coarse quantizer: the N_CENTROIDS vectors right after
+    the query range serve as centroids. At scale these would come from an
+    offline k-means; the assignment/probe machinery is identical, and
+    determinism keeps the oracle twin exact."""
+    return emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"))
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: every corpus vector is assigned to its nearest centroid
+    (inverted list); each query probes only its NPROBE closest lists and
+    ranks exact cosine inside them.
+
+    Scale path: centroids broadcast (tiny); assignment is one map-side pass
+    over the corpus; the search join is keyed on cell id → a query touches
+    nprobe/N_CENTROIDS of the data. Written out as `partitionBy(cell)`, the
+    lists become prunable files and probes skip ~3/4 of the corpus on disk.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cents = _centroids(emb)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cent_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("c", _cosine(F.col("emb"), F.col("cemb")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", F.col("cent_id").alias("cell"))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("cent_id"))
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("c", _cosine(F.col("qemb"), F.col("cemb")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= NPROBE)
+        .select("query_id", "qemb", F.col("cent_id").alias("cell"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            round_half_up(_cosine(F.col("qemb"), F.col("emb")), 4).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sql_cos(x: str, y: str) -> str:
+    dot = _sql_fold_sum(f"list_transform(list_zip({x}, {y}), z -> z[1] * z[2])")
+    nx = f"sqrt({_sql_fold_sum(f'list_transform({x}, v -> v * v)')})"
+    ny = f"sqrt({_sql_fold_sum(f'list_transform({y}, v -> v * v)')})"
+    return f"({dot} / ({nx} * {ny}))"
+
+
+_ANN_IVF_SQL = f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, emb AS cemb FROM emb
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, emb, cent_id AS cell FROM (
+    SELECT e.vec_id, e.emb, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_cos('e.emb', 'c.cemb')} DESC, c.cent_id ASC) AS rn
+    FROM emb e CROSS JOIN cents c) t
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, qemb, cent_id AS cell FROM (
+    SELECT e.vec_id AS query_id, e.emb AS qemb, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_cos('e.emb', 'c.cemb')} DESC, c.cent_id ASC) AS rn
+    FROM emb e CROSS JOIN cents c
+    WHERE e.vec_id < {N_QUERIES}) t
+  WHERE rn <= {NPROBE}),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         CAST(FLOOR({_sql_cos('p.qemb', 'a.emb')} * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS cosine
+  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 # --- embedding near-duplicate pairs ---------------------------------------
 
-NEAR_DUP_COSINE = 0.95
+NEAR_DUP_COSINE = 0.30
 
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All vector pairs with cosine ≥ threshold, restricted to LSH-bucket
-    collisions (the scalable all-pairs shape: bucket join, not cross join)."""
+    collisions (the scalable all-pairs shape: bucket join, not cross join).
+
+    Threshold 0.30: the driver's synthetic embeddings are near-isotropic
+    (max pairwise cosine ≈ 0.51), so a realistic 0.95 near-dup bar matches
+    nothing at any SF; 0.30 keeps the operator shape identical while
+    exercising the filter against ~20 true pairs at sf0.01."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -250,6 +359,7 @@ ORDER BY vec_a, vec_b
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "lsh_bucket_histogram": lsh_bucket_histogram,
     "embedding_near_dups": embedding_near_dups,
 }
@@ -257,6 +367,7 @@ QUERIES = {
 ORACLES = {
     "ann_bruteforce_topk": _ANN_BF_SQL,
     "ann_lsh_topk": _ANN_LSH_SQL,
+    "ann_ivf_topk": _ANN_IVF_SQL,
     "lsh_bucket_histogram": _LSH_HIST_SQL,
     "embedding_near_dups": _NEAR_DUP_SQL,
 }
