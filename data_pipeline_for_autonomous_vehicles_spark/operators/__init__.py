@@ -28,6 +28,7 @@ def _modules():
         similarity,
         spatial,
         text,
+        timeseries,
         tpch,
         tpch_ext,
         windows,
@@ -44,6 +45,7 @@ def _modules():
         similarity,
         spatial,
         text,
+        timeseries,
         multimodal,
         streaming_aggregates,
         streaming_stateful,

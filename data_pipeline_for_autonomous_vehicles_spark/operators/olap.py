@@ -86,6 +86,38 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
 
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets — per-pair,
+    per-status, per-priority, grand total. Physically one pass: Spark's
+    Expand operator replicates each input row once per grouping set before
+    a single hash aggregation (no re-scan per set)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")).cast("double")
+                / 100.0
+            ).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
 # --- exact-moment statistics ----------------------------------------------
 
 
@@ -214,6 +246,7 @@ ORDER BY event_type
 QUERIES = {
     "user_event_pivot": user_event_pivot,
     "orders_rollup": orders_rollup,
+    "orders_cube": orders_cube,
     "event_value_stats": event_value_stats,
     "value_percentiles": value_percentiles,
     "approx_distinct_users": approx_distinct_users,
@@ -223,6 +256,7 @@ QUERIES = {
 ORACLES = {
     "user_event_pivot": _PIVOT_SQL,
     "orders_rollup": _ROLLUP_SQL,
+    "orders_cube": _CUBE_SQL,
     "event_value_stats": _STATS_SQL,
     "value_percentiles": _PCT_SQL,
     # approx_distinct_users: rows-only by design (sketches differ per engine)
