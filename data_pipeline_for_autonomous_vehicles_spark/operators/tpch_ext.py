@@ -569,11 +569,11 @@ def q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("l_shipdate").alias("supp_last"))
     )
-    # all per-order statistics in ONE window pass over the groupBy's own
-    # hash partitioning (n_supp, order max, #suppliers at the max) — no
-    # self-joins, no re-shuffle: the partitionBy key equals the agg key
-    # prefix, so Catalyst reuses the exchange. Ties at the max disqualify
-    # the order (n_at_max > 1).
+    # all per-order statistics in ONE window pass (n_supp, order max,
+    # #suppliers at the max) — replaces three self-joins (four shuffles)
+    # with the groupBy exchange plus one narrowing re-shuffle to
+    # l_orderkey for the window. Ties at the max disqualify the order
+    # (n_at_max > 1).
     w = Window.partitionBy("l_orderkey")
     counts = (
         per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))

@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis): the engine-wide invariants.
+
+1. exact_sum is partition-count invariant — the property that makes every
+   oracle-checked aggregate safe on any cluster size (SCALE.md §5).
+2. asof_join equals the per-row brute-force definition on arbitrary data.
+
+Examples are capped small: each case runs a real Spark job.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_pipeline_for_autonomous_vehicles_spark.functions.scalars import exact_sum
+from data_pipeline_for_autonomous_vehicles_spark.operators.asof import asof_join
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+cents = st.integers(min_value=-10_000_00, max_value=10_000_00).map(lambda c: c / 100.0)
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(cents, min_size=1, max_size=50),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_exact_sum_partition_invariant(spark, vals, parts):
+    df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(parts)
+    got = df.agg(exact_sum("v", 2).alias("s")).collect()[0]["s"]
+    expected = sum(round(v * 100) for v in vals) / 100.0
+    assert got == expected  # bit-exact, not approx
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 3600)), min_size=1, max_size=20
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 3600), cents),
+        min_size=0,
+        max_size=20,
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (k, base + dt.timedelta(seconds=s), 1_000_000 + i)
+        for i, (k, s) in enumerate(left)
+    ]
+    rrows = [
+        (k, base + dt.timedelta(seconds=s), 2_000_000 + i, v)
+        for i, (k, s, v) in enumerate(right)
+    ]
+    ldf = spark.createDataFrame(lrows, "k int, t timestamp, tie_id long")
+    rdf = spark.createDataFrame(
+        rrows or [(None, None, None, None)], "k int, t timestamp, tie_id long, v double"
+    ).filter(F.col("tie_id").isNotNull())
+    out = asof_join(
+        ldf, rdf, on="k", left_time="t", right_time="t", value_cols=["v"], tie="tie_id"
+    )
+    got = {r["tie_id"]: r["asof_v"] for r in out.collect()}
+
+    expected = {}
+    for lk, lt, lid in lrows:
+        best = None  # latest (t, tie) <= (lt, ... left after right at ties)
+        for rk, rt, rid, rv in rrows:
+            if rk == lk and rt <= lt:
+                if best is None or (rt, rid) > (best[0], best[1]):
+                    best = (rt, rid, rv)
+        expected[lid] = best[2] if best else None
+    assert got == expected
