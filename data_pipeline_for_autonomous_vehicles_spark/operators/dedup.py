@@ -368,6 +368,112 @@ FROM voted ORDER BY doc_id
 """
 
 
+# --- near-dup clustering (iterative connected components) -------------------
+
+CC_MAX_ITER = 25
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Distributed connected components by min-label propagation: every node
+    starts labeled with itself; each round every node takes the min label in
+    its closed neighborhood; stop at fixpoint. Rounds needed = graph
+    diameter (near-dup clusters are shallow: a handful).
+
+    The loop is DRIVER CONTROL FLOW ONLY — per round one join + one
+    aggregate, all data-parallel; the driver sees a single `changed` count.
+    Each round's result is cached and the previous round unpersisted, so
+    lineage stays O(1) per round instead of O(rounds) (iterative-algorithm
+    hygiene; at larger scale swap cache for localCheckpoint).
+
+    edges: (a, b) undirected; nodes: (node) — superset of edge endpoints
+    (isolated nodes become singleton clusters).
+    """
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    labels = nodes.select("node", F.col("node").alias("label")).cache()
+    for _ in range(CC_MAX_ITER):
+        nbr_min = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document labeled with its near-dup cluster id (min doc_id in
+    its connected component of the MinHash-LSH candidate graph); docs with
+    no near-dup are singleton clusters. This is the assignment a dedup
+    stage keeps one representative per cluster from."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    labels = connected_components(pairs, docs)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def _sql_near_dup_clusters() -> str:
+    lsh = _sql_lsh_pairs()
+    return f"""
+WITH RECURSIVE
+edges AS (SELECT doc_a AS a, doc_b AS b FROM ({lsh}) lshp),
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT CASE WHEN r.node = e.a THEN e.b ELSE e.a END, r.root
+  FROM reach r JOIN edges e ON r.node = e.a OR r.node = e.b)
+SELECT node AS doc_id, MIN(root) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+def near_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram: how many clusters of each size — the dedup
+    yield report (size 1 = unique docs; Σ(size>1 clusters' (size-1)) = docs
+    removable)."""
+    clusters = near_dup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_clusters")).orderBy("size")
+    )
+
+
+def _sql_near_dup_cluster_sizes() -> str:
+    return f"""
+WITH assigned AS ({_sql_near_dup_clusters()})
+SELECT size, COUNT(*) AS n_clusters FROM (
+  SELECT cluster_id, COUNT(*) AS size FROM assigned GROUP BY cluster_id) s
+GROUP BY size ORDER BY size
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
@@ -375,6 +481,8 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_fingerprints": simhash_fingerprints,
+    "near_dup_clusters": near_dup_clusters,
+    "near_dup_cluster_sizes": near_dup_cluster_sizes,
 }
 
 ORACLES = {
@@ -384,4 +492,6 @@ ORACLES = {
     "minhash_signatures": _MINHASH_SIG_SQL,
     "minhash_lsh_pairs": _sql_lsh_pairs(),
     "simhash_fingerprints": _sql_simhash(),
+    "near_dup_clusters": _sql_near_dup_clusters(),
+    "near_dup_cluster_sizes": _sql_near_dup_cluster_sizes(),
 }

@@ -104,3 +104,17 @@ def test_quality_scores_in_unit_interval(spark, sf_dir):
     out = text.quality_scores(spark, sf_dir).collect()
     for r in out:
         assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_connected_components_hand_graph(spark):
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12), (12, 10)], "a long, b long"
+    )
+    nodes = spark.createDataFrame([(n,) for n in (1, 2, 3, 5, 6, 8, 10, 11, 12)], "node long")
+    got = {
+        r["node"]: r["label"]
+        for r in dedup.connected_components(edges, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 10: 10, 11: 10, 12: 10}
