@@ -27,6 +27,7 @@ def _modules():
         olap,
         similarity,
         spatial,
+        temporal,
         text,
         timeseries,
         tpch,
@@ -44,6 +45,7 @@ def _modules():
         dedup,
         similarity,
         spatial,
+        temporal,
         text,
         timeseries,
         multimodal,
