@@ -32,6 +32,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. Pure parquet scan — no caching, no inference."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # UTC is load-bearing for oracle parity: date_trunc/to_date/timestamp
+    # literals are session-TZ-sensitive in Spark while DuckDB timestamps are
+    # naive. Set at runtime so externally created sessions (the driver's)
+    # get the same semantics as engine-created ones (session.get_spark).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # runtime-settable; applied here so externally created sessions
         # (the driver's) read the nanos file correctly too

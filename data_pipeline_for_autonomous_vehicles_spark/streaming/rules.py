@@ -47,6 +47,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     mandatory for streaming reads so the nanosAsLong conf is set explicitly.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # UTC is load-bearing for oracle parity (see catalog.load_table); the
+    # streaming path bypasses load_table so it pins the TZ itself
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # the file streaming source requires a directory; events.parquet is a
     # single file inside sf_dir, so stream the dir with a glob filter
     raw = (
