@@ -171,12 +171,81 @@ ORDER BY event_id
 """
 
 
+FUNNEL_WINDOW_S = 1800
+
+
+def view_to_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user conversion funnel: purchases preceded by a view within 30
+    minutes count as converted. Composes the as-of join (carry the latest
+    view timestamp onto each purchase) with a per-user rollup — the
+    attribution-window pattern of product analytics."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.col("ts").alias("view_ts")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["view_ts"],
+        tie="event_id",
+    )
+    converted = F.when(
+        F.col("asof_view_ts").isNotNull()
+        & (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_view_ts"))
+            <= FUNNEL_WINDOW_S * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        joined.select("user_id", converted.alias("conv"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("conv").alias("n_converted"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_FUNNEL_SQL = f"""
+WITH tagged AS (
+  SELECT 1 AS is_left, user_id, ts AS t, event_id AS tie, NULL::TIMESTAMP AS rv
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT 0 AS is_left, user_id, ts AS t, event_id AS tie, ts AS rv
+  FROM events WHERE event_type = 'view'),
+carried AS (
+  SELECT is_left, user_id, t,
+         LAST_VALUE(rv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, is_left, tie
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ts
+  FROM tagged)
+SELECT user_id,
+       COUNT(*) AS n_purchases,
+       SUM(CASE WHEN view_ts IS NOT NULL
+                 AND epoch_us(t) - epoch_us(view_ts) <= {FUNNEL_WINDOW_S * 1_000_000}
+            THEN 1 ELSE 0 END) AS n_converted
+FROM carried WHERE is_left = 1
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "purchases_with_last_view": purchases_with_last_view,
     "telemetry_at_event": telemetry_at_event,
+    "view_to_purchase_funnel": view_to_purchase_funnel,
 }
 
 ORACLES = {
     "purchases_with_last_view": _ASOF_SQL,
     "telemetry_at_event": _TELEMETRY_AT_EVENT_SQL,
+    "view_to_purchase_funnel": _FUNNEL_SQL,
 }

@@ -12,7 +12,7 @@ which group on low-cardinality keys (lang, score bucket).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -207,12 +207,118 @@ ORDER BY doc_id
 """
 
 
+# --- TF-IDF ----------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF:
+        tf = term count in doc;  idf = ln((N + 1) / (df + 1))
+    Exact integer tf/df; the only float op is one ln and one multiply —
+    identical IEEE ops in both engines. Tie-break by term asc.
+
+    Scale: (doc, term) counts are one explode + hash agg; df is a second
+    agg over distinct doc-terms; both shuffles carry (term) or (doc, term)
+    pairs — never document bodies. The N scalar is a broadcast single row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(_tokens()).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf", round_half_up(F.col("tf").cast("double") * idf, 6)
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rank").cast("long").alias("rank"))
+        .orderBy("doc_id", "rank")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms WHERE term <> ''
+  GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(FLOOR((CAST(tf.tf AS DOUBLE)
+               * ln((n.n_docs + 1.0) / (df.df + 1.0))) * 1000000.0 + 0.5) AS DOUBLE)
+           / 1000000.0 AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+SELECT doc_id, term, tf, df, tfidf, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored) t
+WHERE rank <= {TFIDF_TOP_K}
+ORDER BY doc_id, rank
+"""
+
+
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation report: doc count, mean quality score, exact
+    duplicate rate (1 − distinct digests / docs) — the table a data curator
+    ranks sources by before filtering a crawl."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    joined = docs.select("doc_id", "source", F.md5(F.col("text")).alias("digest")).join(
+        scored, "doc_id"
+    )
+    q_e4 = F.floor(F.col("quality_score") * 10_000.0 + F.lit(0.5)).cast("long")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round_half_up(
+                F.sum(q_e4).cast("double") / F.lit(10_000.0) / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("mean_quality"),
+            round_half_up(
+                F.lit(1.0)
+                - F.countDistinct("digest").cast("double") / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_source_quality() -> str:
+    return f"""
+WITH scored AS ({_QUALITY_SQL.replace("ORDER BY doc_id", "")})
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(FLOOR((CAST(SUM(CAST(FLOOR(s.quality_score * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0 / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+         AS mean_quality,
+       CAST(FLOOR((1.0 - CAST(COUNT(DISTINCT md5(d.text)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS dup_rate
+FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 QUERIES = {
     "token_counts": token_counts,
     "quality_scores": quality_scores,
     "lang_id": lang_id,
     "lang_distribution": lang_distribution,
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
+    "tfidf_top_terms": tfidf_top_terms,
+    "source_quality_rollup": source_quality_rollup,
 }
 
 ORACLES = {
@@ -221,4 +327,6 @@ ORACLES = {
     "lang_id": _sql_lang_id(),
     "lang_distribution": _LANG_DIST_SQL,
     "doc_rolling_fingerprint": _ROLLING_FP_SQL,
+    "tfidf_top_terms": _TFIDF_SQL,
+    "source_quality_rollup": _sql_source_quality(),
 }
