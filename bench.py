@@ -33,7 +33,14 @@ BENCH_QUERIES = [
     "q13_customer_distribution",
     "q16_supplier_part_counts",
     "q21_blocking_suppliers",
+    "q2_min_cost_supplier",
+    "orders_cube",
     "nearby_vehicle_pairs",
+    "temporal_neighbor_counts",
+    "purchases_with_last_view",
+    "hourly_gapfill_locf",
+    "tfidf_top_terms",
+    "ann_ivf_topk",
     "driving_event_counts",
     "alerts_batch",
     "latest_telemetry",
