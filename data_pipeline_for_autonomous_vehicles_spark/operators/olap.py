@@ -118,6 +118,75 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
 
+# --- JSON extraction --------------------------------------------------------
+
+
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON `props` column and aggregate its `k` field per event
+    type — covers the reference's JSONB metadata column (sql/01_schema.sql:67,
+    declared but never queried; this is the query its schema anticipates).
+    JSON path extraction is JVM-side (`get_json_object`), never a UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PROPS_JSON_SQL = """
+SELECT event_type,
+       COUNT(k) AS n_with_k, MIN(k) AS min_k, MAX(k) AS max_k, SUM(k) AS sum_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events) t
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- histogram binning ------------------------------------------------------
+
+_BIN_W = 50.0
+_N_BINS = 10
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of `value` (10 bins of 50, clamped): binning is
+    floor(value/width) clamped to [0, bins-1] — a portable width_bucket
+    (DuckDB has no width_bucket builtin)."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(_BIN_W)).cast("int"), F.lit(0)),
+        F.lit(_N_BINS - 1),
+    )
+    return (
+        ev.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("lo", F.col("bin").cast("double") * _BIN_W)
+        .select("bin", "lo", "n_events")
+        .orderBy("bin")
+    )
+
+
+_HISTOGRAM_SQL = f"""
+SELECT bin, CAST(bin AS DOUBLE) * {_BIN_W} AS lo, COUNT(*) AS n_events
+FROM (
+  SELECT LEAST(GREATEST(CAST(FLOOR(value / {_BIN_W}) AS INT), 0), {_N_BINS - 1}) AS bin
+  FROM events) t
+GROUP BY bin
+ORDER BY bin
+"""
+
+
 # --- exact-moment statistics ----------------------------------------------
 
 
@@ -247,6 +316,8 @@ QUERIES = {
     "user_event_pivot": user_event_pivot,
     "orders_rollup": orders_rollup,
     "orders_cube": orders_cube,
+    "props_json_stats": props_json_stats,
+    "value_histogram": value_histogram,
     "event_value_stats": event_value_stats,
     "value_percentiles": value_percentiles,
     "approx_distinct_users": approx_distinct_users,
@@ -257,6 +328,8 @@ ORACLES = {
     "user_event_pivot": _PIVOT_SQL,
     "orders_rollup": _ROLLUP_SQL,
     "orders_cube": _CUBE_SQL,
+    "props_json_stats": _PROPS_JSON_SQL,
+    "value_histogram": _HISTOGRAM_SQL,
     "event_value_stats": _STATS_SQL,
     "value_percentiles": _PCT_SQL,
     # approx_distinct_users: rows-only by design (sketches differ per engine)
