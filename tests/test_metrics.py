@@ -135,3 +135,33 @@ def test_window_predicate_excludes_old_rows(spark, fixture_dir):
         spark, fixture_dir, hours=24, as_of="2024-03-01 00:00:00"
     ).collect()
     assert out == []
+
+
+def test_dashboard_snapshot_matches_individual_queries(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark import dashboard
+    from data_pipeline_for_autonomous_vehicles_spark.operators import metrics as m
+
+    snap = dashboard.dashboard_snapshot(spark, sf_dir)
+    assert set(snap) == {
+        "driving_event_counts", "recent_alerts", "vehicle_list",
+        "latest_telemetry", "km_per_intervention", "intervention_rate",
+        "disengagement_rate", "perception_summary", "fleet_summary",
+        "autopilot_engagement",
+    }
+    # snapshot frames equal the standalone metric results
+    a = {tuple(map(str, r)) for r in snap["km_per_intervention"].collect()}
+    b = {tuple(map(str, r)) for r in m.km_per_intervention(spark, sf_dir).collect()}
+    assert a == b
+    assert snap["fleet_summary"].count() == 1
+    dashboard.release(spark)
+
+
+def test_dashboard_snapshot_vehicle_filter(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark import dashboard
+
+    snap = dashboard.dashboard_snapshot(spark, sf_dir, vehicle_id=3)
+    tele = snap["latest_telemetry"].collect()
+    assert len(tele) <= 1
+    for r in snap["driving_event_counts"].collect():
+        assert r["vehicle_id"] == 3
+    dashboard.release(spark)
