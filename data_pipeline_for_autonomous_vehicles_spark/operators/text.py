@@ -311,6 +311,39 @@ ORDER BY d.source
 """
 
 
+# --- deterministic sampling -------------------------------------------------
+
+SAMPLE_PCT = 10
+
+
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% corpus sample by hash bucket: keep docs whose portable md5 hash
+    of doc_id lands in [0, SAMPLE_PCT) of 100 buckets. Unlike rand()-based
+    TABLESAMPLE this is reproducible across runs, engines, and cluster
+    sizes, and membership is stable under corpus growth — the properties a
+    training-data subsample needs (held-out splits, ablations)."""
+    from ..functions.scalars import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash(F.col("doc_id").cast("string")) % 100
+    return (
+        docs.select("doc_id", "source", bucket.alias("bucket"))
+        .filter(F.col("bucket") < SAMPLE_PCT)
+        .orderBy("doc_id")
+    )
+
+
+_SAMPLE_SQL = f"""
+SELECT doc_id, source, bucket FROM (
+  SELECT doc_id, source,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+           AS bucket
+  FROM documents) t
+WHERE bucket < {SAMPLE_PCT}
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "token_counts": token_counts,
     "quality_scores": quality_scores,
@@ -319,6 +352,7 @@ QUERIES = {
     "doc_rolling_fingerprint": doc_rolling_fingerprint,
     "tfidf_top_terms": tfidf_top_terms,
     "source_quality_rollup": source_quality_rollup,
+    "deterministic_sample": deterministic_sample,
 }
 
 ORACLES = {
@@ -329,4 +363,5 @@ ORACLES = {
     "doc_rolling_fingerprint": _ROLLING_FP_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
     "source_quality_rollup": _sql_source_quality(),
+    "deterministic_sample": _SAMPLE_SQL,
 }
