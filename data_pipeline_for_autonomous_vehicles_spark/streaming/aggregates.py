@@ -115,12 +115,54 @@ GROUP BY user_id
 ORDER BY user_id
 """
 
+_SLIDE_US = 6 * 3600 * 1_000_000  # 6 hours
+_SLIDE_PER_WINDOW = 4  # 1-day window / 6-hour slide
+
+
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows: 1-day span advancing every 6 hours, so
+    each event lands in exactly 4 overlapping windows. The ANSI twin
+    expands each event into its 4 epoch-aligned window starts — the same
+    replication Spark's window() generator performs physically."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "1 day", "6 hours").alias("win")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("sum_value"),
+    )
+    out = _run_to_memory(agg)
+    return out.select(
+        F.col("win.start").alias("win_start"), "n_events", "sum_value"
+    ).orderBy("win_start")
+
+
+STREAMING_SLIDING_SQL = f"""
+WITH expanded AS (
+  SELECT make_timestamp((epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US} - i * {_SLIDE_US})
+           AS win_start,
+         value
+  FROM events, generate_series(0, {_SLIDE_PER_WINDOW - 1}) AS g(i))
+SELECT win_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value
+FROM expanded
+GROUP BY win_start
+ORDER BY win_start
+"""
+
 QUERIES = {
     "streaming_daily_event_counts": streaming_daily_event_counts,
     "streaming_user_sessions": streaming_user_sessions,
+    "streaming_sliding_counts": streaming_sliding_counts,
 }
 
 ORACLES = {
     "streaming_daily_event_counts": STREAMING_DAILY_COUNTS_SQL,
     "streaming_user_sessions": STREAMING_SESSIONS_SQL,
+    "streaming_sliding_counts": STREAMING_SLIDING_SQL,
 }

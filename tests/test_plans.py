@@ -1,4 +1,4 @@
-"""Physical-plan regression tests.
+"""Physical-plan regression tests, via the pkg/plans audit API.
 
 Correctness is the oracle harness's job; these pin the PLAN SHAPE — the
 properties that decide whether a query survives a 100×–10⁶× scale-up
@@ -9,11 +9,7 @@ results stay correct.
 
 from __future__ import annotations
 
-import io
-import contextlib
-
-import pytest
-
+from data_pipeline_for_autonomous_vehicles_spark import plans
 from data_pipeline_for_autonomous_vehicles_spark.operators import (
     metrics,
     spatial,
@@ -23,73 +19,76 @@ from data_pipeline_for_autonomous_vehicles_spark.operators import (
 )
 
 
-def _plan(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
-
-
 def test_q1_filter_pushdown_and_column_pruning(spark, sf_dir):
-    plan = _plan(tpch.q1_pricing_summary(spark, sf_dir))
-    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    df = tpch.q1_pricing_summary(spark, sf_dir)
+    pushed = plans.pushed_filters(df)
+    assert any("LessThanOrEqual(l_shipdate" in p for p in pushed)
     # 7 of 11 lineitem columns read — l_orderkey/partkey/suppkey/linenumber pruned
-    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
-    assert "l_orderkey" not in read and "l_partkey" not in read
+    (schema,) = plans.scan_read_schemas(df)
+    assert "l_orderkey" not in schema and "l_partkey" not in schema
     # partial + final hash aggregation
-    assert plan.count("HashAggregate") >= 2
+    assert plans.plan_text(df).count("HashAggregate") >= 2
 
 
 def test_q3_broadcasts_dimensions_and_takeordered(spark, sf_dir):
-    plan = _plan(tpch.q3_shipping_priority(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "TakeOrderedAndProject" in plan
-    assert "CartesianProduct" not in plan
+    df = tpch.q3_shipping_priority(spark, sf_dir)
+    joins = plans.join_strategies(df)
+    assert joins.count("BroadcastHashJoin") >= 2
+    assert not plans.uses_cartesian_product(df)
+    assert "TakeOrderedAndProject" in plans.plan_text(df)
     # the BUILDING filter reaches the customer scan
-    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert any("EqualTo(c_mktsegment,BUILDING)" in p for p in plans.pushed_filters(df))
 
 
 def test_q5_no_shuffle_for_dimension_joins(spark, sf_dir):
-    plan = _plan(tpch.q5_local_supplier_volume(spark, sf_dir))
-    # all four dimension joins broadcast; only fact join + agg shuffle
-    assert plan.count("BroadcastHashJoin") >= 4
-    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+    df = tpch.q5_local_supplier_volume(spark, sf_dir)
+    joins = plans.join_strategies(df)
+    # all four dimension joins broadcast; at most one shuffle join for facts
+    assert joins.count("BroadcastHashJoin") >= 4
+    assert joins.count("SortMergeJoin") + joins.count("ShuffledHashJoin") <= 1
 
 
 def test_latest_telemetry_window_group_limit(spark, sf_dir):
-    plan = _plan(metrics.latest_telemetry(spark, sf_dir))
     # rank<=1 must push into the window sort (bounded buffers per group)
-    assert "WindowGroupLimit" in plan
+    assert "WindowGroupLimit" in plans.plan_text(metrics.latest_telemetry(spark, sf_dir))
 
 
 def test_top_orders_window_group_limit(spark, sf_dir):
-    plan = _plan(windows.top_orders_per_priority(spark, sf_dir))
-    assert "WindowGroupLimit" in plan
+    assert "WindowGroupLimit" in plans.plan_text(
+        windows.top_orders_per_priority(spark, sf_dir)
+    )
 
 
 def test_spatial_join_is_equi_not_cartesian(spark, sf_dir):
-    plan = _plan(spatial.nearby_vehicle_pairs(spark, sf_dir))
+    df = spatial.nearby_vehicle_pairs(spark, sf_dir)
     # cell-bucketing must make this a hash join keyed on the cell —
     # never a cartesian/nested-loop over all pairs
-    assert "CartesianProduct" not in plan
-    assert "HashJoin" in plan
+    assert not plans.uses_cartesian_product(df)
+    assert any("HashJoin" in j for j in plans.join_strategies(df))
 
 
 def test_q21_two_exchanges_not_four(spark, sf_dir):
-    plan = _plan(tpch_ext.q21_blocking_suppliers(spark, sf_dir))
+    df = tpch_ext.q21_blocking_suppliers(spark, sf_dir)
     # one exchange for groupBy(l_orderkey, l_suppkey), one narrowing to the
     # window's partitionBy(l_orderkey) — the single window pass must NOT
     # reintroduce the three self-join shuffles it replaced
-    n_orderkey_exchanges = sum(
+    n_orderkey = sum(
         1
-        for line in plan.splitlines()
+        for line in plans.plan_text(df).splitlines()
         if line.strip().startswith("Arguments: hashpartitioning(l_orderkey")
     )
-    assert n_orderkey_exchanges == 2, plan
+    assert n_orderkey == 2
 
 
 def test_q6_all_predicates_pushed(spark, sf_dir):
-    plan = _plan(tpch.q6_forecast_revenue(spark, sf_dir))
-    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    pushed = plans.pushed_filters(tpch.q6_forecast_revenue(spark, sf_dir))
+    joined = " ".join(pushed)
     for col in ("l_shipdate", "l_discount", "l_quantity"):
-        assert col in pushed, pushed
+        assert col in joined, pushed
+
+
+def test_exchange_count_bounded_on_flagships(spark, sf_dir):
+    # shuffle inventory of SCALE.md §4, as assertions
+    assert plans.exchange_count(tpch.q1_pricing_summary(spark, sf_dir)) <= 2
+    assert plans.exchange_count(tpch.q6_forecast_revenue(spark, sf_dir)) <= 1
+    assert plans.exchange_count(metrics.latest_telemetry(spark, sf_dir)) <= 2
