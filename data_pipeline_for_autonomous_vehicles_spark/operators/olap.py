@@ -239,6 +239,58 @@ ORDER BY event_type
 """
 
 
+def value_k_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between `value` and the JSON `k` field, per
+    event type, from exact integer moment sums:
+        r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))
+    Spark's builtin corr accumulates floats partition-order-dependently;
+    this formulation is bit-identical on any cluster size and equal to the
+    ANSI twin (x in cents, y integer)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    y = F.get_json_object(F.col("props"), "$.k").cast("long")
+    agg = ev.filter(y.isNotNull()).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        "event_type", "n", round_half_up(r, 6).alias("pearson_r")
+    ).orderBy("event_type")
+
+
+_CORR_SQL = f"""
+WITH m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM (
+    SELECT event_type,
+           CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS x,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+    FROM events) t
+  WHERE y IS NOT NULL
+  GROUP BY event_type)
+SELECT event_type, n,
+       {sql_round_half_up(
+           "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+           " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+           " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 6)}
+         AS pearson_r
+FROM m
+ORDER BY event_type
+"""
+
+
 # --- exact percentiles -----------------------------------------------------
 
 _PCTS = (0.5, 0.9, 0.99)
@@ -318,6 +370,7 @@ QUERIES = {
     "orders_cube": orders_cube,
     "props_json_stats": props_json_stats,
     "value_histogram": value_histogram,
+    "value_k_correlation": value_k_correlation,
     "event_value_stats": event_value_stats,
     "value_percentiles": value_percentiles,
     "approx_distinct_users": approx_distinct_users,
@@ -330,6 +383,7 @@ ORACLES = {
     "orders_cube": _CUBE_SQL,
     "props_json_stats": _PROPS_JSON_SQL,
     "value_histogram": _HISTOGRAM_SQL,
+    "value_k_correlation": _CORR_SQL,
     "event_value_stats": _STATS_SQL,
     "value_percentiles": _PCT_SQL,
     # approx_distinct_users: rows-only by design (sketches differ per engine)

@@ -107,3 +107,60 @@ def streaming_alerts_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- reference-schema rules (R1-R3 on the telemetry/perception streams) -----
+
+SPEED_LIMIT_KMH = 65.0  # config/settings.yaml:25
+LOW_BATTERY_PCT = 20.0  # config/settings.yaml:24
+COLLISION_DISTANCE_M = 5.0  # config/settings.yaml:26
+COLLISION_SPEED_KMH = 10.0  # hard-coded in consumer.py:115
+
+
+def derive_fleet_alerts(telemetry: DataFrame, perception: DataFrame) -> DataFrame:
+    """R1-R3 over the reference's own stream schemas (works identically on
+    batch and streaming frames — the rules are stateless projections):
+
+      R1 speed violation: trusts the producer-set flag, like the consumer
+         (consumer.py:90 reads `speed_limit_violation`, not the config)
+      R2 low battery: battery_level_pct < 20
+      R3 collision risk: object_distance_m < 5 AND object_speed_kmh > 10
+
+    Message formats mirror consumer.py:96,105,121-123.
+    """
+    speed = telemetry.filter(F.col("speed_limit_violation")).select(
+        F.col("time"),
+        F.col("vehicle_id"),
+        F.lit("Speed Violation").alias("alert_type"),
+        F.format_string(
+            "Vehicle %d exceeded speed limit (%.0f km/h)",
+            F.col("vehicle_id"),
+            F.col("current_speed_kmh"),
+        ).alias("alert_message"),
+    )
+    battery = telemetry.filter(F.col("battery_level_pct") < LOW_BATTERY_PCT).select(
+        F.col("time"),
+        F.col("vehicle_id"),
+        F.lit("Low Battery").alias("alert_type"),
+        F.format_string(
+            "Vehicle %d battery low (%.1f%%)",
+            F.col("vehicle_id"),
+            F.col("battery_level_pct"),
+        ).alias("alert_message"),
+    )
+    collision = perception.filter(
+        (F.col("object_distance_m") < COLLISION_DISTANCE_M)
+        & (F.col("object_speed_kmh") > COLLISION_SPEED_KMH)
+    ).select(
+        F.col("time"),
+        F.col("vehicle_id"),
+        F.lit("Collision Risk").alias("alert_type"),
+        F.format_string(
+            "Vehicle %d: %s at %.1f m moving %.1f km/h",
+            F.col("vehicle_id"),
+            F.col("object_class"),
+            F.col("object_distance_m"),
+            F.col("object_speed_kmh"),
+        ).alias("alert_message"),
+    )
+    return speed.unionByName(battery).unionByName(collision)
