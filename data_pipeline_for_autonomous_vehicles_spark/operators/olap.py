@@ -187,6 +187,57 @@ ORDER BY bin
 """
 
 
+# --- set operations ----------------------------------------------------------
+
+
+def retained_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users active in both the first and the last week of the data —
+    INTERSECT of two filtered projections (dedupes like the ANSI operator).
+    Physically a left-semi join after per-side distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    first_week = ev.filter(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
+    ).select("user_id")
+    last_week = ev.filter(
+        F.col("ts") >= F.lit("2024-01-24 00:00:00").cast("timestamp")
+    ).select("user_id")
+    return first_week.intersect(last_week).orderBy("user_id")
+
+
+_RETAINED_SQL = """
+SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+INTERSECT
+SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+ORDER BY user_id
+"""
+
+
+def churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who purchased in the first week but not in the last — EXCEPT
+    (anti-join after distinct). Scoped to purchases: the any-event variant
+    is empty at every SF (every synthetic user stays active)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    first_week = ev.filter(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
+    ).select("user_id")
+    last_week = ev.filter(
+        F.col("ts") >= F.lit("2024-01-24 00:00:00").cast("timestamp")
+    ).select("user_id")
+    return first_week.subtract(last_week).orderBy("user_id")
+
+
+_CHURNED_SQL = """
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+EXCEPT
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-24 00:00:00'
+ORDER BY user_id
+"""
+
+
 # --- exact-moment statistics ----------------------------------------------
 
 
@@ -371,6 +422,8 @@ QUERIES = {
     "props_json_stats": props_json_stats,
     "value_histogram": value_histogram,
     "value_k_correlation": value_k_correlation,
+    "retained_users": retained_users,
+    "churned_users": churned_users,
     "event_value_stats": event_value_stats,
     "value_percentiles": value_percentiles,
     "approx_distinct_users": approx_distinct_users,
@@ -384,6 +437,8 @@ ORACLES = {
     "props_json_stats": _PROPS_JSON_SQL,
     "value_histogram": _HISTOGRAM_SQL,
     "value_k_correlation": _CORR_SQL,
+    "retained_users": _RETAINED_SQL,
+    "churned_users": _CHURNED_SQL,
     "event_value_stats": _STATS_SQL,
     "value_percentiles": _PCT_SQL,
     # approx_distinct_users: rows-only by design (sketches differ per engine)
