@@ -216,7 +216,78 @@ ORDER BY user_id
 """
 
 
+# --- event transition matrix (lag) ------------------------------------------
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts: for each user-ordered consecutive event
+    pair, count (from_type → to_type) fleet-wide — the behavioral-model
+    input. One window pass (lag) sharing the per-user partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+_TRANSITIONS_SQL = """
+SELECT from_type, event_type AS to_type, COUNT(*) AS n_transitions
+FROM (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type
+  FROM events) t
+WHERE from_type IS NOT NULL
+GROUP BY from_type, event_type
+ORDER BY from_type, to_type
+"""
+
+
+# --- ordered event sequences (deterministic array agg) -----------------------
+
+SEQ_PREFIX = 8
+
+
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 event types per user as an ordered array. collect_list alone
+    is partition-order nondeterministic; sorting an array of (ts, event_id,
+    type) structs restores a total order — the portable way to build
+    sequence features."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.transform(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+            ),
+            1,
+            SEQ_PREFIX,
+        ),
+        lambda s: s.getField("event_type"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.array_join(seq, ",").alias("first_events"))
+        .orderBy("user_id")
+    )
+
+
+_SEQUENCES_SQL = f"""
+SELECT user_id,
+       array_to_string(
+         (list(event_type ORDER BY ts, event_id))[1:{SEQ_PREFIX}], ',') AS first_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "event_transitions": event_transitions,
+    "user_event_sequences": user_event_sequences,
     "top_orders_per_priority": top_orders_per_priority,
     "supplier_weekly_revenue_ma": supplier_weekly_revenue_ma,
     "user_sessions": user_sessions,
@@ -224,6 +295,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_transitions": _TRANSITIONS_SQL,
+    "user_event_sequences": _SEQUENCES_SQL,
     "top_orders_per_priority": _TOP_ORDERS_SQL,
     "supplier_weekly_revenue_ma": _SUPPLIER_MA_SQL,
     "user_sessions": _SESSIONS_SQL,
