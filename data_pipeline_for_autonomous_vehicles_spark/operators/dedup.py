@@ -368,6 +368,35 @@ FROM voted ORDER BY doc_id
 """
 
 
+# --- corpus heavy hitters ----------------------------------------------------
+
+HH_TOP_K = 20
+
+
+def frequent_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word-3-grams by document frequency — the heavy-hitter report
+    that tunes MAX_BUCKET (boilerplate shingles are what explode LSH
+    buckets). Exact counts here; at 100 TB this becomes a count-min /
+    frequent-items sketch over the same (doc, shingle) stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _shingles_df(docs)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "shingle")
+        .limit(HH_TOP_K)
+    )
+
+
+_FREQ_SHINGLES_SQL = f"""
+SELECT shingle, COUNT(*) AS df
+FROM ({_SQL_SHINGLES}) sh
+GROUP BY shingle
+ORDER BY df DESC, shingle
+LIMIT {HH_TOP_K}
+"""
+
+
 # --- near-dup clustering (iterative connected components) -------------------
 
 CC_MAX_ITER = 25
@@ -482,6 +511,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_fingerprints": simhash_fingerprints,
     "near_dup_clusters": near_dup_clusters,
+    "frequent_shingles": frequent_shingles,
     "near_dup_cluster_sizes": near_dup_cluster_sizes,
 }
 
@@ -493,5 +523,6 @@ ORACLES = {
     "minhash_lsh_pairs": _sql_lsh_pairs(),
     "simhash_fingerprints": _sql_simhash(),
     "near_dup_clusters": _sql_near_dup_clusters(),
+    "frequent_shingles": _FREQ_SHINGLES_SQL,
     "near_dup_cluster_sizes": _sql_near_dup_cluster_sizes(),
 }

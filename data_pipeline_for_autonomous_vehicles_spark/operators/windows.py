@@ -216,6 +216,78 @@ ORDER BY user_id
 """
 
 
+# --- ranking-function zoo (rank / dense_rank / ntile) ------------------------
+
+
+def supplier_revenue_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers ranked by exact total revenue: row_number, rank and
+    dense_rank side by side (ties — identical revenues — make the three
+    functions diverge; exact int revenue keeps tie structure identical in
+    both engines)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev_e4 = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(10_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    totals = lineitem.groupBy("l_suppkey").agg(F.sum(rev_e4).alias("rev_e4"))
+    w = Window.orderBy(F.desc("rev_e4"), F.asc("l_suppkey"))
+    w_ties = Window.orderBy(F.desc("rev_e4"))
+    return totals.select(
+        "l_suppkey",
+        (F.col("rev_e4").cast("double") / 10_000.0).alias("revenue"),
+        F.row_number().over(w).cast("long").alias("row_num"),
+        F.rank().over(w_ties).cast("long").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("long").alias("dense_rnk"),
+    ).orderBy("row_num")
+
+
+_SUPPLIER_RANKS_SQL = """
+WITH totals AS (
+  SELECT l_suppkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS rev_e4
+  FROM lineitem GROUP BY l_suppkey)
+SELECT l_suppkey,
+       CAST(rev_e4 AS DOUBLE) / 10000.0 AS revenue,
+       CAST(ROW_NUMBER() OVER (ORDER BY rev_e4 DESC, l_suppkey ASC) AS BIGINT) AS row_num,
+       CAST(RANK() OVER (ORDER BY rev_e4 DESC) AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER (ORDER BY rev_e4 DESC) AS BIGINT) AS dense_rnk
+FROM totals
+ORDER BY row_num
+"""
+
+
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) over account balance → per-quartile count and exact balance
+    range. The ntile order includes the unique custkey tiebreak so bucket
+    membership is total-order deterministic."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    tiled = customer.select(
+        "c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+    return (
+        tiled.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("quartile")
+    )
+
+
+_QUARTILES_SQL = """
+SELECT quartile, COUNT(*) AS n_customers,
+       MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+FROM (
+  SELECT c_acctbal,
+         CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS quartile
+  FROM customer) t
+GROUP BY quartile
+ORDER BY quartile
+"""
+
+
 # --- event transition matrix (lag) ------------------------------------------
 
 
@@ -286,6 +358,8 @@ ORDER BY user_id
 
 
 QUERIES = {
+    "supplier_revenue_ranks": supplier_revenue_ranks,
+    "customer_balance_quartiles": customer_balance_quartiles,
     "event_transitions": event_transitions,
     "user_event_sequences": user_event_sequences,
     "top_orders_per_priority": top_orders_per_priority,
@@ -295,6 +369,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "supplier_revenue_ranks": _SUPPLIER_RANKS_SQL,
+    "customer_balance_quartiles": _QUARTILES_SQL,
     "event_transitions": _TRANSITIONS_SQL,
     "user_event_sequences": _SEQUENCES_SQL,
     "top_orders_per_priority": _TOP_ORDERS_SQL,
