@@ -415,6 +415,147 @@ ORDER BY event_type
 """
 
 
+# --- explicit GROUPING SETS (neither ROLLUP nor CUBE) -----------------------
+
+
+def status_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts by status-only and by priority-only in one pass —
+    GROUPING SETS ((o_orderstatus), (o_orderpriority)), the general form the
+    reference's PostgreSQL engine offers but its queries never use
+    (SURVEY.md §2.4: "no grouping sets").
+
+    Spark 4 DataFrame API `groupingSets` → one Expand + one hash aggregate,
+    same physical shape as CUBE/ROLLUP: each input row is replicated once
+    per set, so the scan happens exactly once regardless of set count.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")).cast("double")
+                / 100.0
+            ).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+# --- unpivot (wide metrics back to long form) -------------------------------
+
+
+def user_metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user wide aggregate (one count column per event type) unpivoted
+    to long (user_id, metric, n) form — `DataFrame.unpivot`, the inverse of
+    the pivot in `user_event_pivot`.
+
+    Physically: one scan + hash aggregate builds the wide row, then Expand
+    emits one output row per metric column — no shuffle beyond the
+    aggregation's own, no re-scan per metric. Long form is the shape feature
+    stores and metric sinks ingest at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ]
+    )
+    return (
+        wide.unpivot(
+            ids=["user_id"],
+            values=[f"n_{t}" for t in EVENT_TYPES],
+            variableColumnName="metric",
+            valueColumnName="n",
+        )
+        .filter(F.col("n") > 0)
+        .orderBy("user_id", "metric")
+    )
+
+
+_UNPIVOT_SQL = f"""
+WITH wide AS (
+  SELECT user_id,
+         {", ".join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in EVENT_TYPES)}
+  FROM events GROUP BY user_id
+)
+SELECT user_id, metric, n
+FROM wide UNPIVOT INCLUDE NULLS (n FOR metric IN ({", ".join(f"n_{t}" for t in EVENT_TYPES)}))
+WHERE n > 0
+ORDER BY user_id, metric
+"""
+
+
+# --- full outer join (segment users by which side they appear on) ----------
+
+
+def viewers_vs_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-user view counts against per-user purchase
+    counts, segmenting every user as view_only / purchase_only / both.
+    Completes the engine's join-type matrix (inner/left/semi/anti/cross are
+    exercised elsewhere; SURVEY.md §2.3: reference uses LEFT only).
+
+    Both inputs are post-aggregation (≈1 row per user), so the full-outer
+    shuffle is over already-reduced data — the same key-partitioned exchange
+    a 1000-executor run would want; no broadcast (full outer cannot
+    broadcast either side in Spark).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    joined = views.join(buys, "user_id", "full_outer")
+    return joined.select(
+        "user_id",
+        F.coalesce("n_views", F.lit(0)).alias("n_views"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.when(F.col("n_views").isNull(), F.lit("purchase_only"))
+        .when(F.col("n_purchases").isNull(), F.lit("view_only"))
+        .otherwise(F.lit("both"))
+        .alias("segment"),
+    ).orderBy("user_id")
+
+
+_FULL_OUTER_SQL = """
+WITH views AS (
+  SELECT user_id, COUNT(*) AS n_views FROM events WHERE event_type = 'view' GROUP BY user_id
+), buys AS (
+  SELECT user_id, COUNT(*) AS n_purchases FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT COALESCE(v.user_id, b.user_id) AS user_id,
+       COALESCE(v.n_views, 0) AS n_views,
+       COALESCE(b.n_purchases, 0) AS n_purchases,
+       CASE WHEN v.user_id IS NULL THEN 'purchase_only'
+            WHEN b.user_id IS NULL THEN 'view_only'
+            ELSE 'both' END AS segment
+FROM views v FULL OUTER JOIN buys b ON v.user_id = b.user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "user_event_pivot": user_event_pivot,
     "orders_rollup": orders_rollup,
@@ -428,6 +569,9 @@ QUERIES = {
     "value_percentiles": value_percentiles,
     "approx_distinct_users": approx_distinct_users,
     "distinct_users_exact": distinct_users_exact,
+    "status_priority_grouping_sets": status_priority_grouping_sets,
+    "user_metric_unpivot": user_metric_unpivot,
+    "viewers_vs_buyers": viewers_vs_buyers,
 }
 
 ORACLES = {
@@ -443,4 +587,7 @@ ORACLES = {
     "value_percentiles": _PCT_SQL,
     # approx_distinct_users: rows-only by design (sketches differ per engine)
     "distinct_users_exact": _DISTINCT_SQL,
+    "status_priority_grouping_sets": _GROUPING_SETS_SQL,
+    "user_metric_unpivot": _UNPIVOT_SQL,
+    "viewers_vs_buyers": _FULL_OUTER_SQL,
 }

@@ -357,6 +357,47 @@ ORDER BY user_id
 """
 
 
+# --- distribution position (percent_rank / cume_dist) -----------------------
+
+
+def order_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order's price position within its priority class: percent_rank
+    (= (rank-1)/(n-1)) and cume_dist (= rows ≤ current / n). Completes the
+    ranking-function family (rank/dense_rank/ntile are in
+    supplier_revenue_ranks / customer_balance_quartiles).
+
+    Both values are ratios of tie-aware integer counts, so they are
+    bit-identical across engines and partitionings — no float-accumulation
+    hazard. One window pass computes both (shared sort on
+    (o_orderpriority, o_totalprice)); at scale this is a single hash
+    repartition by priority followed by an in-partition sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.percent_rank().over(w).alias("price_pct_rank"),
+            F.cume_dist().over(w).alias("price_cume_dist"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_PRICE_POSITION_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+         AS price_pct_rank,
+       CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+         AS price_cume_dist
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "supplier_revenue_ranks": supplier_revenue_ranks,
     "customer_balance_quartiles": customer_balance_quartiles,
@@ -366,6 +407,7 @@ QUERIES = {
     "supplier_weekly_revenue_ma": supplier_weekly_revenue_ma,
     "user_sessions": user_sessions,
     "user_value_running": user_value_running,
+    "order_price_position": order_price_position,
 }
 
 ORACLES = {
@@ -377,4 +419,5 @@ ORACLES = {
     "supplier_weekly_revenue_ma": _SUPPLIER_MA_SQL,
     "user_sessions": _SESSIONS_SQL,
     "user_value_running": _RUNNING_SQL,
+    "order_price_position": _PRICE_POSITION_SQL,
 }

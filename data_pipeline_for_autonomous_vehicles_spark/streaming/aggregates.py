@@ -155,14 +155,48 @@ GROUP BY win_start
 ORDER BY win_start
 """
 
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery repair: the event stream unioned with itself
+    (every record delivered twice, the duplicate pattern a crashing
+    producer/consumer creates — SURVEY.md §2.9 R5) is deduplicated by key
+    with `dropDuplicatesWithinWatermark("event_id")`, then counted per
+    event type. Counts must equal the single-delivery batch GROUP BY.
+
+    Scale: dedup state is hash-partitioned by event_id and holds only keys
+    newer than `watermark - delay`, so state size is bounded by the
+    duplicate-arrival horizon (1 hour here), not by stream length —
+    unbounded-retention dropDuplicates() would OOM on an infinite stream.
+    """
+    doubled = stream_events(spark, sf_dir).union(stream_events(spark, sf_dir))
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = _run_to_memory(deduped, mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "streaming_daily_event_counts": streaming_daily_event_counts,
     "streaming_user_sessions": streaming_user_sessions,
     "streaming_sliding_counts": streaming_sliding_counts,
+    "streaming_dedup_counts": streaming_dedup_counts,
 }
 
 ORACLES = {
     "streaming_daily_event_counts": STREAMING_DAILY_COUNTS_SQL,
     "streaming_user_sessions": STREAMING_SESSIONS_SQL,
     "streaming_sliding_counts": STREAMING_SLIDING_SQL,
+    "streaming_dedup_counts": STREAMING_DEDUP_SQL,
 }

@@ -118,3 +118,63 @@ def test_connected_components_hand_graph(spark):
         for r in dedup.connected_components(edges, nodes).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 10: 10, 11: 10, 12: 10}
+
+
+def test_grouping_sets_union_of_single_groupbys(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import olap
+
+    out = olap.status_priority_grouping_sets(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    n_status = orders.select("o_orderstatus").distinct().count()
+    n_prio = orders.select("o_orderpriority").distinct().count()
+    assert len(out) == n_status + n_prio
+    # every row has exactly one non-null grouping column
+    for r in out:
+        assert (r["o_orderstatus"] is None) != (r["o_orderpriority"] is None)
+    # each set's counts partition the table
+    total = orders.count()
+    assert sum(r["n_orders"] for r in out if r["o_orderstatus"] is not None) == total
+    assert sum(r["n_orders"] for r in out if r["o_orderpriority"] is not None) == total
+
+
+def test_unpivot_matches_pivot_cells(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import olap
+
+    long = olap.user_metric_unpivot(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    # total of the long-form counts equals the event count
+    assert long.agg(F.sum("n")).first()[0] == ev.count()
+    # metric labels are the wide column names
+    labels = {r["metric"] for r in long.select("metric").distinct().collect()}
+    assert labels <= {f"n_{t}" for t in olap.EVENT_TYPES}
+
+
+def test_full_outer_segments_cover_both_sides(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import olap
+
+    out = olap.viewers_vs_buyers(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    viewers = {r[0] for r in ev.filter(F.col("event_type") == "view").select("user_id").distinct().collect()}
+    buyers = {r[0] for r in ev.filter(F.col("event_type") == "purchase").select("user_id").distinct().collect()}
+    assert {r["user_id"] for r in out} == viewers | buyers
+    for r in out:
+        if r["segment"] == "view_only":
+            assert r["n_views"] > 0 and r["n_purchases"] == 0
+        elif r["segment"] == "purchase_only":
+            assert r["n_purchases"] > 0 and r["n_views"] == 0
+        else:
+            assert r["n_views"] > 0 and r["n_purchases"] > 0
+
+
+def test_price_position_bounds_and_monotonic(spark, sf_dir):
+    out = windows.order_price_position(spark, sf_dir).collect()
+    by_p = {}
+    for r in out:
+        assert 0.0 <= r["price_pct_rank"] <= 1.0
+        assert 0.0 < r["price_cume_dist"] <= 1.0
+        by_p.setdefault(r["o_orderpriority"], []).append(r)
+    for rows in by_p.values():
+        rows.sort(key=lambda r: r["o_totalprice"])
+        ranks = [r["price_pct_rank"] for r in rows]
+        assert ranks == sorted(ranks)  # non-decreasing with price
+        assert max(r["price_cume_dist"] for r in rows) == 1.0

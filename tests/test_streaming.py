@@ -53,3 +53,18 @@ def test_streaming_sessions_match_batch_sessionization(spark, sf_dir):
     s = {r["user_id"]: r["n_sessions"] for r in stream_out}
     b = {r["user_id"]: r["n_sessions"] for r in batch_out}
     assert s == b
+
+
+def test_streaming_dedup_removes_doubled_delivery(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.streaming.aggregates import (
+        streaming_dedup_counts,
+    )
+
+    out = {r["event_type"]: r["n_events"] for r in streaming_dedup_counts(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert out == batch
