@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _modules():
     from ..streaming import aggregates as streaming_aggregates
+    from ..streaming import joins as streaming_joins
     from ..streaming import stateful as streaming_stateful
     from . import (
         asof,
@@ -50,6 +51,7 @@ def _modules():
         timeseries,
         multimodal,
         streaming_aggregates,
+        streaming_joins,
         streaming_stateful,
     )
 

@@ -1,0 +1,86 @@
+"""Stream-stream joins — the remaining Structured Streaming operator class
+(aggregates, sessionization, and keyed dedup live in ``aggregates.py``).
+
+The reference computes view→purchase attribution at query time over storage
+(SURVEY.md §2.9: every windowed metric re-scans); the streaming-native form
+joins the two live streams directly, with watermarks bounding the buffered
+state on both sides.
+
+Scale: a stream-stream inner join with an event-time range condition keeps
+each side's rows in state only until ``watermark - range`` passes them, so
+state is bounded by (join horizon × arrival rate) per key — independent of
+stream length. Both sides hash-partition on the equi-key (user_id), the
+same exchange a batch join would perform, amortized across micro-batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .aggregates import _run_to_memory
+from .rules import stream_events
+
+
+def streaming_view_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: each view event joined to the
+    same user's purchase events occurring within the following hour, then
+    rolled up per user. Must equal the batch self-join twin exactly.
+    """
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    buys = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("buyer_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    pairs = views.join(
+        buys,
+        (F.col("user_id") == F.col("buyer_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    out = _run_to_memory(pairs, mode="append")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("view_id").alias("n_attributed_views"),
+            F.countDistinct("purchase_id").alias("n_attributing_purchases"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAMING_VIEW_PURCHASE_SQL = """
+SELECT v.user_id,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT v.event_id) AS n_attributed_views,
+       COUNT(DISTINCT p.event_id) AS n_attributing_purchases
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+GROUP BY v.user_id
+ORDER BY v.user_id
+"""
+
+
+QUERIES = {"streaming_view_purchase_pairs": streaming_view_purchase_pairs}
+
+ORACLES = {"streaming_view_purchase_pairs": STREAMING_VIEW_PURCHASE_SQL}

@@ -57,3 +57,33 @@ def test_entity_predicate_pushed_on_sorted_layout(spark, sf_dir, tmp_path):
     assert any(
         "PushedFilters" in l and "user_id" in l for l in plan.splitlines()
     ), plan
+
+
+def test_bucketed_join_zero_exchange(spark, sf_dir, tmp_path):
+    from data_pipeline_for_autonomous_vehicles_spark.plans.audit import (
+        exchange_count,
+        join_strategies,
+    )
+    from data_pipeline_for_autonomous_vehicles_spark.sinks import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "orders_bkt", 8, "o_orderkey", str(tmp_path / "ob"))
+    write_bucketed(li, "lineitem_bkt", 8, "l_orderkey", str(tmp_path / "lb"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a, b = spark.table("orders_bkt"), spark.table("lineitem_bkt")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey).select(
+            "o_orderkey", "o_orderpriority", "l_extendedprice"
+        )
+        # bucket-aligned sort-merge join: no shuffle on either side
+        assert join_strategies(joined) == ["SortMergeJoin"]
+        assert exchange_count(joined) == 0
+        # and it computes the same thing as the plain join
+        plain = orders.join(li, orders.o_orderkey == li.l_orderkey)
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")

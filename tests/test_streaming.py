@@ -68,3 +68,38 @@ def test_streaming_dedup_removes_doubled_delivery(spark, sf_dir):
         for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert out == batch
+
+
+def test_stream_stream_join_matches_batch_self_join(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.streaming.joins import (
+        streaming_view_purchase_pairs,
+    )
+
+    out = {
+        r["user_id"]: (r["n_pairs"], r["n_attributed_views"], r["n_attributing_purchases"])
+        for r in streaming_view_purchase_pairs(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("event_id").alias("vid")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("uid"), F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    batch = (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("uid"))
+            & (F.col("pts") >= F.col("vts"))
+            & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("vid").alias("nv"),
+            F.countDistinct("pid").alias("np"),
+        )
+        .collect()
+    )
+    assert out == {r["user_id"]: (r["n"], r["nv"], r["np"]) for r in batch}
