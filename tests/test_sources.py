@@ -166,3 +166,38 @@ def test_nearby_cross_cell_pairs_found(spark):
     df = spark.createDataFrame(rows, opensky.STATE_SCHEMA)
     out = opensky.nearby_aircraft(df).collect()
     assert {r["icao24"] for r in out} == {"c00001", "c00002"}
+
+
+def test_python_datasource_batch_deterministic(spark):
+    from data_pipeline_for_autonomous_vehicles_spark.sources import datasource as ds
+
+    ds.register(spark)
+    opts = {"n_polls": "3", "per_poll": "5", "seed": "7"}
+    a = spark.read.format("opensky_replay").options(**opts).load()
+    assert a.count() == 15
+    assert a.select("poll_id").distinct().count() == 3
+    b = spark.read.format("opensky_replay").options(**opts).load()
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # rows feed the normalization path: icao24 is 6 hex chars, lat in bbox
+    r = a.first()
+    assert len(r["icao24"]) == 6 and 45.0 <= r["latitude"] <= 55.0
+
+
+def test_python_datasource_stream_equals_batch(spark, tmp_path):
+    from data_pipeline_for_autonomous_vehicles_spark.sources import datasource as ds
+
+    ds.register(spark)
+    opts = {"n_polls": "3", "per_poll": "5", "seed": "7"}
+    stream = spark.readStream.format("opensky_replay").options(**opts).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("opensky_replay_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("opensky_replay_stream")
+    batch = spark.read.format("opensky_replay").options(**opts).load()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
