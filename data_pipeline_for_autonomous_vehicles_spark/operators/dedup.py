@@ -503,6 +503,69 @@ GROUP BY size ORDER BY size
 """
 
 
+# --- corpus curation capstone: quality filter → dedup → split ---------------
+
+QUALITY_CUTOFF = 0.5
+TRAIN_PCT = 90  # hash buckets < 90 → train, rest → holdout
+
+
+def training_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation pipeline as ONE declarative
+    plan: (1) keep each near-dup cluster's representative (min doc_id of its
+    MinHash-LSH connected component), (2) drop docs below the quality-score
+    cutoff, (3) deterministically split survivors train/holdout by hash
+    bucket, (4) report the resulting data mix per (lang, split).
+
+    Composes `near_dup_clusters`, `quality_scores`, and the
+    `deterministic_sample` bucket rule — the stages a 100 TB corpus build
+    runs, here fused so Catalyst plans them together (the quality scan and
+    the dedup scan share the one `documents` read; no intermediate
+    materialization)."""
+    from ..functions.scalars import portable_hash
+    from .text import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = near_dup_clusters(spark, sf_dir).filter(
+        F.col("doc_id") == F.col("cluster_id")
+    )
+    quality = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    bucket = portable_hash(F.col("doc_id").cast("string")) % 100
+    return (
+        docs.join(reps.select("doc_id"), "doc_id")
+        .join(quality, "doc_id")
+        .filter(F.col("quality_score") >= QUALITY_CUTOFF)
+        .withColumn(
+            "split",
+            F.when(bucket < TRAIN_PCT, F.lit("train")).otherwise(F.lit("holdout")),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+def _sql_training_corpus_mix() -> str:
+    from .text import _QUALITY_SQL
+
+    return f"""
+SELECT d.lang,
+       CASE WHEN CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                 < {TRAIN_PCT}
+            THEN 'train' ELSE 'holdout' END AS split,
+       COUNT(*) AS n_docs, SUM(d.n_chars) AS total_chars
+FROM documents d
+JOIN (SELECT doc_id FROM ({_sql_near_dup_clusters()}) c
+      WHERE doc_id = cluster_id) reps USING (doc_id)
+JOIN (SELECT doc_id, quality_score FROM ({_QUALITY_SQL}) q) qs USING (doc_id)
+WHERE qs.quality_score >= {QUALITY_CUTOFF}
+GROUP BY 1, 2
+ORDER BY lang, split
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
@@ -513,6 +576,7 @@ QUERIES = {
     "near_dup_clusters": near_dup_clusters,
     "frequent_shingles": frequent_shingles,
     "near_dup_cluster_sizes": near_dup_cluster_sizes,
+    "training_corpus_mix": training_corpus_mix,
 }
 
 ORACLES = {
@@ -525,4 +589,5 @@ ORACLES = {
     "near_dup_clusters": _sql_near_dup_clusters(),
     "frequent_shingles": _FREQ_SHINGLES_SQL,
     "near_dup_cluster_sizes": _sql_near_dup_cluster_sizes(),
+    "training_corpus_mix": _sql_training_corpus_mix(),
 }

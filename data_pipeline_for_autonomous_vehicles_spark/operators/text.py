@@ -344,6 +344,109 @@ ORDER BY doc_id
 """
 
 
+# per-language sampling rates (percent of 100 hash buckets kept): upsample
+# scarce languages, downsample the dominant one — the data-mix knob
+STRATA_PCT = {"en": 30, "de": 60, "fr": 60, "es": 60, "ja": 90}
+DEFAULT_STRATUM_PCT = 50
+
+
+def stratified_sample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic stratified sampling: each language keeps a
+    different fraction of its docs via the same md5 hash-bucket rule as
+    `deterministic_sample`, so membership is reproducible across engines and
+    stable under corpus growth. Returns the per-stratum yield report
+    (sampled/total vs the target rate).
+
+    Scale: membership is a pure per-row expression — no shuffle, no
+    coordination; the report aggregation is a 5-group hash agg. This is how
+    a 100 TB data mix is rebalanced without materializing the sample."""
+    from ..functions.scalars import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash(F.col("doc_id").cast("string")) % 100
+    target = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(pct))
+            for lang, pct in STRATA_PCT.items()
+        ],
+        F.lit(DEFAULT_STRATUM_PCT),
+    )
+    return (
+        docs.select("lang", bucket.alias("bucket"), target.alias("target_pct"))
+        .groupBy("lang", "target_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("bucket") < F.col("target_pct"), 1).otherwise(0)
+            ).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+_STRATA_CASE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in STRATA_PCT.items())
+    + f" ELSE {DEFAULT_STRATUM_PCT} END"
+)
+_STRATIFIED_SQL = f"""
+SELECT lang, target_pct, COUNT(*) AS n_total,
+       SUM(CASE WHEN bucket < target_pct THEN 1 ELSE 0 END) AS n_sampled
+FROM (
+  SELECT lang,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+           AS bucket,
+         {_STRATA_CASE} AS target_pct
+  FROM documents) t
+GROUP BY lang, target_pct
+ORDER BY lang
+"""
+
+
+PACK_BUDGET_CHARS = 2000
+
+
+def token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: per language, documents in
+    doc_id order are packed into consecutive bins of ~2000 chars (bin id =
+    exclusive-running-total DIV budget — each bin may overrun by at most one
+    document, the standard streaming-packing relaxation). Returns per-bin
+    doc counts and fill levels.
+
+    Scale: one window pass partitioned by lang (the pack shard). At 100 TB
+    the shard key becomes (lang, hash(doc_id) % n_shards) so each shard's
+    sort fits one task; packing quality is unchanged because bins never
+    cross shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    cum_before = F.coalesce(
+        F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        docs.withColumn("bin_id", (cum_before / F.lit(PACK_BUDGET_CHARS)).cast("long"))
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("bin_chars"),
+        )
+        .orderBy("lang", "bin_id")
+    )
+
+
+_PACK_SQL = f"""
+SELECT lang, bin_id, COUNT(*) AS n_docs, SUM(n_chars) AS bin_chars
+FROM (
+  SELECT lang, n_chars,
+         CAST(FLOOR(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {PACK_BUDGET_CHARS}.0) AS BIGINT) AS bin_id
+  FROM documents) t
+GROUP BY lang, bin_id
+ORDER BY lang, bin_id
+"""
+
+
 QUERIES = {
     "token_counts": token_counts,
     "quality_scores": quality_scores,
@@ -353,6 +456,8 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "source_quality_rollup": source_quality_rollup,
     "deterministic_sample": deterministic_sample,
+    "stratified_sample_report": stratified_sample_report,
+    "token_budget_bins": token_budget_bins,
 }
 
 ORACLES = {
@@ -364,4 +469,6 @@ ORACLES = {
     "tfidf_top_terms": _TFIDF_SQL,
     "source_quality_rollup": _sql_source_quality(),
     "deterministic_sample": _SAMPLE_SQL,
+    "stratified_sample_report": _STRATIFIED_SQL,
+    "token_budget_bins": _PACK_SQL,
 }

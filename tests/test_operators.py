@@ -178,3 +178,32 @@ def test_price_position_bounds_and_monotonic(spark, sf_dir):
         ranks = [r["price_pct_rank"] for r in rows]
         assert ranks == sorted(ranks)  # non-decreasing with price
         assert max(r["price_cume_dist"] for r in rows) == 1.0
+
+
+def test_stratified_sample_rates_bounded(spark, sf_dir):
+    out = text.stratified_sample_report(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 <= r["n_sampled"] <= r["n_total"]
+        assert r["target_pct"] == text.STRATA_PCT.get(r["lang"], text.DEFAULT_STRATUM_PCT)
+
+
+def test_token_budget_bins_partition_corpus(spark, sf_dir):
+    out = text.token_budget_bins(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    assert sum(r["bin_chars"] for r in out) == docs.agg(F.sum("n_chars")).first()[0]
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["bin_id"])
+    for bins in by_lang.values():
+        assert sorted(bins) == list(range(len(bins)))  # consecutive from 0
+
+
+def test_training_corpus_mix_is_subset_of_corpus(spark, sf_dir):
+    out = dedup.training_corpus_mix(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert 0 < sum(r["n_docs"] for r in out) <= docs.count()
+    assert {r["split"] for r in out} <= {"train", "holdout"}
+    langs = {r[0] for r in docs.select("lang").distinct().collect()}
+    assert {r["lang"] for r in out} <= langs
