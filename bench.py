@@ -56,6 +56,12 @@ BENCH_QUERIES = [
     "ann_bruteforce_topk",
     "token_counts",
     "quality_scores",
+    "order_price_position",
+    "viewers_vs_buyers",
+    "user_metric_unpivot",
+    "status_priority_grouping_sets",
+    "token_budget_bins",
+    "stratified_sample_report",
 ]
 
 

@@ -37,37 +37,43 @@ def hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly event rollup on a gap-free grid: bucket count (0 for
     empty hours) and LOCF-filled value sum."""
     ev = load_table(spark, sf_dir, "events")
-    agg = (
-        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            exact_sum("value", 2).alias("sum_value"),
-        )
+    agg = ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value", 2).alias("sum_value"),
     )
-    bounds = agg.groupBy("user_id").agg(
-        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
-    )
-    spine = bounds.select(
+    # Single-pass gapfill: each occupied bucket explodes into itself plus the
+    # empty hours up to (but excluding) the user's next occupied bucket,
+    # carrying its sum — which IS the LOCF value, since the generated hours
+    # have no events of their own. Replaces the bounds-agg + spine + left
+    # self-join formulation (which evaluated `agg` twice and shuffled three
+    # times) with one lead() window over the aggregate: 2 shuffles total,
+    # one scan, identical output. The ANSI twin keeps the spine/LOCF
+    # spelling — it is the semantic spec, and the oracle proves this plan
+    # equivalent to it.
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    filled = agg.withColumn("nxt", F.lead("bucket").over(w)).select(
         "user_id",
+        "n_events",
+        "sum_value",
+        F.col("bucket").alias("src_bucket"),
         F.explode(
-            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
+            F.sequence(
+                F.col("bucket"),
+                F.coalesce(
+                    F.col("nxt") - F.expr("INTERVAL 1 HOUR"), F.col("bucket")
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
         ).alias("bucket"),
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        spine.join(agg, ["user_id", "bucket"], "left")
-        .select(
-            "user_id",
-            "bucket",
-            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
-            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
-        )
-        .orderBy("user_id", "bucket")
-    )
+    return filled.select(
+        "user_id",
+        "bucket",
+        F.when(F.col("bucket") == F.col("src_bucket"), F.col("n_events"))
+        .otherwise(F.lit(0))
+        .alias("n_events"),
+        F.col("sum_value").alias("sum_value_locf"),
+    ).orderBy("user_id", "bucket")
 
 
 _GAPFILL_SQL = f"""
