@@ -30,7 +30,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.scalars import exact_sum, sql_exact_sum
+from ..functions.scalars import (
+    exact_avg,
+    exact_sum,
+    round_half_up,
+    sql_exact_avg,
+    sql_exact_sum,
+    sql_round_half_up,
+)
 
 
 def hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,12 +142,218 @@ ORDER BY day
 """
 
 
+def hourly_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly average on a gap-free grid with *linear interpolation*
+    across empty hours — the `time_bucket_gapfill + interpolate()` companion
+    of `hourly_gapfill_locf` (TimescaleDB's other gap-fill mode; the
+    reference's hypertables, sql/01_schema.sql:22-69, are the data model
+    this targets).
+
+    Same single-pass shape as the LOCF variant: one window pass gives each
+    occupied bucket its successor's value, then sequence+explode generates
+    the in-between hours with value = v + (v_next - v) * i/gap. No spine
+    join, two shuffles total, and the interpolation arithmetic is a fixed
+    IEEE op chain so Spark and the oracle agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")).agg(
+        exact_avg("value", 2).alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    led = agg.withColumn("nxt", F.lead("bucket").over(w)).withColumn(
+        "nxt_v", F.lead("v").over(w)
+    )
+    gap = (
+        (F.unix_timestamp("nxt") - F.unix_timestamp("bucket")) / F.lit(3600)
+    ).cast("long")
+    exploded = led.withColumn(
+        "gap", F.coalesce(gap, F.lit(1)).alias("gap")
+    ).select(
+        "user_id",
+        "bucket",
+        "v",
+        "nxt_v",
+        "gap",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("gap") - 1)).alias("i"),
+    )
+    interp = F.when(F.col("i") == 0, F.col("v")).otherwise(
+        F.col("v")
+        + (F.col("nxt_v") - F.col("v"))
+        * (F.col("i").cast("double") / F.col("gap").cast("double"))
+    )
+    return exploded.select(
+        "user_id",
+        (F.col("bucket") + F.make_interval(hours=F.col("i").cast("int"))).alias(
+            "bucket"
+        ),
+        round_half_up(interp, 4).alias("value_interp"),
+    ).orderBy("user_id", "bucket")
+
+
+_GAPFILL_INTERP_SQL = f"""
+WITH agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         {sql_exact_avg("value", 2)} AS v
+  FROM events GROUP BY 1, 2),
+led AS (
+  SELECT user_id, bucket, v,
+         lead(bucket) OVER w AS nxt, lead(v) OVER w AS nxt_v
+  FROM agg WINDOW w AS (PARTITION BY user_id ORDER BY bucket)),
+gaps AS (
+  SELECT *, COALESCE(date_diff('hour', bucket, nxt), 1) AS gap FROM led),
+expanded AS (
+  SELECT user_id, bucket, v, nxt_v, gap, unnest(generate_series(0, gap - 1)) AS i
+  FROM gaps)
+SELECT user_id,
+       bucket + i * INTERVAL 1 HOUR AS bucket,
+       {sql_round_half_up("CASE WHEN i = 0 THEN v ELSE v + (nxt_v - v) * (CAST(i AS DOUBLE) / CAST(gap AS DOUBLE)) END", 4)} AS value_interp
+FROM expanded
+ORDER BY user_id, bucket
+"""
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of `value` over the event timeline
+    (TimescaleDB `time_weight('LOCF', ...)` / `average()`): each observation
+    is weighted by how long it was the latest one. Irregularly-sampled
+    telemetry (the reference's vehicle streams) needs this instead of the
+    plain mean, which over-weights chatty periods.
+
+    One window pass (lead over user,ts) then a hash-agg; the weighted sum is
+    scaled-int64 so partial aggregation order cannot change the result."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select("user_id", "ts", "event_id", "value").withColumn(
+        "dur_us", F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+    )
+    wsum = F.sum(
+        F.floor(
+            (F.col("value") * F.col("dur_us").cast("double")) * F.lit(100.0)
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    total = F.sum("dur_us")
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("dur_us").alias("n_segments"),
+            round_half_up(
+                (wsum.cast("double") / F.lit(100.0)) / total.cast("double"), 4
+            ).alias("twa_value"),
+            round_half_up(total.cast("double") / F.lit(3.6e9), 2).alias(
+                "span_hours"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+_TWA_SQL = f"""
+WITH seg AS (
+  SELECT user_id, value,
+         date_diff('microsecond', ts,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS dur_us
+  FROM events)
+SELECT user_id,
+       COUNT(dur_us) AS n_segments,
+       {sql_round_half_up("(CAST(SUM(CAST(FLOOR((value * CAST(dur_us AS DOUBLE)) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) / CAST(SUM(dur_us) AS DOUBLE)", 4)} AS twa_value,
+       {sql_round_half_up("CAST(SUM(dur_us) AS DOUBLE) / 3600000000.0", 2)} AS span_hours
+FROM seg
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style counter `increase()` with reset detection, per user:
+    deltas between consecutive samples; a negative delta is a counter reset
+    and contributes the post-reset value (the counter restarted from 0).
+    The per-entity lag + conditional-sum shape is what monotone telemetry
+    (the reference's `odometer_km`) needs as soon as devices can reboot —
+    the plain MAX-MIN span (SURVEY.md A2/A3) under-counts across resets."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select("user_id", "ts", "event_id", "value").withColumn(
+        "delta", F.col("value") - F.lag("value").over(w)
+    )
+    term = F.when(F.col("delta") >= 0, F.col("delta")).otherwise(F.col("value"))
+    return (
+        d.groupBy("user_id")
+        .agg(
+            exact_sum(term, 2).alias("total_increase"),
+            F.count(F.when(F.col("delta") < 0, F.lit(1))).alias("n_resets"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_COUNTER_RATE_SQL = f"""
+WITH d AS (
+  SELECT user_id, value,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+  FROM events)
+SELECT user_id,
+       {sql_exact_sum("CASE WHEN delta >= 0 THEN delta ELSE value END", 2)} AS total_increase,
+       COUNT(CASE WHEN delta < 0 THEN 1 END) AS n_resets,
+       COUNT(*) AS n_samples
+FROM d
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly OHLC downsample: open/close = first/last value by
+    (ts, event_id), high/low = max/min. The canonical lossy time-series
+    downsampling (candlestick / Timescale `first()`/`last()` aggregates) —
+    turns raw telemetry into bounded-size series for dashboards.
+
+    first/last are expressed as MIN/MAX over (ts, event_id, value) structs,
+    so the whole query is ONE hash aggregate — no window, no second shuffle,
+    and partial aggregation (map-side combine) applies. The oracle uses
+    ordered-set aggregates, the semantic spec this plan must match."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.min(key).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(key).getField("value").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "bucket")
+    )
+
+
+_OHLC_SQL = """
+SELECT user_id, date_trunc('hour', ts) AS bucket,
+       first(value ORDER BY ts, event_id) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       last(value ORDER BY ts, event_id) AS close,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY user_id, bucket
+"""
+
+
 QUERIES = {
     "hourly_gapfill_locf": hourly_gapfill_locf,
+    "hourly_gapfill_interpolate": hourly_gapfill_interpolate,
     "daily_fleet_rollup": daily_fleet_rollup,
+    "time_weighted_avg": time_weighted_avg,
+    "counter_rate": counter_rate,
+    "hourly_ohlc": hourly_ohlc,
 }
 
 ORACLES = {
     "hourly_gapfill_locf": _GAPFILL_SQL,
+    "hourly_gapfill_interpolate": _GAPFILL_INTERP_SQL,
     "daily_fleet_rollup": _DAILY_ROLLUP_SQL,
+    "time_weighted_avg": _TWA_SQL,
+    "counter_rate": _COUNTER_RATE_SQL,
+    "hourly_ohlc": _OHLC_SQL,
 }

@@ -1,0 +1,95 @@
+"""Property tests for the hypertable-style time-series operators
+(gap-fill/LOCF/interpolate, time-weighted average, counter rate, OHLC
+downsample) — complement the differential oracle harness."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+from data_pipeline_for_autonomous_vehicles_spark.operators import timeseries
+
+
+def test_gapfill_locf_grid_is_dense(spark, sf_dir):
+    out = timeseries.hourly_gapfill_locf(spark, sf_dir)
+    gaps = (
+        out.withColumn(
+            "prev",
+            F.lag("bucket").over(Window.partitionBy("user_id").orderBy("bucket")),
+        )
+        .filter(F.col("prev").isNotNull())
+        .filter(
+            (F.unix_timestamp("bucket") - F.unix_timestamp("prev")) != 3600
+        )
+        .count()
+    )
+    assert gaps == 0
+
+
+def test_interpolate_endpoints_and_grid(spark, sf_dir):
+    out = timeseries.hourly_gapfill_interpolate(spark, sf_dir).collect()
+    # dense grid per user
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rows in by_user.values():
+        ts = [r["bucket"] for r in rows]
+        assert ts == sorted(ts)
+        for a, b in zip(ts, ts[1:]):
+            assert (b - a).total_seconds() == 3600
+    # interpolated values stay inside the per-user observed range
+    ev = load_table(spark, sf_dir, "events")
+    rng = {
+        r["user_id"]: (r["lo"], r["hi"])
+        for r in ev.groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in out:
+        lo, hi = rng[r["user_id"]]
+        assert lo - 0.01 <= r["value_interp"] <= hi + 0.01
+
+
+def test_time_weighted_avg_bounds(spark, sf_dir):
+    out = timeseries.time_weighted_avg(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    stats = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert {r["user_id"] for r in out} == set(stats)
+    for r in out:
+        s = stats[r["user_id"]]
+        assert r["n_segments"] == s["n"] - 1
+        if r["twa_value"] is not None:
+            assert s["lo"] - 0.01 <= r["twa_value"] <= s["hi"] + 0.01
+            assert r["span_hours"] > 0
+
+
+def test_counter_rate_accounting(spark, sf_dir):
+    out = timeseries.counter_rate(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    counts = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    for r in out:
+        assert r["n_samples"] == counts[r["user_id"]]
+        # first sample has no delta; every other is a delta or a reset
+        assert 0 <= r["n_resets"] <= r["n_samples"] - 1
+        assert r["total_increase"] >= 0.0
+
+
+def test_ohlc_invariants(spark, sf_dir):
+    out = timeseries.hourly_ohlc(spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in out) == n_total
+    for r in out:
+        assert r["low"] <= r["high"]
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        if r["n_events"] == 1:
+            assert r["open"] == r["close"] == r["high"] == r["low"]
