@@ -23,6 +23,7 @@ def _modules():
     from . import (
         asof,
         dedup,
+        history,
         metrics,
         multimodal,
         olap,
@@ -50,6 +51,7 @@ def _modules():
         text,
         timeseries,
         multimodal,
+        history,
         streaming_aggregates,
         streaming_joins,
         streaming_stateful,

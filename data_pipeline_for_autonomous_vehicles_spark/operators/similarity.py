@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.scalars import round_half_up
+from ..functions.scalars import round_half_up, sql_round_half_up
 
 N_QUERIES = 5  # vec_ids [0, N_QUERIES) serve as the query set
 TOP_K = 5
@@ -356,12 +356,88 @@ ORDER BY vec_a, vec_b
 """
 
 
+# --- int8 quantization audit -----------------------------------------------
+
+
+def embedding_quantize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per label: reconstruction-error audit of symmetric int8 quantization
+    (q_i = round(x_i / s), s = max|x| / 127 — the faiss/SQ8 scheme every
+    vector store applies before ANN at scale). Reports mean absolute
+    dequantization error and the mean scale, both via scaled-int64 sums so
+    partial-aggregation order is irrelevant.
+
+    Wholly JVM-side: transform/aggregate higher-order functions per row
+    (embarrassingly parallel), one low-cardinality hash-agg at the end."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    scale = F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x))) / F.lit(127.0)
+    err_e8 = F.aggregate(
+        F.col("emb"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.floor(
+            F.abs(x - F.floor(x / F.col("s") + F.lit(0.5)) * F.col("s"))
+            * F.lit(1e8)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    per_vec = emb.withColumn("s", scale).select(
+        "label",
+        F.size("emb").alias("n_dims"),
+        err_e8.alias("err_e8"),
+        F.floor(F.col("s") * F.lit(1e8) + F.lit(0.5)).cast("long").alias("s_e8"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            round_half_up(
+                (F.sum("err_e8").cast("double") / F.lit(1e8))
+                / F.sum("n_dims").cast("double"),
+                8,
+            ).alias("mean_abs_err"),
+            round_half_up(
+                (F.sum("s_e8").cast("double") / F.lit(1e8))
+                / F.count(F.lit(1)).cast("double"),
+                8,
+            ).alias("mean_scale"),
+        )
+        .orderBy("label")
+    )
+
+
+_QUANT_SQL = f"""
+WITH emb AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+scaled AS (
+  SELECT label, emb,
+         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS s
+  FROM emb),
+per_vec AS (
+  SELECT label,
+         len(emb) AS n_dims,
+         list_sum(list_transform(emb,
+           x -> CAST(FLOOR(abs(x - FLOOR(x / s + 0.5) * s) * 100000000.0 + 0.5)
+                     AS BIGINT))) AS err_e8,
+         CAST(FLOOR(s * 100000000.0 + 0.5) AS BIGINT) AS s_e8
+  FROM scaled)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       {sql_round_half_up("(CAST(SUM(err_e8) AS DOUBLE) / 100000000.0) / CAST(SUM(n_dims) AS DOUBLE)", 8)} AS mean_abs_err,
+       {sql_round_half_up("(CAST(SUM(s_e8) AS DOUBLE) / 100000000.0) / CAST(COUNT(*) AS DOUBLE)", 8)} AS mean_scale
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "lsh_bucket_histogram": lsh_bucket_histogram,
     "embedding_near_dups": embedding_near_dups,
+    "embedding_quantize_report": embedding_quantize_report,
 }
 
 ORACLES = {
@@ -370,4 +446,5 @@ ORACLES = {
     "ann_ivf_topk": _ANN_IVF_SQL,
     "lsh_bucket_histogram": _LSH_HIST_SQL,
     "embedding_near_dups": _NEAR_DUP_SQL,
+    "embedding_quantize_report": _QUANT_SQL,
 }

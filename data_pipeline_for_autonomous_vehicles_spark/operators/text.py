@@ -447,6 +447,79 @@ ORDER BY lang, bin_id
 """
 
 
+# --- PII detection / redaction --------------------------------------------
+#
+# The driver corpus is synthetic word-salad with no real PII, so the query
+# *injects* deterministic PII-shaped spans (an email and a phone number
+# derived from doc_id/source) into each document and then proves the
+# scrubbing operator finds and masks them. The operator itself —
+# regexp_count + chained regexp_replace, all JVM-side — is exactly what a
+# training-data pipeline runs before anything reaches a tokenizer; patterns
+# are RE2/Java-regex portable so the DuckDB twin is literal.
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: docs scanned, PII spans found (emails / phones), and the
+    size delta after masking — the audit report a scrub pass emits."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, F.lit(_EMAIL_RE), F.lit("[EMAIL]")),
+        F.lit(_PHONE_RE),
+        F.lit("[PHONE]"),
+    )
+    per_doc = docs.select(
+        "source",
+        F.regexp_count(raw, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(raw, F.lit(_PHONE_RE)).alias("n_phones"),
+        (F.length(raw) - F.length(redacted)).alias("chars_removed"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").alias("n_emails"),
+            F.sum("n_phones").alias("n_phones"),
+            F.sum("chars_removed").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+_PII_SQL = f"""
+WITH raw AS (
+  SELECT source,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source
+              || '.example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+  FROM documents),
+scrubbed AS (
+  SELECT source, raw,
+         regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{_PHONE_RE}', '[PHONE]', 'g') AS redacted
+  FROM raw)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(len(regexp_extract_all(raw, '{_EMAIL_RE}'))) AS n_emails,
+       SUM(len(regexp_extract_all(raw, '{_PHONE_RE}'))) AS n_phones,
+       SUM(len(raw) - len(redacted)) AS chars_removed
+FROM scrubbed
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "token_counts": token_counts,
     "quality_scores": quality_scores,
@@ -458,6 +531,7 @@ QUERIES = {
     "deterministic_sample": deterministic_sample,
     "stratified_sample_report": stratified_sample_report,
     "token_budget_bins": token_budget_bins,
+    "pii_redaction_stats": pii_redaction_stats,
 }
 
 ORACLES = {
@@ -471,4 +545,5 @@ ORACLES = {
     "deterministic_sample": _SAMPLE_SQL,
     "stratified_sample_report": _STRATIFIED_SQL,
     "token_budget_bins": _PACK_SQL,
+    "pii_redaction_stats": _PII_SQL,
 }
