@@ -62,6 +62,12 @@ BENCH_QUERIES = [
     "status_priority_grouping_sets",
     "token_budget_bins",
     "stratified_sample_report",
+    "hourly_gapfill_interpolate",
+    "time_weighted_avg",
+    "hourly_ohlc",
+    "scd2_state_durations",
+    "pii_redaction_stats",
+    "embedding_quantize_report",
 ]
 
 
