@@ -308,19 +308,26 @@ def hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     downsampling (candlestick / Timescale `first()`/`last()` aggregates) —
     turns raw telemetry into bounded-size series for dashboards.
 
-    first/last are expressed as MIN/MAX over (ts, event_id, value) structs,
-    so the whole query is ONE hash aggregate — no window, no second shuffle,
-    and partial aggregation (map-side combine) applies. The oracle uses
-    ordered-set aggregates, the semantic spec this plan must match."""
+    first/last are min_by/max_by over a single order-preserving DECIMAL(38,0)
+    key (ts_micros·10¹² + event_id — struct min/max would force SortAggregate,
+    i.e. a full sort of the fact table before aggregating; a fixed-width
+    decimal buffer keeps the whole query ONE HashAggregate: no window, no
+    sort, map-side combine, one exchange). The oracle uses ordered-set
+    aggregates, the semantic spec this plan must match."""
     ev = load_table(spark, sf_dir, "events")
-    key = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    # order-preserving pack; event_id < 10^12 per entity-bucket is assumed
+    # (driver data: < 10^6; at larger id ranges raise the multiplier — the
+    # decimal has 38 digits, ts_micros uses 16).
+    key = F.unix_micros("ts").cast("decimal(38,0)") * F.lit(
+        1_000_000_000_000
+    ).cast("decimal(38,0)") + F.col("event_id").cast("decimal(38,0)")
     return (
         ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket"))
         .agg(
-            F.min(key).getField("value").alias("open"),
+            F.min_by("value", key).alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max(key).getField("value").alias("close"),
+            F.max_by("value", key).alias("close"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("user_id", "bucket")

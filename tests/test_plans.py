@@ -92,3 +92,40 @@ def test_exchange_count_bounded_on_flagships(spark, sf_dir):
     assert plans.exchange_count(tpch.q1_pricing_summary(spark, sf_dir)) <= 2
     assert plans.exchange_count(tpch.q6_forecast_revenue(spark, sf_dir)) <= 1
     assert plans.exchange_count(metrics.latest_telemetry(spark, sf_dir)) <= 2
+
+
+def test_ohlc_is_pure_hash_aggregate(spark, sf_dir):
+    # struct min/max would compile to SortAggregate (full fact-table sort);
+    # the decimal-packed min_by/max_by keeps it hash-only: one exchange for
+    # the group keys plus the presentation sort, nothing else
+    from data_pipeline_for_autonomous_vehicles_spark.operators import timeseries
+
+    df = timeseries.hourly_ohlc(spark, sf_dir)
+    txt = plans.plan_text(df)
+    assert "SortAggregate" not in txt
+    assert txt.count("HashAggregate") >= 2  # partial + final
+    assert "Window" not in txt
+    assert plans.exchange_count(df) <= 2  # group-by + presentation orderBy
+
+
+def test_gapfill_single_window_pass(spark, sf_dir):
+    # the lead()-based gapfill must not reintroduce the spine join: no join
+    # at all, one window pass, bounded exchanges (agg + window + final sort)
+    from data_pipeline_for_autonomous_vehicles_spark.operators import timeseries
+
+    for fn in (timeseries.hourly_gapfill_locf, timeseries.hourly_gapfill_interpolate):
+        df = fn(spark, sf_dir)
+        txt = plans.plan_text(df)
+        assert "Join" not in txt, fn.__name__
+        assert plans.exchange_count(df) <= 3, fn.__name__
+
+
+def test_scd2_windows_share_one_shuffle(spark, sf_dir):
+    # lag-filter-lead both partition by user_id: the second window must
+    # reuse the first's hashpartitioning, so: 1 window shuffle + 1 group-by
+    # shuffle + 1 presentation sort
+    from data_pipeline_for_autonomous_vehicles_spark.operators import history
+
+    df = history.scd2_state_durations(spark, sf_dir)
+    assert plans.exchange_count(df) <= 3
+    assert not plans.uses_cartesian_product(df)
