@@ -1,0 +1,221 @@
+"""Storage maintenance for date-partitioned parquet tables: small-file
+compaction, retention expiry, and CDC merge-upsert.
+
+The reference mentions retention/compression as TimescaleDB roadmap items
+but implements neither (docs/architecture.md:124); its append path
+(src/processing/consumer.py:133-149 batch inserts) relies on the database
+to keep storage healthy. A parquet lake has no such daemon — streaming
+appends (50-row micro-batches, SURVEY.md §2.9 R4) accumulate thousands of
+tiny files per day, and at 100 TB an uncompacted table turns every scan
+into a file-listing + task-scheduling storm (one task per 50-row file).
+These jobs are the engine's equivalent of TimescaleDB's chunk management:
+
+  * ``compact_partitions`` — bin-pack each date partition's files toward a
+    target file size, touching only partitions that need it (dynamic
+    partition overwrite; sibling partitions' files stay byte-identical).
+    One distributed job for all selected days — no per-partition driver
+    loop: a per-day output-slot count is broadcast as a literal map and
+    rows are hash-routed so each day lands in ≤ its planned file count.
+  * ``expire_partitions`` — drop partitions older than a cutoff by a pure
+    metadata operation (directory delete via the Hadoop FileSystem API —
+    works on local/HDFS/S3A alike). Never reads data.
+  * ``merge_upsert`` — apply a CDC batch (inserts, updates, deletes) by
+    rewriting ONLY the partitions the batch touches: read those partitions,
+    keep the newest version per key (updates win ties), drop tombstones.
+    Refresh cost is O(changed days), not O(history).
+
+All three assume the layout written by ``sinks.write_time_partitioned``
+(partition column ``event_date``; rows sorted by the entity key within
+each partition — compaction re-sorts so the row-group-skipping property
+survives).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sinks import PARTITION_COL
+
+DEFAULT_TARGET_FILE_BYTES = 128 << 20  # one comfortable HDFS/S3 block
+
+
+# --- partition metadata (file listing only, never data) --------------------
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _fs(spark: SparkSession, path: str):
+    return _hadoop_path(spark, path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def list_partitions(spark: SparkSession, path: str) -> dict[str, dict[str, int]]:
+    """Map partition value -> {"files": n, "bytes": total} from a directory
+    listing of ``path``. Metadata-only: the cost is one LIST per partition,
+    independent of data volume."""
+    fs = _fs(spark, path)
+    out: dict[str, dict[str, int]] = {}
+    prefix = f"{PARTITION_COL}="
+    for st in fs.listStatus(_hadoop_path(spark, path)):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(prefix)):
+            continue
+        files = bytes_ = 0
+        for f in fs.listStatus(st.getPath()):
+            if f.isFile() and not f.getPath().getName().startswith("_"):
+                files += 1
+                bytes_ += f.getLen()
+        out[name[len(prefix):]] = {"files": files, "bytes": bytes_}
+    return out
+
+
+# --- compaction ------------------------------------------------------------
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    days: list[str] | None = None,
+    sort_cols: tuple[str, ...] = ("user_id",),
+) -> dict[str, dict[str, int]]:
+    """Bin-pack small files in the selected (default: all) partitions.
+
+    For each partition the planned output file count is
+    ``ceil(bytes / target_file_bytes)``; partitions already at or under
+    that count are skipped entirely. Selected partitions are rewritten in
+    ONE distributed job: rows are routed to ``pmod(hash(row), n_out(day))``
+    slots (the per-day slot count travels as a broadcast literal map), a
+    hash repartition on (day, slot) puts each slot in one task, and dynamic
+    partition overwrite swaps in the new files — unselected partitions'
+    files are never touched. Rows are re-sorted by ``sort_cols`` within
+    each partition so the min/max row-group skipping layout written by
+    ``sinks.write_time_partitioned`` survives compaction.
+
+    Returns the plan: {day: {"files": before, "planned": n_out}} for the
+    partitions actually rewritten.
+    """
+    stats = list_partitions(spark, path)
+    plan: dict[str, dict[str, int]] = {}
+    for day, st in stats.items():
+        if days is not None and day not in days:
+            continue
+        n_out = max(1, math.ceil(st["bytes"] / target_file_bytes))
+        if st["files"] > n_out:
+            plan[day] = {"files": st["files"], "planned": n_out}
+    if not plan:
+        return plan
+
+    slot_map = F.create_map(
+        *[x for day, p in plan.items() for x in (F.lit(day), F.lit(p["planned"]))]
+    )
+    df = spark.read.parquet(path).filter(
+        F.col(PARTITION_COL).isin(list(plan))  # partition-pruned scan
+    )
+    data_cols = [c for c in df.columns if c != PARTITION_COL]
+    slot = F.pmod(
+        F.xxhash64(*data_cols),
+        F.element_at(slot_map, F.col(PARTITION_COL).cast("string")),
+    ).alias("_slot")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.withColumn("_slot", slot)
+            .repartition(F.col(PARTITION_COL), F.col("_slot"))
+            .drop("_slot")
+            .sortWithinPartitions(PARTITION_COL, *sort_cols)
+            .write.partitionBy(PARTITION_COL)
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return plan
+
+
+# --- retention -------------------------------------------------------------
+
+
+def expire_partitions(spark: SparkSession, path: str, keep_from: str) -> list[str]:
+    """Delete partitions strictly older than ``keep_from`` (ISO date).
+
+    Pure metadata: compares partition values lexicographically (ISO dates
+    sort correctly) and recursively deletes the expired directories via the
+    Hadoop FileSystem API — no data is read, so cost is independent of
+    table size. Returns the deleted partition values."""
+    fs = _fs(spark, path)
+    dropped = []
+    for day in sorted(list_partitions(spark, path)):
+        if day < keep_from:
+            fs.delete(_hadoop_path(spark, f"{path}/{PARTITION_COL}={day}"), True)
+            dropped.append(day)
+    return dropped
+
+
+# --- CDC merge-upsert ------------------------------------------------------
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    seq_col: str,
+    time_col: str = "ts",
+    op_col: str | None = None,
+) -> list[str]:
+    """Apply a CDC batch to the partitioned table at ``path``.
+
+    Semantics (MERGE INTO equivalent, expressed as one DataFrame program):
+    per ``key_cols`` the row with the highest ``seq_col`` wins, with the
+    incoming batch beating the stored row on ties; a winner whose
+    ``op_col`` value is ``'D'`` is a tombstone and the key is dropped.
+    ``time_col`` must be immutable per key — it determines the partition,
+    so only partitions present in the batch are read and rewritten
+    (dynamic partition overwrite; cost is O(changed days), not O(history)).
+
+    Returns the list of partition values rewritten.
+    """
+    upd = updates.withColumn(PARTITION_COL, F.to_date(F.col(time_col)))
+    changed = sorted(
+        r["d"].isoformat()
+        for r in upd.select(F.col(PARTITION_COL).alias("d")).distinct().collect()
+    )
+    if not changed:
+        return []
+    base = spark.read.parquet(path).filter(F.col(PARTITION_COL).isin(changed))
+    if op_col is not None and op_col not in base.columns:
+        base = base.withColumn(op_col, F.lit(None).cast("string"))
+    combined = base.withColumn("_src", F.lit(0)).unionByName(
+        upd.withColumn("_src", F.lit(1)).select(*[F.col(c) for c in base.columns], "_src")
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), F.col("_src").desc()
+    )
+    latest = (
+        combined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    if op_col is not None:
+        latest = latest.filter(
+            F.coalesce(F.col(op_col), F.lit("")) != F.lit("D")
+        ).drop(op_col)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            latest.repartition(F.col(PARTITION_COL))
+            .sortWithinPartitions(PARTITION_COL, *key_cols)
+            .write.partitionBy(PARTITION_COL)
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return changed
