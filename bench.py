@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "time_weighted_avg",
     "hourly_ohlc",
     "scd2_state_durations",
+    "cohort_retention",
     "pii_redaction_stats",
     "embedding_quantize_report",
 ]

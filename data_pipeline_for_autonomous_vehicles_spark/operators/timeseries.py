@@ -347,7 +347,55 @@ ORDER BY user_id, bucket
 """
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen week
+    (cohort), counted in each subsequent week they were active. The
+    standard growth-analytics triangle the reference's dashboard
+    (src/visualization/dashboard.py:60-68 — per-vehicle aggregates only)
+    cannot express.
+
+    Single-scan plan: dedup to one row per (user, week) FIRST — shrinking
+    the fact table to |users × weeks| before any window work — then the
+    cohort week is a min-over-user window on that reduced frame, and the
+    matrix a hash aggregate. COUNT(*) on the deduped frame ≡ COUNT
+    (DISTINCT user) on raw events, without a distinct aggregate in the
+    final (thus map-side-combinable) pass."""
+    ev = load_table(spark, sf_dir, "events")
+    user_weeks = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("event_week")
+    ).distinct()
+    cohort = F.min("event_week").over(Window.partitionBy("user_id"))
+    return (
+        user_weeks.withColumn("cohort_week", cohort)
+        .groupBy(
+            "cohort_week",
+            (F.datediff("event_week", "cohort_week") / 7).cast("long").alias("week_n"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_n")
+    )
+
+
+_COHORT_SQL = """
+WITH uw AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS event_week
+    FROM events
+), c AS (
+    SELECT user_id, event_week,
+           MIN(event_week) OVER (PARTITION BY user_id) AS cohort_week
+    FROM uw
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, event_week) // 7 AS BIGINT) AS week_n,
+       COUNT(*) AS n_users
+FROM c
+GROUP BY cohort_week, week_n
+ORDER BY cohort_week, week_n
+"""
+
+
 QUERIES = {
+    "cohort_retention": cohort_retention,
     "hourly_gapfill_locf": hourly_gapfill_locf,
     "hourly_gapfill_interpolate": hourly_gapfill_interpolate,
     "daily_fleet_rollup": daily_fleet_rollup,
@@ -357,6 +405,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cohort_retention": _COHORT_SQL,
     "hourly_gapfill_locf": _GAPFILL_SQL,
     "hourly_gapfill_interpolate": _GAPFILL_INTERP_SQL,
     "daily_fleet_rollup": _DAILY_ROLLUP_SQL,

@@ -120,6 +120,24 @@ def test_gapfill_single_window_pass(spark, sf_dir):
         assert plans.exchange_count(df) <= 3, fn.__name__
 
 
+def test_cohort_retention_dedups_before_window(spark, sf_dir):
+    # the (user, week) distinct must run BEFORE the min-over-user window so
+    # the window sorts |users × weeks| rows, not the raw fact table; the
+    # distinct's hashpartitioning(user, week) can't serve the window, so:
+    # distinct + window + final agg + presentation sort = ≤4 exchanges,
+    # aggregates all hash (no distinct aggregate in the final pass)
+    from data_pipeline_for_autonomous_vehicles_spark.operators import timeseries
+
+    df = timeseries.cohort_retention(spark, sf_dir)
+    txt = plans.plan_text(df)
+    assert "SortAggregate" not in txt
+    # formatted plan prints top-down: a HashAggregate BELOW the window node
+    # is the (user, week) distinct feeding it
+    assert txt.rindex("HashAggregate") > txt.index("Window")
+    assert plans.exchange_count(df) <= 4
+    assert not plans.uses_cartesian_product(df)
+
+
 def test_scd2_windows_share_one_shuffle(spark, sf_dir):
     # lag-filter-lead both partition by user_id: the second window must
     # reuse the first's hashpartitioning, so: 1 window shuffle + 1 group-by
