@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "hourly_ohlc",
     "scd2_state_durations",
     "cohort_retention",
+    "value_outliers",
     "pii_redaction_stats",
     "embedding_quantize_report",
 ]

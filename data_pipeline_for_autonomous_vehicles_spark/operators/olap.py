@@ -556,7 +556,75 @@ ORDER BY user_id
 """
 
 
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3-sigma anomaly detection: events whose value deviates from
+    the user's mean by more than 3 population standard deviations. The
+    telemetry QA pass behind every fleet-health dashboard (the reference's
+    alert rules — src/processing/consumer.py:90-124 — are fixed-threshold;
+    this is the per-entity adaptive-threshold upgrade).
+
+    Determinism contract: moments come from exact scaled-int64 sums
+    (n, Σx, Σx²) so mean/std are bit-identical to the oracle; the z-test
+    compares raw values against those thresholds with a mirrored IEEE
+    expression chain — no floats are emitted, only matched rows. Plan:
+    one hash-aggregate over the fact, joined back (AQE broadcasts the
+    per-user stats side when small; at 100 TB both sides hash-partition on
+    user_id and the aggregate side is |users| rows, far below the fact)."""
+    ev = load_table(spark, sf_dir, "events")
+    scaled = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    m = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(scaled).alias("s1"),
+        F.sum(scaled * scaled).alias("s2"),
+    )
+    mean_v = (F.col("s1").cast("double") / F.lit(100.0)) / F.col("n").cast("double")
+    var_v = (F.col("s2").cast("double") / F.lit(10000.0)) / F.col("n").cast(
+        "double"
+    ) - mean_v * mean_v
+    stats = m.select(
+        "user_id",
+        F.col("n"),
+        mean_v.alias("mean_v"),
+        F.sqrt(F.greatest(var_v, F.lit(0.0))).alias("std_v"),
+    )
+    return (
+        ev.join(stats, "user_id")
+        .filter(
+            (F.col("n") >= 2)
+            & (F.col("std_v") > 0)
+            & (F.abs(F.col("value") - F.col("mean_v")) > F.lit(3.0) * F.col("std_v"))
+        )
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id", "event_id")
+    )
+
+
+_OUTLIERS_SQL = """
+WITH m AS (
+    SELECT user_id, COUNT(*) AS n,
+           SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS s1,
+           SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+               * CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS s2
+    FROM events GROUP BY user_id
+), s AS (
+    SELECT user_id, n,
+           (CAST(s1 AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS mean_v,
+           sqrt(GREATEST(
+               (CAST(s2 AS DOUBLE) / 10000.0) / CAST(n AS DOUBLE)
+               - ((CAST(s1 AS DOUBLE) / 100.0) / CAST(n AS DOUBLE))
+                 * ((CAST(s1 AS DOUBLE) / 100.0) / CAST(n AS DOUBLE)),
+               0.0)) AS std_v
+    FROM m
+)
+SELECT e.user_id, e.event_id, e.value
+FROM events e JOIN s USING (user_id)
+WHERE s.n >= 2 AND s.std_v > 0 AND abs(e.value - s.mean_v) > 3.0 * s.std_v
+ORDER BY e.user_id, e.event_id
+"""
+
+
 QUERIES = {
+    "value_outliers": value_outliers,
     "user_event_pivot": user_event_pivot,
     "orders_rollup": orders_rollup,
     "orders_cube": orders_cube,
@@ -575,6 +643,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "value_outliers": _OUTLIERS_SQL,
     "user_event_pivot": _PIVOT_SQL,
     "orders_rollup": _ROLLUP_SQL,
     "orders_cube": _CUBE_SQL,

@@ -87,3 +87,31 @@ def test_bucketed_join_zero_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_dynamic_partition_pruning_from_dim_join(spark, sf_dir, tmp_path):
+    """A join against a filtered dimension must prune the partitioned fact
+    scan at RUNTIME (dynamic partition pruning): the fact side's partition
+    filter is a subquery on the dim, so only the joined days' directories
+    are read — at 100 TB, the difference between scanning two days and
+    scanning the table. The dim filter is non-foldable (on a dim attribute,
+    not the join key), so static pruning cannot do this."""
+    from data_pipeline_for_autonomous_vehicles_spark.plans import plan_text
+
+    path = str(tmp_path / "events")
+    ev = load_table(spark, sf_dir, "events")
+    write_time_partitioned(ev, path, time_col="ts")
+    fact = spark.read.parquet(path)
+
+    days = sorted(r["d"] for r in fact.select(F.col("event_date").alias("d")).distinct().collect())
+    dim = spark.createDataFrame(
+        [(d, "keep" if d in days[:2] else "drop") for d in days], "event_date date, tag string"
+    )
+    joined = fact.join(dim.filter(F.col("tag") == "keep"), "event_date").groupBy(
+        "event_date"
+    ).count()
+    txt = plan_text(joined)
+    assert "dynamicpruning" in txt.lower(), txt
+    # and the result only covers the dim-selected days
+    got = sorted(r["event_date"] for r in joined.collect())
+    assert got == days[:2]
