@@ -520,8 +520,77 @@ ORDER BY source
 """
 
 
+CHUNK_TOKENS = 32  # words per chunk
+CHUNK_STRIDE = 24  # overlap = CHUNK_TOKENS - CHUNK_STRIDE = 8 words
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: split each document into 32-word
+    chunks with 8 words of overlap — the context-window preprocessing step
+    of every LLM training / RAG-indexing pipeline.
+
+    Pure built-ins, no UDF: tokenize once, derive the chunk count with
+    integer arithmetic, `sequence + explode` to generate one row per chunk
+    distributively (the per-doc fan-out never exists driver-side), and
+    `slice + concat_ws` to materialize each window. Embarrassingly
+    parallel — zero shuffles before the presentation sort; at 100 TB this
+    is a map-only job whose output is ~n_tokens/stride rows per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words)
+    # ceil((n - CHUNK)/STRIDE) + 1 for n > CHUNK, else 1 — all int math
+    n_chunks = F.when(n <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        ((n - F.lit(CHUNK_TOKENS - CHUNK_STRIDE + 1)) / F.lit(CHUNK_STRIDE)).cast("long")
+        + F.lit(1)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            words.alias("words"),
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(
+                F.col("words"),
+                F.col("chunk_id") * CHUNK_STRIDE + 1,
+                F.lit(CHUNK_TOKENS),
+            ).alias("w"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("w").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", "w").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+_CHUNKS_SQL = f"""
+WITH w AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+    FROM documents
+), sized AS (
+    SELECT doc_id, words,
+           CASE WHEN len(words) <= {CHUNK_TOKENS} THEN 1
+                ELSE (len(words) - {CHUNK_TOKENS - CHUNK_STRIDE + 1}) // {CHUNK_STRIDE} + 1
+           END AS n_chunks
+    FROM w
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(len(words[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_TOKENS}]) AS BIGINT) AS n_tokens,
+       array_to_string(words[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_TOKENS}], ' ') AS chunk_text
+FROM sized, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = {
     "token_counts": token_counts,
+    "doc_chunks": doc_chunks,
     "quality_scores": quality_scores,
     "lang_id": lang_id,
     "lang_distribution": lang_distribution,
@@ -536,6 +605,7 @@ QUERIES = {
 
 ORACLES = {
     "token_counts": _TOKEN_COUNTS_SQL,
+    "doc_chunks": _CHUNKS_SQL,
     "quality_scores": _QUALITY_SQL,
     "lang_id": _sql_lang_id(),
     "lang_distribution": _LANG_DIST_SQL,
