@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "scd2_state_durations",
     "cohort_retention",
     "value_outliers",
+    "doc_chunks",
     "pii_redaction_stats",
     "embedding_quantize_report",
 ]

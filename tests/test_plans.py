@@ -147,3 +147,37 @@ def test_scd2_windows_share_one_shuffle(spark, sf_dir):
     df = history.scd2_state_durations(spark, sf_dir)
     assert plans.exchange_count(df) <= 3
     assert not plans.uses_cartesian_product(df)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    # DPP's shuffle-join sibling: a selective dim filter injects a bloom
+    # filter subquery on the fact side's join key, discarding non-matching
+    # fact rows BEFORE the shuffle. The size thresholds exist so tiny scans
+    # skip the overhead — at 100 TB they are met naturally; the test lowers
+    # them to pin the mechanism on sf-test data.
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark import plans as P
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        assert "might_contain" in plans.plan_text(j)
+        assert j.collect()[0]["o_orderpriority"] == "1-URGENT"
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
