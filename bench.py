@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "value_outliers",
     "doc_chunks",
+    "event_cooccurrence",
     "pii_redaction_stats",
     "embedding_quantize_report",
 ]

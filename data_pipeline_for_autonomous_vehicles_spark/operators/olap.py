@@ -623,8 +623,82 @@ ORDER BY e.user_id, e.event_id
 """
 
 
+def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over event types: for each unordered pair
+    of event types, how many (user, day) baskets contain both, and the
+    lift vs independence — the "which behaviors travel together" analysis
+    (e.g. do interventions co-occur with hard brakes?) that no single
+    aggregate in the reference's query set can answer.
+
+    Plan: dedup to (user, day, type) baskets FIRST (the fact table shrinks
+    to ≤|types| rows per basket before any join), pair via an equi-self-join
+    on the basket key (never cartesian: ≤ C(5,2)=10 pairs per basket), then
+    two broadcast joins against the tiny per-type totals. Lift arithmetic
+    is integer-exact into IEEE doubles, mirrored in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), ["user_id", "day"])
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("item_a"),
+            F.col("y.event_type").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    singles = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    n_baskets = b.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    lift = (F.col("n_ab").cast("double") * F.col("n_baskets").cast("double")) / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col("event_type").alias("item_a"), F.col("n").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("event_type").alias("item_b"), F.col("n").alias("n_b"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select("item_a", "item_b", "n_ab", lift.alias("lift"))
+        .orderBy("item_a", "item_b")
+    )
+
+
+_COOCCUR_SQL = """
+WITH b AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+), s AS (
+    SELECT event_type, COUNT(*) AS n FROM b GROUP BY event_type
+), nb AS (
+    SELECT COUNT(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM b)
+), p AS (
+    SELECT x.event_type AS item_a, y.event_type AS item_b, COUNT(*) AS n_ab
+    FROM b x JOIN b y
+      ON x.user_id = y.user_id AND x.day = y.day
+     AND x.event_type < y.event_type
+    GROUP BY 1, 2
+)
+SELECT item_a, item_b, n_ab,
+       (CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE))
+       / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) AS lift
+FROM p
+JOIN s sa ON p.item_a = sa.event_type
+JOIN s sb ON p.item_b = sb.event_type
+CROSS JOIN nb
+ORDER BY item_a, item_b
+"""
+
+
 QUERIES = {
     "value_outliers": value_outliers,
+    "event_cooccurrence": event_cooccurrence,
     "user_event_pivot": user_event_pivot,
     "orders_rollup": orders_rollup,
     "orders_cube": orders_cube,
@@ -644,6 +718,7 @@ QUERIES = {
 
 ORACLES = {
     "value_outliers": _OUTLIERS_SQL,
+    "event_cooccurrence": _COOCCUR_SQL,
     "user_event_pivot": _PIVOT_SQL,
     "orders_rollup": _ROLLUP_SQL,
     "orders_cube": _CUBE_SQL,
