@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "value_outliers",
     "doc_chunks",
     "event_cooccurrence",
+    "rolling_7d_active_users",
     "pii_redaction_stats",
     "embedding_quantize_report",
 ]

@@ -394,8 +394,57 @@ ORDER BY cohort_week, week_n
 """
 
 
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct active users per day — the canonical
+    sliding-window COUNT(DISTINCT) that naive SQL writes as a range
+    self-join (every day rescanning a week of raw events).
+
+    Spark-first shape: dedup to (user, day) FIRST, then each user-day
+    contributes itself to the 7 report days it falls into via
+    `sequence + explode` — a map-side ×7 fan-out on the already-tiny
+    deduped frame — and one distinct aggregate per report day finishes it.
+    No range join, no re-scan: the raw fact table is read once, and the
+    shuffled volume is |users × days| × 7, independent of event count.
+    Report days are clipped to the observed range so every output window
+    is fully contained in the data."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    bounds = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    return (
+        ud.withColumn(
+            "report_day", F.explode(F.sequence(F.col("day"), F.date_add("day", 6)))
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("report_day") >= F.date_add(F.col("lo"), 6))
+            & (F.col("report_day") <= F.col("hi"))
+        )
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("report_day")
+    )
+
+
+_ROLLING_7D_SQL = """
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), b AS (
+    SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud
+), fan AS (
+    SELECT ud.user_id, ud.day + CAST(i AS INTEGER) AS report_day
+    FROM ud, unnest(generate_series(0, 6)) AS t(i)
+)
+SELECT report_day, COUNT(DISTINCT user_id) AS active_users
+FROM fan, b
+WHERE report_day >= b.lo + 6 AND report_day <= b.hi
+GROUP BY report_day
+ORDER BY report_day
+"""
+
+
 QUERIES = {
     "cohort_retention": cohort_retention,
+    "rolling_7d_active_users": rolling_7d_active_users,
     "hourly_gapfill_locf": hourly_gapfill_locf,
     "hourly_gapfill_interpolate": hourly_gapfill_interpolate,
     "daily_fleet_rollup": daily_fleet_rollup,
@@ -406,6 +455,7 @@ QUERIES = {
 
 ORACLES = {
     "cohort_retention": _COHORT_SQL,
+    "rolling_7d_active_users": _ROLLING_7D_SQL,
     "hourly_gapfill_locf": _GAPFILL_SQL,
     "hourly_gapfill_interpolate": _GAPFILL_INTERP_SQL,
     "daily_fleet_rollup": _DAILY_ROLLUP_SQL,
