@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "rolling_7d_active_users",
     "pii_redaction_stats",
     "embedding_quantize_report",
+    "decontamination_report",
+    "fuzzy_name_pairs",
+    "kmeans_cluster_stats",
+    "lang_source_chi2",
 ]
 
 

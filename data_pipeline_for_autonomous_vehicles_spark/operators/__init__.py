@@ -23,6 +23,7 @@ def _modules():
     from . import (
         asof,
         dedup,
+        fuzzy,
         history,
         metrics,
         multimodal,
@@ -45,6 +46,7 @@ def _modules():
         olap,
         asof,
         dedup,
+        fuzzy,
         similarity,
         spatial,
         temporal,

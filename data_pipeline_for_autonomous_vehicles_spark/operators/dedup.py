@@ -566,6 +566,67 @@ ORDER BY lang, split
 """
 
 
+# --- benchmark decontamination ---------------------------------------------
+
+EVAL_MOD = 20  # doc_id % 20 == 0 → the deterministic pseudo-benchmark split
+
+
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-vs-benchmark n-gram decontamination (the GPT-3/C4-style
+    filter): flag every training document sharing at least one word-3-gram
+    with the held-out eval set, with overlap counts.
+
+    The eval set here is the deterministic `doc_id % EVAL_MOD == 0` slice
+    (a stand-in for MMLU/GSM-style benchmark text shipped alongside a real
+    corpus). Spark-first shape: both sides reuse the distinct-shingle
+    explode; the eval shingle set is tiny relative to the corpus (benchmarks
+    are MBs, corpora are TBs) so it is DISTINCT-ed and **broadcast** — the
+    100 TB training side joins map-side with no shuffle of document text,
+    and only the matching (doc_id, shingle) hits shuffle into the final
+    per-doc count. Contamination rate = shared shingles / doc shingles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    eval_docs = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    eval_shingles = _shingles_df(eval_docs).select("shingle").distinct()
+    train_sh = _shingles_df(train)
+    sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train_sh.join(F.broadcast(eval_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_contaminated",
+            "n_shingles",
+            round_half_up(
+                F.col("n_contaminated").cast("double") / F.col("n_shingles").cast("double"), 4
+            ).alias("contamination_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DECONTAM_SQL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+train_sh AS (SELECT * FROM sh WHERE doc_id % {EVAL_MOD} != 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train_sh GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated
+  FROM train_sh JOIN eval_sh USING (shingle)
+  GROUP BY doc_id)
+SELECT doc_id, n_contaminated, n_shingles,
+       CAST(FLOOR((CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE))
+            * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS contamination_rate
+FROM hits JOIN sizes USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
@@ -577,6 +638,7 @@ QUERIES = {
     "frequent_shingles": frequent_shingles,
     "near_dup_cluster_sizes": near_dup_cluster_sizes,
     "training_corpus_mix": training_corpus_mix,
+    "decontamination_report": decontamination_report,
 }
 
 ORACLES = {
@@ -590,4 +652,5 @@ ORACLES = {
     "frequent_shingles": _FREQ_SHINGLES_SQL,
     "near_dup_cluster_sizes": _sql_near_dup_cluster_sizes(),
     "training_corpus_mix": _sql_training_corpus_mix(),
+    "decontamination_report": _DECONTAM_SQL,
 }

@@ -696,6 +696,88 @@ ORDER BY item_a, item_b
 """
 
 
+# --- chi-square contingency (lang × source independence) -------------------
+
+
+def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test of document language vs source,
+    plus Cramér's V — the standard drift/bias check before mixing corpus
+    shards into a training run.
+
+    Plan shape: one hash-agg for the observed contingency table (cells =
+    |lang|·|source|, tiny), then the marginals re-aggregate the CELLS, not
+    the corpus — the raw table is scanned exactly once regardless of size.
+    Marginals broadcast back onto the cells. The cell-sum Σ(O−E)²/E uses the
+    scaled-int64 exact-sum so the statistic is bit-identical to the twin.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("col_tot"))
+    tot = obs.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("lang").alias("r"),
+        F.countDistinct("source").alias("c"),
+    )
+    cells = (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "e",
+            F.col("row_tot").cast("double")
+            * F.col("col_tot").cast("double")
+            / F.col("n").cast("double"),
+        )
+        .withColumn(
+            "contrib",
+            (F.col("o").cast("double") - F.col("e")) * (F.col("o").cast("double") - F.col("e")) / F.col("e"),
+        )
+    )
+    chi2 = (
+        F.sum(F.floor(F.col("contrib") * F.lit(1e6) + F.lit(0.5)).cast("long")).cast("double")
+        / F.lit(1e6)
+    )
+    return (
+        cells.groupBy("n", "r", "c")
+        .agg(F.count(F.lit(1)).alias("n_cells"), chi2.alias("chi2_e6"))
+        .select(
+            F.col("n_cells"),
+            ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+            round_half_up(F.col("chi2_e6"), 4).alias("chi2"),
+            round_half_up(
+                F.sqrt(
+                    F.col("chi2_e6")
+                    / (F.col("n").cast("double") * F.least(F.col("r") - 1, F.col("c") - 1).cast("double"))
+                ),
+                4,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+_CHI2_SQL = f"""
+WITH obs AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),
+rt AS (SELECT lang, SUM(o) AS row_tot FROM obs GROUP BY lang),
+ct AS (SELECT source, SUM(o) AS col_tot FROM obs GROUP BY source),
+tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT lang) AS r, COUNT(DISTINCT source) AS c FROM obs),
+cells AS (
+  SELECT obs.o, tot.n, tot.r, tot.c,
+         CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE) / CAST(tot.n AS DOUBLE) AS e
+  FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot),
+agg AS (
+  SELECT n, r, c, COUNT(*) AS n_cells,
+         CAST(SUM(CAST(FLOOR(((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e)
+              * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS chi2_e6
+  FROM cells GROUP BY n, r, c)
+SELECT n_cells, (r - 1) * (c - 1) AS dof,
+       {sql_round_half_up("chi2_e6", 4)} AS chi2,
+       {sql_round_half_up("sqrt(chi2_e6 / (CAST(n AS DOUBLE) * CAST(LEAST(r - 1, c - 1) AS DOUBLE)))", 4)} AS cramers_v
+FROM agg
+"""
+
+
 QUERIES = {
     "value_outliers": value_outliers,
     "event_cooccurrence": event_cooccurrence,
@@ -714,6 +796,7 @@ QUERIES = {
     "status_priority_grouping_sets": status_priority_grouping_sets,
     "user_metric_unpivot": user_metric_unpivot,
     "viewers_vs_buyers": viewers_vs_buyers,
+    "lang_source_chi2": lang_source_chi2,
 }
 
 ORACLES = {
@@ -722,6 +805,7 @@ ORACLES = {
     "user_event_pivot": _PIVOT_SQL,
     "orders_rollup": _ROLLUP_SQL,
     "orders_cube": _CUBE_SQL,
+    "lang_source_chi2": _CHI2_SQL,
     "props_json_stats": _PROPS_JSON_SQL,
     "value_histogram": _HISTOGRAM_SQL,
     "value_k_correlation": _CORR_SQL,

@@ -431,6 +431,139 @@ ORDER BY label
 """
 
 
+# --- k-means (fixed-iteration Lloyd's, integer-exact) ----------------------
+
+KMEANS_K = 8
+_KM_SCALE = 1_000_000.0  # fixed-point 1e6: embeddings are unit-scale floats
+
+
+def _scaled_vec(emb_col: F.Column) -> F.Column:
+    """array<long> fixed-point vector: round_half_up(x·1e6). All distance
+    arithmetic then happens in int64 — order-independent and bit-identical
+    across engines (double folds would drift between Spark and the oracle)."""
+    return F.transform(
+        emb_col.cast("array<double>"),
+        lambda x: F.floor(x * F.lit(_KM_SCALE) + F.lit(0.5)).cast("long"),
+    )
+
+
+def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _km_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: k is tiny → broadcast the centroid table,
+    so the corpus never shuffles; ties break to the lowest cluster id."""
+    w = Window.partitionBy("vec_id").orderBy("sqdist", "cid")
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("sqdist", _sq_dist(F.col("sx"), F.col("c")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sx", "cid", "sqdist")
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """Centroid recompute: posexplode → per-(cluster, dim) integer mean
+    (round-half-up back to the fixed-point grid) → re-assemble ordered
+    arrays. One shuffle keyed by (cid, dim) — k·64 cells regardless of
+    corpus size (partial aggregation does the heavy lifting map-side)."""
+    exploded = assigned.select("cid", F.posexplode("sx").alias("pos", "v"))
+    cell = exploded.groupBy("cid", "pos").agg(
+        F.floor(F.sum("v").cast("double") / F.count(F.lit(1)).cast("double") + F.lit(0.5))
+        .cast("long")
+        .alias("cv")
+    )
+    return cell.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("c")
+    )
+
+
+def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two fixed Lloyd iterations of k-means over the embeddings, seeded from
+    the first K vectors; per-cluster membership and inertia.
+
+    The iterative-algorithm pattern on Spark: each round is
+    broadcast-assign (map-side) + one tiny (k·dim)-cell aggregation, so the
+    per-iteration cost is one corpus scan and the loop count is a plan-time
+    constant — no driver collect of anything larger than k centroids.
+    Fixed-point int64 vectors make every distance and centroid exactly
+    reproducible in the ANSI twin (no float-accumulation drift).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _scaled_vec(F.col("embedding")).alias("sx"))
+    cents = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("sx").alias("c")
+    )
+    for _ in range(2):
+        assigned = _km_assign(vecs, cents)
+        cents = _km_update(assigned)
+    final = _km_assign(vecs, cents)
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            round_half_up(
+                (F.sum("sqdist").cast("double") / F.lit(_KM_SCALE * _KM_SCALE))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_sqdist"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _sql_kmeans() -> str:
+    sx = (
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> CAST(FLOOR(x * {_KM_SCALE} + 0.5) AS BIGINT))"
+    )
+    dist = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_zip(v.sx, c.c), x -> (x[1] - x[2]) * (x[1] - x[2]))), "
+        "(acc, x) -> acc + x)"
+    )
+
+    def assign(vecs: str, cents: str) -> str:
+        return f"""
+  SELECT vec_id, sx, cid, sqdist FROM (
+    SELECT v.vec_id, v.sx, c.cid, {dist} AS sqdist,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM {vecs} v CROSS JOIN {cents} c) t
+  WHERE rn = 1"""
+
+    update = """
+  SELECT cid, list(cv ORDER BY pos) AS c FROM (
+    SELECT cid, i AS pos,
+           CAST(FLOOR(CAST(SUM(sx[i]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS cv
+    FROM {src}, generate_series(1, 64) AS g(i)
+    GROUP BY cid, i) cells
+  GROUP BY cid"""
+
+    return f"""
+WITH vecs AS (SELECT vec_id, {sx} AS sx FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, sx AS c FROM vecs WHERE vec_id < {KMEANS_K}),
+a1 AS ({assign('vecs', 'c0')}),
+c1 AS ({update.format(src='a1')}),
+a2 AS ({assign('vecs', 'c1')}),
+c2 AS ({update.format(src='a2')}),
+a3 AS ({assign('vecs', 'c2')})
+SELECT cid, COUNT(*) AS n_members,
+       {sql_round_half_up(f"(CAST(SUM(sqdist) AS DOUBLE) / {_KM_SCALE * _KM_SCALE}) / CAST(COUNT(*) AS DOUBLE)", 6)} AS mean_sqdist
+FROM a3
+GROUP BY cid
+ORDER BY cid
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -438,6 +571,7 @@ QUERIES = {
     "lsh_bucket_histogram": lsh_bucket_histogram,
     "embedding_near_dups": embedding_near_dups,
     "embedding_quantize_report": embedding_quantize_report,
+    "kmeans_cluster_stats": kmeans_cluster_stats,
 }
 
 ORACLES = {
@@ -447,4 +581,5 @@ ORACLES = {
     "lsh_bucket_histogram": _LSH_HIST_SQL,
     "embedding_near_dups": _NEAR_DUP_SQL,
     "embedding_quantize_report": _QUANT_SQL,
+    "kmeans_cluster_stats": _sql_kmeans(),
 }

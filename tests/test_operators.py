@@ -207,3 +207,40 @@ def test_training_corpus_mix_is_subset_of_corpus(spark, sf_dir):
     assert {r["split"] for r in out} <= {"train", "holdout"}
     langs = {r[0] for r in docs.select("lang").distinct().collect()}
     assert {r["lang"] for r in out} <= langs
+
+
+def test_decontamination_excludes_eval_docs(spark, sf_dir):
+    out = dedup.decontamination_report(spark, sf_dir).collect()
+    for r in out:
+        assert r["doc_id"] % dedup.EVAL_MOD != 0  # eval docs never flagged
+        assert 1 <= r["n_contaminated"] <= r["n_shingles"]
+        assert 0.0 < r["contamination_rate"] <= 1.0
+
+
+def test_fuzzy_pairs_within_threshold_and_blocked(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import fuzzy
+
+    out = fuzzy.fuzzy_name_pairs(spark, sf_dir).collect()
+    for r in out:
+        assert 0 <= r["edit_distance"] <= fuzzy.MAX_EDIT_DISTANCE
+        # blocking key: pairs share their last name token
+        assert r["name_a"].split()[-1] == r["name_b"].split()[-1]
+        assert r["name_a"] != r["name_b"]
+
+
+def test_kmeans_covers_corpus_and_improves_inertia(spark, sf_dir):
+    out = similarity.kmeans_cluster_stats(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_members"] for r in out) == n_vecs
+    assert 1 <= len(out) <= similarity.KMEANS_K
+    for r in out:
+        assert r["mean_sqdist"] >= 0.0
+
+
+def test_chi2_nonnegative_and_consistent(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import olap
+
+    row = olap.lang_source_chi2(spark, sf_dir).collect()[0]
+    assert row["chi2"] >= 0.0
+    assert 0.0 <= row["cramers_v"] <= 1.0 + 1e-9
+    assert row["dof"] >= 1 and row["n_cells"] >= 1
