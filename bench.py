@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "fuzzy_name_pairs",
     "kmeans_cluster_stats",
     "lang_source_chi2",
+    "pagerank_top_nodes",
+    "bpe_token_estimate",
 ]
 
 

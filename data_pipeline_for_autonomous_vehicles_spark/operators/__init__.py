@@ -24,6 +24,7 @@ def _modules():
         asof,
         dedup,
         fuzzy,
+        graph,
         history,
         metrics,
         multimodal,
@@ -47,6 +48,7 @@ def _modules():
         asof,
         dedup,
         fuzzy,
+        graph,
         similarity,
         spatial,
         temporal,

@@ -1,0 +1,163 @@
+"""Graph analytics over the order graph (customer → supplier edges).
+
+PageRank with a fixed iteration count — the canonical iterative algorithm a
+Spark engine must express well (the near-dup connected components in
+`dedup.py` is the other one). Each iteration is ONE join (ranks ⋈ edges on
+src) plus one hash-agg keyed by dst; the loop count is a plan-time constant
+so the whole computation is a single declarative DAG Catalyst can pipeline
+— no driver-side collect of anything but the final top-k.
+
+Determinism: every quantity is int64 fixed-point (rank·1e12) and the
+damping factor is the rational 17/20, so the arithmetic is exact integer
+div/mul on both engines — float PageRank would drift between Spark's and
+the oracle's accumulation orders.
+
+Scale notes (100 TB): edges shuffle once per iteration keyed by dst — the
+same cost profile as any groupBy; rank state is one narrow row per node.
+Dangling mass (suppliers have no out-edges in the bipartite order graph) is
+a 1-row aggregate broadcast back, not an N-way join. Skewed in-degree (a
+hot supplier) is ordinary agg skew → AQE handles it; the per-edge map side
+is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+PR_SCALE = 10**12  # fixed-point rank units
+PR_ITERS = 3
+TOP_NODES = 20
+_SUPP_OFFSET = 1_000_000  # supplier node ids live above this
+
+
+def _graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(nodes, edges): distinct customer→supplier edges from order lines.
+    Node id space: custkey, and suppkey + _SUPP_OFFSET."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(_SUPP_OFFSET)).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    return nodes, edges
+
+
+def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank nodes after PR_ITERS exact fixed-point iterations,
+    with dangling-mass redistribution (suppliers are all dangling)."""
+    nodes, edges = _graph(spark, sf_dir)
+    nodes = nodes.cache()
+    edges = edges.cache()
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))  # 1 row, broadcast below
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", F.expr(f"CAST({PR_SCALE} AS BIGINT) div n").alias("rank"), "n"
+    )
+    for _ in range(PR_ITERS):
+        # Truncate lineage at each iteration boundary: the rank frame is read
+        # by BOTH the dangling-mass aggregate and the contribution join, and
+        # without materialization the logical plan re-derives the whole
+        # previous iteration per branch — doubling work every round. One
+        # eager localCheckpoint per iteration keeps each round one scan
+        # (17s → 4s at sf0.01; on a cluster this also caps planning time).
+        ranks = ranks.localCheckpoint(eager=True)
+        with_deg = ranks.join(F.broadcast(outdeg), ranks.node == outdeg.src, "left")
+        dangling = with_deg.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dangling")
+        )
+        contrib = (
+            with_deg.filter(F.col("outdeg").isNotNull())
+            .join(edges, "src")
+            .select("dst", F.expr("rank div outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("incoming"))
+        )
+        ranks = (
+            ranks.join(contrib, ranks.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(3 * CAST({PR_SCALE} AS BIGINT) div (20 * n) "
+                    "+ (17 * coalesce(incoming, CAST(0 AS BIGINT))) div 20 "
+                    "+ (17 * (dangling div n)) div 20 AS BIGINT)"
+                ).alias("rank"),
+                "n",
+            )
+        )
+    # top-k first via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, no global single-partition window over all N nodes), then the
+    # display rank is a window over just the k survivors.
+    top = ranks.select("node", "rank").orderBy(F.desc("rank"), F.asc("node")).limit(TOP_NODES)
+    w = Window.orderBy(F.desc("rank"), F.asc("node"))
+    return (
+        top.withColumn("pos", F.row_number().over(w))
+        .select(
+            "pos",
+            "node",
+            F.col("rank").alias("rank_e12"),
+            (F.col("node") >= _SUPP_OFFSET).alias("is_supplier"),
+        )
+        .orderBy("pos")
+    )
+
+
+def _sql_pagerank() -> str:
+    iters = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        iters.append(
+            f"""
+d{i} AS (
+  SELECT COALESCE(SUM(r.rank), 0)::BIGINT AS dangling
+  FROM {prev} r LEFT JOIN outdeg o ON r.node = o.src
+  WHERE o.src IS NULL),
+c{i} AS (
+  SELECT e.dst, SUM(r.rank // o.outdeg)::BIGINT AS incoming
+  FROM {prev} r JOIN outdeg o ON r.node = o.src JOIN edges e ON e.src = r.node
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT r.node,
+         (3 * CAST({PR_SCALE} AS BIGINT) // (20 * r.n)
+          + (17 * COALESCE(c.incoming, 0)) // 20
+          + (17 * (d.dangling // r.n)) // 20)::BIGINT AS rank,
+         r.n
+  FROM {prev} r LEFT JOIN c{i} c ON r.node = c.dst CROSS JOIN d{i} d)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + {_SUPP_OFFSET} AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) // n AS rank, n FROM nodes CROSS JOIN nn),
+{",".join(iters)}
+SELECT pos, node, rank_e12, is_supplier FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY rank DESC, node ASC) AS pos,
+         node, rank AS rank_e12, node >= {_SUPP_OFFSET} AS is_supplier
+  FROM {prev})
+WHERE pos <= {TOP_NODES}
+ORDER BY pos
+"""
+
+
+QUERIES = {
+    "pagerank_top_nodes": pagerank_top_nodes,
+}
+
+ORACLES = {
+    "pagerank_top_nodes": _sql_pagerank(),
+}

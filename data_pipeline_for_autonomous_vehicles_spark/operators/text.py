@@ -588,8 +588,52 @@ ORDER BY doc_id, chunk_id
 """
 
 
+# --- BPE-ish subword token estimation --------------------------------------
+
+# GPT-2/cl100k-flavoured lexer classes: letter runs, digit runs capped at 3,
+# single punctuation marks. Kept to basic character classes so the Java
+# (Spark) and RE2 (DuckDB) regex dialects tokenize identically.
+_BPE_PATTERN_SPARK = r"[a-z]+|[0-9]{1,3}|[^a-z0-9\s]"
+_BPE_PATTERN_SQL = "[a-z]+|[0-9]{1,3}|[^a-z0-9[:space:]]"
+
+
+def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer token count per document — the budget number an LLM
+    data pipeline actually bills by (whitespace words undercount punctuation
+    and digit splits). Pure per-row regexp map, JVM-side, no shuffle until
+    the final sort; tokens_per_word shows the subword inflation factor."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN_SPARK), F.lit(0))
+    )
+    ws = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(F.size(_tokens()))
+    return docs.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        ws.alias("n_ws_tokens"),
+        round_half_up(
+            bpe.cast("double") / F.when(ws == 0, F.lit(None)).otherwise(ws).cast("double"),
+            4,
+        ).alias("tokens_per_word"),
+    ).orderBy("doc_id")
+
+
+_BPE_SQL = f"""
+SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+       CAST(FLOOR((CAST(n_bpe_tokens AS DOUBLE) / CAST(NULLIF(n_ws_tokens, 0) AS DOUBLE))
+            * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS tokens_per_word
+FROM (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{_BPE_PATTERN_SQL}')) AS n_bpe_tokens,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQL_TOKENS}) END AS n_ws_tokens
+  FROM documents) t
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "token_counts": token_counts,
+    "bpe_token_estimate": bpe_token_estimate,
     "doc_chunks": doc_chunks,
     "quality_scores": quality_scores,
     "lang_id": lang_id,
@@ -605,6 +649,7 @@ QUERIES = {
 
 ORACLES = {
     "token_counts": _TOKEN_COUNTS_SQL,
+    "bpe_token_estimate": _BPE_SQL,
     "doc_chunks": _CHUNKS_SQL,
     "quality_scores": _QUALITY_SQL,
     "lang_id": _sql_lang_id(),

@@ -244,3 +244,27 @@ def test_chi2_nonnegative_and_consistent(spark, sf_dir):
     assert row["chi2"] >= 0.0
     assert 0.0 <= row["cramers_v"] <= 1.0 + 1e-9
     assert row["dof"] >= 1 and row["n_cells"] >= 1
+
+
+def test_pagerank_ranks_positive_and_suppliers_sink(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import graph
+
+    out = graph.pagerank_top_nodes(spark, sf_dir).collect()
+    assert len(out) == graph.TOP_NODES
+    assert [r["pos"] for r in out] == list(range(1, len(out) + 1))
+    ranks = [r["rank_e12"] for r in out]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r["rank_e12"] > 0 for r in out)
+    # bipartite graph: all mass flows customers -> suppliers, so the top
+    # nodes are supplier-side
+    assert out[0]["is_supplier"]
+
+
+def test_bpe_tokens_at_least_ws_tokens(spark, sf_dir):
+    out = text.bpe_token_estimate(spark, sf_dir).collect()
+    for r in out:
+        # subword lexing never merges across whitespace, so it cannot
+        # produce fewer tokens than the whitespace count (for non-empty docs)
+        if r["n_ws_tokens"] > 0:
+            assert r["n_bpe_tokens"] >= r["n_ws_tokens"]
+            assert r["tokens_per_word"] >= 1.0
