@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "lang_source_chi2",
     "pagerank_top_nodes",
     "bpe_token_estimate",
+    "hybrid_search_rrf",
 ]
 
 

@@ -431,6 +431,129 @@ ORDER BY label
 """
 
 
+# --- hybrid retrieval: lexical ⊕ vector via reciprocal-rank fusion ----------
+
+RRF_K = 60
+RRF_TOP = 10
+QUERY_TERMS = ("vector", "merge", "stream")
+QUERY_VEC = 0  # vec_id of the query embedding
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: TF-IDF lexical rank fused with embedding-cosine rank by
+    reciprocal-rank fusion (RRF, k=60) — the standard two-tower retrieval
+    serve path. documents.doc_id and embeddings.vec_id share an id space.
+
+    Determinism/scale notes: IDF is integer-scaled ((N·1000) div df) so the
+    lexical score is exact int64 — `ln` differs in the last ulp between
+    libm and the JVM, which can flip a rounding at the rank boundary. The
+    per-term dfs are ONE corpus aggregate broadcast back (never a per-doc
+    subquery); both rank passes are global windows over scored docs — at
+    true scale each would be a `orderBy().limit(k')` pre-cut (k' ≫ k
+    candidates) before fusing, the same top-k-then-fuse every production
+    retriever does.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tf = {
+        t: F.size(F.filter(toks, lambda x: x == F.lit(t))).alias(f"tf_{t}")
+        for t in QUERY_TERMS
+    }
+    per_doc = docs.select("doc_id", *tf.values())
+    dfs = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in QUERY_TERMS
+        ],
+    )
+    lex = per_doc.crossJoin(F.broadcast(dfs)).select(
+        "doc_id",
+        sum(
+            F.col(f"tf_{t}").cast("long")
+            * F.expr(f"(n_docs * CAST(1000 AS BIGINT)) div df_{t}")
+            for t in QUERY_TERMS
+        ).alias("lex_score"),
+    )
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC).select(F.col("emb").alias("qemb"))
+    vec = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            round_half_up(_cosine(F.col("emb"), F.col("qemb")), 6).alias("vec_score"),
+        )
+    )
+    w_lex = Window.orderBy(F.desc("lex_score"), F.asc("doc_id"))
+    w_vec = Window.orderBy(F.desc("vec_score"), F.asc("doc_id"))
+    fused = (
+        lex.withColumn("rank_lex", F.row_number().over(w_lex))
+        .join(vec.withColumn("rank_vec", F.row_number().over(w_vec)), "doc_id")
+        .withColumn(
+            "rrf_score",
+            round_half_up(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lex"))
+                + F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_vec")),
+                6,
+            ),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(RRF_TOP)
+        .select("doc_id", "rank_lex", "rank_vec", "rrf_score")
+    )
+
+
+def _sql_hybrid() -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x = '{t}')) AS tf_{t}"
+        for t in QUERY_TERMS
+    )
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in QUERY_TERMS
+    )
+    lex_sum = " + ".join(
+        f"CAST(tf_{t} AS BIGINT) * ((n_docs * CAST(1000 AS BIGINT)) // df_{t})"
+        for t in QUERY_TERMS
+    )
+    cos = f"{_SQL_DOT_AB} / ({_sql_norm('a')} * {_sql_norm('b')})"
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         {tf_cols}
+  FROM documents),
+dfs AS (
+  SELECT COUNT(*) AS n_docs,
+         {df_cols}
+  FROM per_doc),
+lex AS (
+  SELECT doc_id, {lex_sum} AS lex_score
+  FROM per_doc CROSS JOIN dfs),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+vec AS (
+  SELECT a.vec_id AS doc_id,
+         {sql_round_half_up(cos, 6)} AS vec_score
+  FROM emb a CROSS JOIN (SELECT emb FROM emb WHERE vec_id = {QUERY_VEC}) b),
+fused AS (
+  SELECT l.doc_id,
+         ROW_NUMBER() OVER (ORDER BY l.lex_score DESC, l.doc_id ASC) AS rank_lex_tmp,
+         v.vec_score
+  FROM lex l JOIN vec v ON l.doc_id = v.doc_id),
+ranked AS (
+  SELECT doc_id, rank_lex_tmp AS rank_lex,
+         ROW_NUMBER() OVER (ORDER BY vec_score DESC, doc_id ASC) AS rank_vec
+  FROM fused)
+SELECT doc_id, rank_lex, rank_vec,
+       {sql_round_half_up(f"1.0 / ({RRF_K} + rank_lex) + 1.0 / ({RRF_K} + rank_vec)", 6)} AS rrf_score
+FROM ranked
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {RRF_TOP}
+"""
+
+
 # --- k-means (fixed-iteration Lloyd's, integer-exact) ----------------------
 
 KMEANS_K = 8
@@ -572,6 +695,7 @@ QUERIES = {
     "embedding_near_dups": embedding_near_dups,
     "embedding_quantize_report": embedding_quantize_report,
     "kmeans_cluster_stats": kmeans_cluster_stats,
+    "hybrid_search_rrf": hybrid_search_rrf,
 }
 
 ORACLES = {
@@ -582,4 +706,5 @@ ORACLES = {
     "embedding_near_dups": _NEAR_DUP_SQL,
     "embedding_quantize_report": _QUANT_SQL,
     "kmeans_cluster_stats": _sql_kmeans(),
+    "hybrid_search_rrf": _sql_hybrid(),
 }

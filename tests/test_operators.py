@@ -268,3 +268,16 @@ def test_bpe_tokens_at_least_ws_tokens(spark, sf_dir):
         if r["n_ws_tokens"] > 0:
             assert r["n_bpe_tokens"] >= r["n_ws_tokens"]
             assert r["tokens_per_word"] >= 1.0
+
+
+def test_hybrid_rrf_bounds(spark, sf_dir):
+    out = similarity.hybrid_search_rrf(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert 1 <= len(out) <= similarity.RRF_TOP
+    scores = [r["rrf_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    hi = 2.0 / (similarity.RRF_K + 1)
+    lo = 2.0 / (similarity.RRF_K + n)
+    for r in out:
+        assert lo <= r["rrf_score"] <= hi
+        assert 1 <= r["rank_lex"] <= n and 1 <= r["rank_vec"] <= n
