@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "pagerank_top_nodes",
     "bpe_token_estimate",
     "hybrid_search_rrf",
+    "table_profile",
+    "dq_checks",
 ]
 
 

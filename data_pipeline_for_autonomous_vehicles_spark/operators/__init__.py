@@ -29,6 +29,7 @@ def _modules():
         metrics,
         multimodal,
         olap,
+        quality,
         similarity,
         spatial,
         temporal,
@@ -49,6 +50,7 @@ def _modules():
         dedup,
         fuzzy,
         graph,
+        quality,
         similarity,
         spatial,
         temporal,

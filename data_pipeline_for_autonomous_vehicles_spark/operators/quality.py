@@ -1,0 +1,203 @@
+"""Data-quality profiling and constraint checking (Deequ-style) over the
+driver tables.
+
+A 100 TB ingestion pipeline gates every batch on profile + constraints
+before it reaches training; these operators express that gate as ordinary
+aggregation plans:
+
+- `table_profile`: per-column completeness / cardinality / numeric range
+  in ONE scan — the table is melted to (column, value) pairs with
+  `stack`-style explode, so adding a column adds a group, not a scan, and
+  the shuffle carries one row per (task × column), never the data.
+- `dq_checks`: a constraint suite (completeness, uniqueness, domain,
+  range, referential integrity) evaluated as a union of 1-row aggregates;
+  every check shares scans where Catalyst can and the result is a tiny
+  (check, value, passed) report — the shape a scheduler can alert on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import round_half_up, sql_round_half_up
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+_NUMERIC_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of `orders`: row/null/distinct counts plus numeric
+    min/max — one melt, one hash-agg keyed by column name."""
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(c).cast("string").alias("sval"),
+                (
+                    F.col(c).cast("double")
+                    if c in _NUMERIC_COLS
+                    else F.lit(None).cast("double")
+                ).alias("dval"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    melted = orders.select(F.explode(pairs).alias("p")).select(
+        "p.col_name", "p.sval", "p.dval"
+    )
+    return (
+        melted.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("sval").isNull(), 1).otherwise(0)).alias("n_nulls"),
+            F.countDistinct("sval").alias("n_distinct"),
+            F.min("dval").alias("min_val"),
+            F.max("dval").alias("max_val"),
+        )
+        .withColumn(
+            "null_rate",
+            round_half_up(F.col("n_nulls").cast("double") / F.col("n_rows").cast("double"), 4),
+        )
+        .orderBy("col_name")
+    )
+
+
+def _sql_profile() -> str:
+    arms = []
+    for c in _PROFILE_COLS:
+        dval = f"CAST({c} AS DOUBLE)" if c in _NUMERIC_COLS else "CAST(NULL AS DOUBLE)"
+        arms.append(
+            f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS sval, {dval} AS dval FROM orders"
+        )
+    melted = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH melted AS (
+{melted})
+SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val,
+       {sql_round_half_up("CAST(n_nulls AS DOUBLE) / CAST(n_rows AS DOUBLE)", 4)} AS null_rate
+FROM (
+  SELECT col_name,
+         COUNT(*) AS n_rows,
+         SUM(CASE WHEN sval IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         COUNT(DISTINCT sval) AS n_distinct,
+         MIN(dval) AS min_val,
+         MAX(dval) AS max_val
+  FROM melted GROUP BY col_name) t
+ORDER BY col_name
+"""
+
+
+_ORDER_STATUSES = ("F", "O", "P")
+
+
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suite over orders/lineitem: each row is one check with its
+    measured metric and pass flag. Thresholds are plan-time literals."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    completeness = orders.agg(
+        F.lit("completeness_o_custkey").alias("check_name"),
+        round_half_up(
+            F.sum(F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("metric"),
+    )
+    uniqueness = orders.agg(
+        F.lit("uniqueness_o_orderkey").alias("check_name"),
+        round_half_up(
+            F.countDistinct("o_orderkey").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("metric"),
+    )
+    domain = orders.agg(
+        F.lit("domain_o_orderstatus").alias("check_name"),
+        round_half_up(
+            F.sum(
+                F.when(F.col("o_orderstatus").isin(*_ORDER_STATUSES), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("metric"),
+    )
+    nonneg = li.agg(
+        F.lit("nonnegative_l_quantity").alias("check_name"),
+        round_half_up(
+            F.sum(F.when(F.col("l_quantity") >= 0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("metric"),
+    )
+    # referential integrity: fraction of lineitems whose order exists —
+    # LEFT SEMI against the (smaller) orders key set, counted vs total
+    orphan_free = (
+        li.select("l_orderkey")
+        .join(orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .crossJoin(li.agg(F.count(F.lit(1)).alias("n_total")))
+        .select(
+            F.lit("referential_l_orderkey").alias("check_name"),
+            round_half_up(
+                F.col("n_matched").cast("double") / F.col("n_total").cast("double"), 6
+            ).alias("metric"),
+        )
+    )
+    checks = (
+        completeness.unionByName(uniqueness)
+        .unionByName(domain)
+        .unionByName(nonneg)
+        .unionByName(orphan_free)
+    )
+    return checks.withColumn("passed", F.col("metric") >= 1.0).orderBy("check_name")
+
+
+def _sql_dq() -> str:
+    statuses = ", ".join(f"'{s}'" for s in _ORDER_STATUSES)
+    r6 = lambda e: sql_round_half_up(e, 6)  # noqa: E731
+    return f"""
+WITH checks AS (
+  SELECT 'completeness_o_custkey' AS check_name,
+         {r6("CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS metric
+  FROM orders
+  UNION ALL
+  SELECT 'uniqueness_o_orderkey',
+         {r6("CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")}
+  FROM orders
+  UNION ALL
+  SELECT 'domain_o_orderstatus',
+         {r6(f"CAST(SUM(CASE WHEN o_orderstatus IN ({statuses}) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")}
+  FROM orders
+  UNION ALL
+  SELECT 'nonnegative_l_quantity',
+         {r6("CAST(SUM(CASE WHEN l_quantity >= 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")}
+  FROM lineitem
+  UNION ALL
+  SELECT 'referential_l_orderkey',
+         {r6("CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders)) AS DOUBLE) / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE)")}
+)
+SELECT check_name, metric, metric >= 1.0 AS passed
+FROM checks
+ORDER BY check_name
+"""
+
+
+QUERIES = {
+    "table_profile": table_profile,
+    "dq_checks": dq_checks,
+}
+
+ORACLES = {
+    "table_profile": _sql_profile(),
+    "dq_checks": _sql_dq(),
+}

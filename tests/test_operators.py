@@ -281,3 +281,29 @@ def test_hybrid_rrf_bounds(spark, sf_dir):
     for r in out:
         assert lo <= r["rrf_score"] <= hi
         assert 1 <= r["rank_lex"] <= n and 1 <= r["rank_vec"] <= n
+
+
+def test_table_profile_counts_consistent(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import quality
+
+    out = {r["col_name"]: r for r in quality.table_profile(spark, sf_dir).collect()}
+    n = load_table(spark, sf_dir, "orders").count()
+    assert set(out) == set(quality._PROFILE_COLS)
+    for c, r in out.items():
+        assert r["n_rows"] == n
+        assert 0 <= r["n_nulls"] <= n
+        assert 1 <= r["n_distinct"] <= n
+        if c in quality._NUMERIC_COLS:
+            assert r["min_val"] is not None and r["min_val"] <= r["max_val"]
+        else:
+            assert r["min_val"] is None and r["max_val"] is None
+
+
+def test_dq_checks_all_pass_on_clean_data(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import quality
+
+    out = quality.dq_checks(spark, sf_dir).collect()
+    assert len(out) == 5
+    # driver testdata is referentially clean, so the whole suite passes
+    for r in out:
+        assert r["metric"] == 1.0 and r["passed"], r["check_name"]
