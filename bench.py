@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "hybrid_search_rrf",
     "table_profile",
     "dq_checks",
+    "journey_pattern_counts",
 ]
 
 

@@ -30,6 +30,7 @@ def _modules():
         multimodal,
         olap,
         quality,
+        sequences,
         similarity,
         spatial,
         temporal,
@@ -51,6 +52,7 @@ def _modules():
         fuzzy,
         graph,
         quality,
+        sequences,
         similarity,
         spatial,
         temporal,

@@ -307,3 +307,27 @@ def test_dq_checks_all_pass_on_clean_data(spark, sf_dir):
     # driver testdata is referentially clean, so the whole suite passes
     for r in out:
         assert r["metric"] == 1.0 and r["passed"], r["check_name"]
+
+
+def test_journey_patterns_consistent(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import sequences
+
+    per_user = sequences.user_journey_patterns(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    counts = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r["user_id"] for r in per_user} == set(counts)
+    for r in per_user:
+        assert r["n_events"] == counts[r["user_id"]]
+        # funnel requires all three stages, so it implies the weaker pattern set
+        if r["funnel_vcp"]:
+            assert r["n_events"] >= 3
+
+    rollup = {
+        r["pattern"]: r["n_users"]
+        for r in sequences.journey_pattern_counts(spark, sf_dir).collect()
+    }
+    for name in sequences.PATTERNS:
+        assert rollup[name] == sum(1 for r in per_user if r[name])
