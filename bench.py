@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "table_profile",
     "dq_checks",
     "journey_pattern_counts",
+    "bm25_topk",
 ]
 
 

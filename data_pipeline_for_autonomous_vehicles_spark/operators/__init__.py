@@ -30,6 +30,7 @@ def _modules():
         multimodal,
         olap,
         quality,
+        ranking,
         sequences,
         similarity,
         spatial,
@@ -52,6 +53,7 @@ def _modules():
         fuzzy,
         graph,
         quality,
+        ranking,
         sequences,
         similarity,
         spatial,

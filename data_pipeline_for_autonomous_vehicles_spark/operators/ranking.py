@@ -1,0 +1,135 @@
+"""BM25 full-text ranking over the documents table — the length-normalized
+upgrade of `tfidf_top_terms` (operators/text.py) and the lexical leg that
+`hybrid_search_rrf` (operators/similarity.py) approximates with integer IDF.
+
+Okapi BM25 with the standard k1/b parameters: per query term
+    idf(t)  = ln(1 + (N − df + 0.5) / (df + 0.5))
+    norm(d) = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+summed over the query. Per-(doc, term) arithmetic is scalar IEEE — identical
+in Spark and DuckDB when the expression tree is written identically (both
+sides below mirror token-for-token); the only order-dependent step, the
+per-doc sum over query terms, goes through the scaled-int64 exact-sum
+pattern (functions/scalars.py rationale).
+
+Scale shape: one (doc, term) hash agg builds tf; doc length and the corpus
+scalars (N, avgdl) derive from tf without rescanning text; the query-term
+filter lands BEFORE the scoring join, so everything downstream of the first
+shuffle is |Q|·(matching docs) rows; df and the scalar row are broadcast;
+the final top-k is a TakeOrderedAndProject (no global sort). Document
+bodies never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+QUERY_TERMS = ("vector", "merge", "stream")
+TOP_K = 10
+K1 = 1.2
+B = 0.75
+_K1P1 = K1 + 1.0  # literalized in Python so both engines parse one constant
+_OMB = 1.0 - B
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K documents for QUERY_TERMS by BM25, tie-broken by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tfq = tf.filter(F.col("term").isin(*QUERY_TERMS))
+    df_ = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scalars = (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(tf.agg(F.sum("tf").alias("total_tokens")))
+        .select(
+            "n_docs",
+            (F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")).alias(
+                "avgdl"
+            ),
+        )
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    norm = (F.col("tf").cast("double") * F.lit(_K1P1)) / (
+        F.col("tf").cast("double")
+        + F.lit(K1)
+        * (
+            F.lit(_OMB)
+            + F.lit(B) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+    )
+    contrib_e6 = F.floor(idf * norm * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    scored = (
+        tfq.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_terms"),
+            (F.sum(contrib_e6).cast("double") / F.lit(1_000_000.0)).alias("bm25"),
+        )
+    )
+    # top-k first (TakeOrderedAndProject over the per-doc relation), then the
+    # single-partition rank window runs on only K rows
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(TOP_K)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("long"),
+    ).select("rank", "doc_id", "n_matched_terms", "bm25")
+
+
+def _sql_bm25() -> str:
+    in_list = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    return f"""
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms WHERE term <> ''
+  GROUP BY doc_id, term),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+tfq AS (SELECT * FROM tf WHERE term IN ({in_list})),
+df AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
+scalars AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         CAST((SELECT SUM(tf) FROM tf) AS DOUBLE)
+           / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl),
+scored AS (
+  SELECT tfq.doc_id,
+         COUNT(*) AS n_matched_terms,
+         CAST(SUM(CAST(FLOOR(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                     / (CAST(df.df AS DOUBLE) + 0.5))
+           * ((CAST(tfq.tf AS DOUBLE) * {_K1P1!r})
+              / (CAST(tfq.tf AS DOUBLE)
+                 + {K1!r} * ({_OMB!r}
+                             + {B!r} * CAST(dl.dl AS DOUBLE) / s.avgdl)))
+           * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS bm25
+  FROM tfq
+  JOIN dl ON tfq.doc_id = dl.doc_id
+  JOIN df ON tfq.term = df.term
+  CROSS JOIN scalars s
+  GROUP BY tfq.doc_id)
+SELECT rank, doc_id, n_matched_terms, bm25 FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored) t
+WHERE rank <= {TOP_K}
+ORDER BY rank
+"""
+
+
+QUERIES = {"bm25_topk": bm25_topk}
+ORACLES = {"bm25_topk": _sql_bm25()}

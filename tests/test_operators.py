@@ -331,3 +331,16 @@ def test_journey_patterns_consistent(spark, sf_dir):
     }
     for name in sequences.PATTERNS:
         assert rollup[name] == sum(1 for r in per_user if r[name])
+
+
+def test_bm25_ranks_and_bounds(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import ranking
+
+    out = ranking.bm25_topk(spark, sf_dir).collect()
+    assert 1 <= len(out) <= ranking.TOP_K
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    scores = [r["bm25"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    for r in out:
+        assert r["bm25"] > 0
+        assert 1 <= r["n_matched_terms"] <= len(ranking.QUERY_TERMS)
