@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "dq_checks",
     "journey_pattern_counts",
     "bm25_topk",
+    "hot_keys_report",
 ]
 
 

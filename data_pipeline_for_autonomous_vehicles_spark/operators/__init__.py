@@ -23,6 +23,7 @@ def _modules():
     from . import (
         asof,
         dedup,
+        frequency,
         fuzzy,
         graph,
         history,
@@ -50,6 +51,7 @@ def _modules():
         olap,
         asof,
         dedup,
+        frequency,
         fuzzy,
         graph,
         quality,

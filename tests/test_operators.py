@@ -344,3 +344,17 @@ def test_bm25_ranks_and_bounds(spark, sf_dir):
     for r in out:
         assert r["bm25"] > 0
         assert 1 <= r["n_matched_terms"] <= len(ranking.QUERY_TERMS)
+
+
+def test_hot_keys_threshold_and_order(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import frequency
+
+    out = frequency.hot_keys_report(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    d = li.select("l_partkey").distinct().count()
+    counts = [r["cnt"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    for r in out:
+        assert r["cnt"] * d * 10 >= 15 * n  # exact integer hot predicate
+        assert r["ratio_to_mean"] >= 1.5

@@ -181,3 +181,42 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_bm25_broadcasts_and_takeordered(spark, sf_dir):
+    # df + corpus scalars broadcast; top-k is TakeOrderedAndProject, and the
+    # rank window runs AFTER the limit (K rows), never over the doc relation
+    from data_pipeline_for_autonomous_vehicles_spark.operators import ranking
+
+    df = ranking.bm25_topk(spark, sf_dir)
+    txt = plans.plan_text(df)
+    assert "TakeOrderedAndProject" in txt
+    assert not plans.uses_cartesian_product(df)
+    assert txt.index("Window") < txt.index("TakeOrderedAndProject")  # top-down print
+
+
+def test_journey_patterns_one_fact_shuffle(spark, sf_dir):
+    # journey build = single user-keyed shuffle (partial collect_list),
+    # regex flags are post-agg projections; plus the presentation sort
+    from data_pipeline_for_autonomous_vehicles_spark.operators import sequences
+
+    df = sequences.user_journey_patterns(spark, sf_dir)
+    txt = plans.plan_text(df)
+    assert "Join" not in txt
+    assert plans.exchange_count(df) <= 2
+
+
+def test_hot_keys_scans_fact_once(spark, sf_dir):
+    # N/D scalars derive from the per-key counts via a reused exchange —
+    # the 100 TB fact table must be scanned and shuffled exactly once.
+    # Exchange reuse is applied by AQE at runtime (the static plan prints
+    # both subtrees), so execute first and audit the final adaptive plan.
+    from data_pipeline_for_autonomous_vehicles_spark.operators import frequency
+
+    df = frequency.hot_keys_report(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plans.plan_text(df)
+    assert not plans.uses_cartesian_product(df)
+    df.collect()
+    final = plans.plan_text(df)
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final
