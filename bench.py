@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "journey_pattern_counts",
     "bm25_topk",
     "hot_keys_report",
+    "value_drift_psi",
+    "benford_audit",
 ]
 
 

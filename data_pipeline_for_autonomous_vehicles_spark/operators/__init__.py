@@ -23,6 +23,7 @@ def _modules():
     from . import (
         asof,
         dedup,
+        drift,
         frequency,
         fuzzy,
         graph,
@@ -51,6 +52,7 @@ def _modules():
         olap,
         asof,
         dedup,
+        drift,
         frequency,
         fuzzy,
         graph,

@@ -1,0 +1,160 @@
+"""Distribution-drift monitoring (Population Stability Index) — the gate a
+training pipeline runs before trusting a new data batch against the
+distribution its model was trained on.
+
+Baseline = week 1 of the events stream, current = everything after; the
+`value` column is histogrammed into fixed-width bins and compared with
+    PSI = Σ_bins (p_b − q_b) · ln(p_b / q_b)
+with Laplace smoothing ((cnt+1)/(n+B)) so empty bins stay finite. PSI < 0.1
+is conventionally "no shift", > 0.25 "significant shift".
+
+Determinism: bin ids are floor(value/width) with a top clamp — one double
+divide + floor, identical in both engines; shares and ln terms are scalar
+IEEE expressions mirrored token-for-token; the only order-dependent sum
+(total PSI over bins) goes through the scaled-int64 exact-sum pattern.
+
+Scale shape: ONE scan of the fact table into a B-group hash aggregate
+(partial map-side, B = 9 groups shuffled); the n_base/n_curr scalars
+re-aggregate the tiny per-bin relation (runtime-reused exchange, same
+pattern as operators/frequency.py); everything after the first shuffle is
+O(B) rows. The drift report for 100 TB costs one pass, no sample needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import round_half_up, sql_round_half_up
+
+BIN_WIDTH = 25.0
+N_BINS = 9  # bins 0..7 cover [0, 200); bin 8 = overflow
+BASELINE_END = "2024-01-08 00:00:00"
+
+
+def _binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bin_id = F.least(
+        F.lit(N_BINS - 1), F.floor(F.col("value") / F.lit(BIN_WIDTH))
+    ).cast("long")
+    is_base = F.col("ts") < F.lit(BASELINE_END).cast("timestamp")
+    counts = (
+        ev.select(bin_id.alias("bin_id"), is_base.alias("is_base"))
+        .groupBy("bin_id")
+        .agg(
+            F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("n_base"),
+            F.sum(F.when(~F.col("is_base"), 1).otherwise(0)).alias("n_curr"),
+        )
+    )
+    scalars = counts.agg(
+        F.sum("n_base").alias("tot_base"), F.sum("n_curr").alias("tot_curr")
+    )
+    smoothed_p = (F.col("n_base").cast("double") + F.lit(1.0)) / (
+        F.col("tot_base").cast("double") + F.lit(float(N_BINS))
+    )
+    smoothed_q = (F.col("n_curr").cast("double") + F.lit(1.0)) / (
+        F.col("tot_curr").cast("double") + F.lit(float(N_BINS))
+    )
+    return (
+        counts.crossJoin(F.broadcast(scalars))
+        .withColumn("base_share", round_half_up(smoothed_p, 6))
+        .withColumn("curr_share", round_half_up(smoothed_q, 6))
+        .withColumn(
+            "psi_term_e8",
+            F.floor(
+                (smoothed_p - smoothed_q)
+                * F.log(smoothed_p / smoothed_q)
+                * F.lit(100_000_000.0)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+
+
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin drift report: counts, smoothed shares, PSI contribution."""
+    return (
+        _binned(spark, sf_dir)
+        .select(
+            "bin_id",
+            "n_base",
+            "n_curr",
+            "base_share",
+            "curr_share",
+            (F.col("psi_term_e8").cast("double") / F.lit(100_000_000.0)).alias(
+                "psi_term"
+            ),
+        )
+        .orderBy("bin_id")
+    )
+
+
+def drift_psi_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar gate: total PSI plus the conventional verdict band."""
+    total = (
+        F.sum("psi_term_e8").cast("double") / F.lit(100_000_000.0)
+    ).alias("psi")
+    out = _binned(spark, sf_dir).agg(total)
+    return out.select(
+        "psi",
+        F.when(F.col("psi") < 0.1, "stable")
+        .when(F.col("psi") < 0.25, "moderate_shift")
+        .otherwise("significant_shift")
+        .alias("verdict"),
+    )
+
+
+_BINNED_CTE = f"""
+counts AS (
+  SELECT LEAST({N_BINS - 1}, CAST(FLOOR(value / {BIN_WIDTH!r}) AS BIGINT)) AS bin_id,
+         SUM(CASE WHEN ts < TIMESTAMP '{BASELINE_END}' THEN 1 ELSE 0 END) AS n_base,
+         SUM(CASE WHEN ts < TIMESTAMP '{BASELINE_END}' THEN 0 ELSE 1 END) AS n_curr
+  FROM events
+  GROUP BY 1),
+scalars AS (
+  SELECT SUM(n_base) AS tot_base, SUM(n_curr) AS tot_curr FROM counts),
+terms AS (
+  SELECT bin_id, n_base, n_curr,
+         (CAST(n_base AS DOUBLE) + 1.0) / (CAST(tot_base AS DOUBLE) + {float(N_BINS)!r}) AS p,
+         (CAST(n_curr AS DOUBLE) + 1.0) / (CAST(tot_curr AS DOUBLE) + {float(N_BINS)!r}) AS q
+  FROM counts CROSS JOIN scalars)
+"""
+
+
+def _sql_psi() -> str:
+    return f"""
+WITH {_BINNED_CTE}
+SELECT bin_id, n_base, n_curr,
+       {sql_round_half_up("p", 6)} AS base_share,
+       {sql_round_half_up("q", 6)} AS curr_share,
+       CAST(CAST(FLOOR((p - q) * ln(p / q) * 100000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+         / 100000000.0 AS psi_term
+FROM terms
+ORDER BY bin_id
+"""
+
+
+def _sql_psi_total() -> str:
+    return f"""
+WITH {_BINNED_CTE}
+SELECT psi,
+       CASE WHEN psi < 0.1 THEN 'stable'
+            WHEN psi < 0.25 THEN 'moderate_shift'
+            ELSE 'significant_shift' END AS verdict
+FROM (
+  SELECT CAST(SUM(CAST(FLOOR((p - q) * ln(p / q) * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 100000000.0 AS psi
+  FROM terms) t
+"""
+
+
+QUERIES = {
+    "value_drift_psi": value_drift_psi,
+    "drift_psi_total": drift_psi_total,
+}
+
+ORACLES = {
+    "value_drift_psi": _sql_psi(),
+    "drift_psi_total": _sql_psi_total(),
+}

@@ -192,12 +192,78 @@ ORDER BY check_name
 """
 
 
+import math
+
+# Benford first-digit expectation log10(1 + 1/d), literalized in Python so
+# both engines parse one decimal constant instead of re-deriving it
+_BENFORD = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of o_totalprice vs Benford's law
+    — the classic synthetic-data / fraud smell test. Digit extraction is
+    exact: price → integer cents → first character of the decimal string
+    (no log10 on doubles near power-of-ten boundaries). One scan, 9-group
+    hash agg, scalar total via reused exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    counts = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = counts.agg(F.sum("n_obs").alias("n_total"))
+    obs = F.col("n_obs").cast("double") / F.col("n_total").cast("double")
+    exp_share = F.element_at(
+        F.array(*[F.lit(_BENFORD[d]) for d in range(1, 10)]), F.col("digit").cast("int")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            round_half_up(obs, 6).alias("obs_share"),
+            round_half_up(exp_share, 6).alias("exp_share"),
+            round_half_up(F.abs(obs - exp_share), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _sql_benford() -> str:
+    exp_case = " ".join(
+        f"WHEN digit = {d} THEN {_BENFORD[d]!r}" for d in range(1, 10)
+    )
+    return f"""
+WITH counts AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         COUNT(*) AS n_obs
+  FROM orders
+  GROUP BY 1),
+t AS (SELECT SUM(n_obs) AS n_total FROM counts),
+shares AS (
+  SELECT digit, n_obs,
+         CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs,
+         CASE {exp_case} END AS exp
+  FROM counts CROSS JOIN t)
+SELECT digit, n_obs,
+       {sql_round_half_up("obs", 6)} AS obs_share,
+       {sql_round_half_up("exp", 6)} AS exp_share,
+       {sql_round_half_up("ABS(obs - exp)", 6)} AS abs_dev
+FROM shares
+ORDER BY digit
+"""
+
+
 QUERIES = {
     "table_profile": table_profile,
     "dq_checks": dq_checks,
+    "benford_audit": benford_audit,
 }
 
 ORACLES = {
     "table_profile": _sql_profile(),
     "dq_checks": _sql_dq(),
+    "benford_audit": _sql_benford(),
 }

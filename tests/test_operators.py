@@ -358,3 +358,28 @@ def test_hot_keys_threshold_and_order(spark, sf_dir):
     for r in out:
         assert r["cnt"] * d * 10 >= 15 * n  # exact integer hot predicate
         assert r["ratio_to_mean"] >= 1.5
+
+
+def test_psi_bins_partition_events(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import drift
+
+    out = drift.value_drift_psi(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_base"] + r["n_curr"] for r in out) == n
+    assert {r["bin_id"] for r in out} <= set(range(drift.N_BINS))
+    total = drift.drift_psi_total(spark, sf_dir).collect()[0]
+    assert abs(total["psi"] - sum(r["psi_term"] for r in out)) < 1e-6
+    assert total["verdict"] in ("stable", "moderate_shift", "significant_shift")
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import quality
+
+    out = quality.benford_audit(spark, sf_dir).collect()
+    assert {r["digit"] for r in out} <= set(range(1, 10))
+    n = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_obs"] for r in out) == n
+    assert abs(sum(r["obs_share"] for r in out) - 1.0) < 1e-4
+    assert abs(sum(r["exp_share"] for r in out) - 1.0) < 1e-4
+    for r in out:
+        assert r["abs_dev"] >= 0
