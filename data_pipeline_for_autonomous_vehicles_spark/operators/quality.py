@@ -102,63 +102,77 @@ _ORDER_STATUSES = ("F", "O", "P")
 
 def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint suite over orders/lineitem: each row is one check with its
-    measured metric and pass flag. Thresholds are plan-time literals."""
+    measured metric and pass flag. Thresholds are plan-time literals.
+
+    Scale shape: the three orders checks share ONE aggregate pass (melted to
+    rows afterwards — a 1-row explode, not three scans), and the two
+    lineitem checks (non-negativity, referential integrity) ride ONE
+    left-join pass: the join that proves key existence also carries
+    l_quantity, so the 100 TB fact table is scanned and shuffled once. Only
+    the orders key projection is read twice, and that second read is the
+    join's (column-pruned) build side.
+    """
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 
-    completeness = orders.agg(
-        F.lit("completeness_o_custkey").alias("check_name"),
-        round_half_up(
-            F.sum(F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("metric"),
+    r6 = lambda num, den: round_half_up(  # noqa: E731
+        num.cast("double") / den.cast("double"), 6
     )
-    uniqueness = orders.agg(
-        F.lit("uniqueness_o_orderkey").alias("check_name"),
-        round_half_up(
-            F.countDistinct("o_orderkey").cast("double") / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("metric"),
+    o = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)).alias("n_complete"),
+        F.countDistinct("o_orderkey").alias("n_unique"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin(*_ORDER_STATUSES), 1).otherwise(0)
+        ).alias("n_domain"),
     )
-    domain = orders.agg(
-        F.lit("domain_o_orderstatus").alias("check_name"),
-        round_half_up(
-            F.sum(
-                F.when(F.col("o_orderstatus").isin(*_ORDER_STATUSES), 1).otherwise(0)
-            ).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("metric"),
+    orders_checks = o.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("completeness_o_custkey").alias("check_name"),
+                    r6(F.col("n_complete"), F.col("n")).alias("metric"),
+                ),
+                F.struct(
+                    F.lit("uniqueness_o_orderkey").alias("check_name"),
+                    r6(F.col("n_unique"), F.col("n")).alias("metric"),
+                ),
+                F.struct(
+                    F.lit("domain_o_orderstatus").alias("check_name"),
+                    r6(F.col("n_domain"), F.col("n")).alias("metric"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.check_name", "c.metric")
+
+    # distinct() keeps exact IN-subquery semantics even if the key side ever
+    # carried duplicates (the join must never fan lineitem rows out)
+    joined = li.select("l_orderkey", "l_quantity").join(
+        orders.select(F.col("o_orderkey")).distinct(),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left",
     )
-    nonneg = li.agg(
-        F.lit("nonnegative_l_quantity").alias("check_name"),
-        round_half_up(
-            F.sum(F.when(F.col("l_quantity") >= 0, 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("metric"),
+    l = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_quantity") >= 0, 1).otherwise(0)).alias("n_nonneg"),
+        F.sum(F.when(F.col("o_orderkey").isNotNull(), 1).otherwise(0)).alias("n_matched"),
     )
-    # referential integrity: fraction of lineitems whose order exists —
-    # LEFT SEMI against the (smaller) orders key set, counted vs total
-    orphan_free = (
-        li.select("l_orderkey")
-        .join(orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
-        .crossJoin(li.agg(F.count(F.lit(1)).alias("n_total")))
-        .select(
-            F.lit("referential_l_orderkey").alias("check_name"),
-            round_half_up(
-                F.col("n_matched").cast("double") / F.col("n_total").cast("double"), 6
-            ).alias("metric"),
-        )
-    )
-    checks = (
-        completeness.unionByName(uniqueness)
-        .unionByName(domain)
-        .unionByName(nonneg)
-        .unionByName(orphan_free)
-    )
+    li_checks = l.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("nonnegative_l_quantity").alias("check_name"),
+                    r6(F.col("n_nonneg"), F.col("n")).alias("metric"),
+                ),
+                F.struct(
+                    F.lit("referential_l_orderkey").alias("check_name"),
+                    r6(F.col("n_matched"), F.col("n")).alias("metric"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.check_name", "c.metric")
+
+    checks = orders_checks.unionByName(li_checks)
     return checks.withColumn("passed", F.col("metric") >= 1.0).orderBy("check_name")
 
 

@@ -220,3 +220,15 @@ def test_hot_keys_scans_fact_once(spark, sf_dir):
     final = plans.plan_text(df)
     assert "isFinalPlan=true" in final
     assert "ReusedExchange" in final
+
+
+def test_dq_checks_bounded_scans(spark, sf_dir):
+    # the five checks must NOT union five aggregate scans: one pass over
+    # orders (melted), one lineitem pass that carries both the quantity and
+    # the referential check through a single join, plus the pruned key side
+    from data_pipeline_for_autonomous_vehicles_spark.operators import quality
+
+    df = quality.dq_checks(spark, sf_dir)
+    # one ReadSchema per scan node: orders agg + lineitem + orders key side
+    assert len(plans.scan_read_schemas(df)) <= 3
+    assert "SortAggregate" not in plans.plan_text(df)
