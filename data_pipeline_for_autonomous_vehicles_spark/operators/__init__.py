@@ -33,6 +33,7 @@ def _modules():
         olap,
         quality,
         ranking,
+        sampling,
         sequences,
         similarity,
         spatial,
@@ -58,6 +59,7 @@ def _modules():
         graph,
         quality,
         ranking,
+        sampling,
         sequences,
         similarity,
         spatial,

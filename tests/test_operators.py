@@ -383,3 +383,18 @@ def test_benford_shares_sum_to_one(spark, sf_dir):
     assert abs(sum(r["exp_share"] for r in out) - 1.0) < 1e-4
     for r in out:
         assert r["abs_dev"] >= 0
+
+
+def test_weighted_sample_deterministic_and_sorted(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import sampling
+
+    a = sampling.weighted_sample_topk(spark, sf_dir).collect()
+    b = sampling.weighted_sample_topk(spark, sf_dir).collect()
+    assert a == b  # replayable: same sample bits on every run
+    assert len(a) == min(
+        sampling.SAMPLE_K, load_table(spark, sf_dir, "documents").count()
+    )
+    pris = [r["log_priority"] for r in a]
+    assert pris == sorted(pris, reverse=True)
+    for r in a:
+        assert r["log_priority"] <= 0.0 and r["weight"] >= 1
