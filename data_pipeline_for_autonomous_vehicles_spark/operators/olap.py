@@ -397,6 +397,39 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles per event type (`approx_percentile`, the
+    KLL/GK-family single-pass estimator) next to the exact answers, with the
+    worst absolute relative error across the three quantiles. Rows-only
+    check, like `approx_distinct_users`: DuckDB's approx sketch differs, so
+    the in-row exact comparison is the meaningful bound. At 100 TB this is
+    the only viable percentile path — the sketch merges associatively in a
+    partial+final hash agg; the exact twin (value_percentiles) exists to
+    bound its error at test scale."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("approx"),
+        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("exact"),
+    )
+    rel_err = F.array_max(
+        F.zip_with(
+            F.col("approx"),
+            F.col("exact"),
+            lambda a, e: F.abs(a.cast("double") - e) / e,
+        )
+    )
+    return out.select(
+        "event_type",
+        F.col("approx")[0].cast("double").alias("approx_p50"),
+        F.col("approx")[1].cast("double").alias("approx_p90"),
+        F.col("approx")[2].cast("double").alias("approx_p99"),
+        round_half_up(F.col("exact")[0], 4).alias("exact_p50"),
+        round_half_up(F.col("exact")[1], 4).alias("exact_p90"),
+        round_half_up(F.col("exact")[2], 4).alias("exact_p99"),
+        round_half_up(rel_err, 4).alias("max_rel_error"),
+    ).orderBy("event_type")
+
+
 def distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DISTINCT-aggregate twin (expand + two-phase agg in Spark)."""
     ev = load_table(spark, sf_dir, "events")
@@ -792,6 +825,7 @@ QUERIES = {
     "event_value_stats": event_value_stats,
     "value_percentiles": value_percentiles,
     "approx_distinct_users": approx_distinct_users,
+    "approx_value_percentiles": approx_value_percentiles,
     "distinct_users_exact": distinct_users_exact,
     "status_priority_grouping_sets": status_priority_grouping_sets,
     "user_metric_unpivot": user_metric_unpivot,

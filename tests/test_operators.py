@@ -398,3 +398,17 @@ def test_weighted_sample_deterministic_and_sorted(spark, sf_dir):
     assert pris == sorted(pris, reverse=True)
     for r in a:
         assert r["log_priority"] <= 0.0 and r["weight"] >= 1
+
+
+def test_approx_percentiles_bounded_error(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import olap
+
+    out = olap.approx_value_percentiles(spark, sf_dir).collect()
+    assert len(out) >= 1
+    for r in out:
+        # monotone quantiles, both estimators
+        assert r["approx_p50"] <= r["approx_p90"] <= r["approx_p99"]
+        assert r["exact_p50"] <= r["exact_p90"] <= r["exact_p99"]
+        # nearest-rank vs interpolation differ at tiny N; sketch error itself
+        # is ~1/accuracy — keep an honest generous bound for sf test data
+        assert r["max_rel_error"] < 0.5
