@@ -81,6 +81,53 @@ ORDER BY v.user_id
 """
 
 
-QUERIES = {"streaming_view_purchase_pairs": streaming_view_purchase_pairs}
+def streaming_enriched_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the live event stream joined to the static
+    customer dimension (user_id ↔ c_custkey) inside the stream, rolled up by
+    nation. Stream-static joins are STATELESS — the dim is (re)broadcast per
+    micro-batch, no watermark, no state store — which is why enrichment
+    belongs in the stream and windowed analytics stays query-time
+    (SURVEY.md §2.9). Inner join semantics: events without a customer row
+    drop, exactly as the batch twin does.
 
-ORACLES = {"streaming_view_purchase_pairs": STREAMING_VIEW_PURCHASE_SQL}
+    Scale: the stream side never shuffles (broadcast hash join per batch);
+    at dimension sizes above the broadcast threshold Spark falls back to a
+    per-batch shuffle join with no code change.
+    """
+    from ..catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    enriched = stream_events(spark, sf_dir).join(F.broadcast(cust), "user_id")
+    out = _run_to_memory(enriched, mode="append")
+    return (
+        out.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+STREAMING_ENRICHED_SQL = """
+SELECT c.c_nationkey AS c_nationkey,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+QUERIES = {
+    "streaming_view_purchase_pairs": streaming_view_purchase_pairs,
+    "streaming_enriched_nation_counts": streaming_enriched_nation_counts,
+}
+
+ORACLES = {
+    "streaming_view_purchase_pairs": STREAMING_VIEW_PURCHASE_SQL,
+    "streaming_enriched_nation_counts": STREAMING_ENRICHED_SQL,
+}

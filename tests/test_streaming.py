@@ -103,3 +103,27 @@ def test_stream_stream_join_matches_batch_self_join(spark, sf_dir):
         .collect()
     )
     assert out == {r["user_id"]: (r["n"], r["nv"], r["np"]) for r in batch}
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.streaming.joins import (
+        streaming_enriched_nation_counts,
+    )
+
+    out = {
+        r["c_nationkey"]: (r["n_events"], r["n_users"])
+        for r in streaming_enriched_nation_counts(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    batch = {
+        r["c_nationkey"]: (r["n"], r["nu"])
+        for r in ev.join(cust, "user_id")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("nu"))
+        .collect()
+    }
+    assert out == batch
