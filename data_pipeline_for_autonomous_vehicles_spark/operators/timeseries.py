@@ -442,7 +442,71 @@ ORDER BY report_day
 """
 
 
+MISSING_DAYS_MAX_USER = 5
+
+
+def user_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-completeness audit: for the first MISSING_DAYS_MAX_USER
+    users, every day in the corpus span on which that user produced NO
+    events — the inverse of an activity rollup, and the missing-partition
+    detector an ingestion monitor runs nightly.
+
+    Pattern: distributed date-spine generation + LEFT ANTI join. The corpus
+    (min_day, max_day) is a 1-row broadcast; `sequence() + explode` expands
+    it to the user×day spine ON EXECUTORS (the spine never exists
+    driver-side), and the anti-join probes the observed (user, day) pairs —
+    which the plan dedups first, so the join carries |users × active days|,
+    not the fact table. At 100 TB the spine side is |users|·|days| rows
+    regardless of event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    users = (
+        ev.filter(F.col("user_id") <= MISSING_DAYS_MAX_USER)
+        .select("user_id")
+        .distinct()
+    )
+    spine = users.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "missing_day"
+        ),
+    )
+    observed = (
+        ev.filter(F.col("user_id") <= MISSING_DAYS_MAX_USER)
+        .select("user_id", F.to_date("ts").alias("missing_day"))
+        .distinct()
+    )
+    return spine.join(observed, ["user_id", "missing_day"], "left_anti").orderBy(
+        "user_id", "missing_day"
+    )
+
+
+_MISSING_DAYS_SQL = f"""
+WITH span AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+users AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id <= {MISSING_DAYS_MAX_USER}),
+spine AS (
+  SELECT u.user_id, CAST(gs.d AS DATE) AS missing_day
+  FROM users u
+  CROSS JOIN span s
+  CROSS JOIN LATERAL unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS gs(d)),
+observed AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS missing_day
+  FROM events WHERE user_id <= {MISSING_DAYS_MAX_USER})
+SELECT sp.user_id, sp.missing_day
+FROM spine sp
+ANTI JOIN observed o
+  ON o.user_id = sp.user_id AND o.missing_day = sp.missing_day
+ORDER BY user_id, missing_day
+"""
+
+
 QUERIES = {
+    "user_missing_days": user_missing_days,
     "cohort_retention": cohort_retention,
     "rolling_7d_active_users": rolling_7d_active_users,
     "hourly_gapfill_locf": hourly_gapfill_locf,
@@ -454,6 +518,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "user_missing_days": _MISSING_DAYS_SQL,
     "cohort_retention": _COHORT_SQL,
     "rolling_7d_active_users": _ROLLING_7D_SQL,
     "hourly_gapfill_locf": _GAPFILL_SQL,

@@ -412,3 +412,27 @@ def test_approx_percentiles_bounded_error(spark, sf_dir):
         # nearest-rank vs interpolation differ at tiny N; sketch error itself
         # is ~1/accuracy — keep an honest generous bound for sf test data
         assert r["max_rel_error"] < 0.5
+
+
+def test_missing_days_complement_active_days(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import timeseries
+
+    out = timeseries.user_missing_days(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    ).collect()[0]
+    span_days = (hi - lo).days + 1
+    active = (
+        ev.filter(F.col("user_id") <= timeseries.MISSING_DAYS_MAX_USER)
+        .groupBy("user_id")
+        .agg(F.countDistinct(F.to_date("ts")).alias("n_active"))
+        .collect()
+    )
+    missing_by_user = {}
+    for r in out:
+        assert lo <= r["missing_day"] <= hi
+        missing_by_user.setdefault(r["user_id"], 0)
+        missing_by_user[r["user_id"]] += 1
+    for r in active:
+        assert missing_by_user.get(r["user_id"], 0) == span_days - r["n_active"]
