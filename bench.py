@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "hot_keys_report",
     "value_drift_psi",
     "benford_audit",
+    "cusum_alerts",
 ]
 
 

@@ -21,6 +21,7 @@ def _modules():
     from ..streaming import joins as streaming_joins
     from ..streaming import stateful as streaming_stateful
     from . import (
+        anomaly,
         asof,
         dedup,
         drift,
@@ -46,6 +47,7 @@ def _modules():
     )
 
     return (
+        anomaly,
         tpch,
         tpch_ext,
         metrics,

@@ -1,0 +1,113 @@
+"""CUSUM changepoint detection over the event stream — sequential anomaly
+monitoring expressed as pure window algebra.
+
+The one-sided CUSUM recursion S_t = max(0, S_{t-1} + x_t − k) looks
+iterative, but has a closed form: with prefix sums P_t = Σ_{i≤t}(x_i − k),
+    S_t = P_t − min_{j≤t} P_j
+(the clamp is automatic — j = t gives 0). So the detector is ONE running
+sum plus ONE running min over the same ordered frame: fully declarative,
+no recursion, no stateful loop — and therefore identical in Spark and the
+SQL oracle.
+
+Exactness: the series is integer event counts per (event_type, hour) and
+the drift target k is a per-series scaled integer (round(mean·1000)), so
+every prefix sum is int64 — CUSUM values are exact on any partitioning.
+
+Scale shape: the hourly series is a partial+final hash agg of the fact
+table (one shuffle, |types|·|hours| cells); both windows partition by
+event_type over those CELLS — thousands of rows per series, never raw
+events. Per-series state is independent; fleet-scale cardinality just
+means more parallel window partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+_SCALE = 1000  # k and CUSUM carried as integer thousandths
+ALERT_MULTIPLE_E3 = 5000  # alert when CUSUM > 5× the hourly mean
+
+
+def cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours where the per-type event rate's one-sided CUSUM (drift target
+    k = series mean) exceeds 5× the mean — sustained-rate-shift alerts."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_type = Window.partitionBy("event_type")
+    # k_e3 = round(mean·1000) as int64: total and cell count via windows over
+    # the cell frame (no second scan of the fact table)
+    with_k = hourly.withColumn(
+        "k_e3",
+        F.floor(
+            F.sum("n").over(per_type).cast("double")
+            * F.lit(float(_SCALE))
+            / F.count(F.lit(1)).over(per_type).cast("double")
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    ordered = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_cusum = (
+        with_k.withColumn("p", F.sum(F.col("n") * F.lit(_SCALE) - F.col("k_e3")).over(ordered))
+        .withColumn("p_min", F.min("p").over(ordered))
+        .withColumn("cusum_e3", F.col("p") - F.col("p_min"))
+    )
+    return (
+        # pure-int64 alert predicate: cusum > k·multiple ⇔ cusum·S > k·(m·S)
+        with_cusum.filter(
+            F.col("cusum_e3") * F.lit(_SCALE) > F.col("k_e3") * F.lit(ALERT_MULTIPLE_E3)
+        )
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            (F.col("k_e3").cast("double") / F.lit(float(_SCALE))).alias("k"),
+            (F.col("cusum_e3").cast("double") / F.lit(float(_SCALE))).alias("cusum"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+_CUSUM_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events
+  GROUP BY event_type, date_trunc('hour', ts)),
+with_k AS (
+  SELECT *,
+         CAST(FLOOR(CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+               * {float(_SCALE)!r}
+               / CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE)
+               + 0.5) AS BIGINT) AS k_e3
+  FROM hourly),
+with_p AS (
+  SELECT *,
+         SUM(n * {_SCALE} - k_e3) OVER (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM with_k),
+with_cusum AS (
+  SELECT *,
+         p - MIN(p) OVER (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_e3
+  FROM with_p)
+SELECT event_type, hour, n,
+       CAST(k_e3 AS DOUBLE) / {float(_SCALE)!r} AS k,
+       CAST(cusum_e3 AS DOUBLE) / {float(_SCALE)!r} AS cusum
+FROM with_cusum
+WHERE cusum_e3 * {_SCALE} > k_e3 * {ALERT_MULTIPLE_E3}
+ORDER BY event_type, hour
+"""
+
+
+QUERIES = {"cusum_alerts": cusum_alerts}
+ORACLES = {"cusum_alerts": _CUSUM_SQL}

@@ -436,3 +436,27 @@ def test_missing_days_complement_active_days(spark, sf_dir):
         missing_by_user[r["user_id"]] += 1
     for r in active:
         assert missing_by_user.get(r["user_id"], 0) == span_days - r["n_active"]
+
+
+def test_cusum_closed_form_equals_recursion(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import anomaly
+
+    out = anomaly.cusum_alerts(spark, sf_dir).collect()
+    # recompute one series with the literal recursion S_t = max(0, S+x-k)
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("hour")
+        .collect()
+    )
+    total, cells = sum(r["n"] for r in rows), len(rows)
+    k_e3 = int(total * 1000.0 / cells + 0.5)
+    s, expect = 0, {}
+    for r in rows:
+        s = max(0, s + r["n"] * 1000 - k_e3)
+        if s * 1000 > k_e3 * anomaly.ALERT_MULTIPLE_E3:
+            expect[r["hour"]] = s / 1000.0
+    got = {r["hour"]: r["cusum"] for r in out if r["event_type"] == "error"}
+    assert got == expect
