@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.scalars import round_half_up
 
 _SCALE = 1000  # k and CUSUM carried as integer thousandths
 ALERT_MULTIPLE_E3 = 5000  # alert when CUSUM > 5× the hourly mean
@@ -109,5 +110,78 @@ ORDER BY event_type, hour
 """
 
 
-QUERIES = {"cusum_alerts": cusum_alerts}
-ORACLES = {"cusum_alerts": _CUSUM_SQL}
+def daily_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares trend of daily spend: slope/intercept of the
+    regression of exact daily value sums on the day index.
+
+    The "aggregate once, derive every moment from the cells" pattern
+    (SCALE.md, chi-square / value_outliers family): the fact table collapses
+    to |types|·|days| cells carrying scaled-int64 daily sums; ALL regression
+    moments (n, Σx, Σx², Σy, Σxy) are int64 sums over those cells, so the
+    normal-equation numerator/denominator are exact integers and the only
+    floating op is the final division — bit-identical on any partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("v_e2"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v_e2").alias("s_e2"))
+    )
+    per_type = Window.partitionBy("event_type")
+    pts = daily.withColumn(
+        "x", F.datediff(F.col("day"), F.min("day").over(per_type)).cast("long")
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("s_e2").alias("sy"),
+        F.sum(F.col("x") * F.col("s_e2")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den / F.lit(100.0)  # cents/day → value units per day
+    intercept = (
+        F.col("sy").cast("double") / F.lit(100.0) - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        round_half_up(slope, 4).alias("slope_per_day"),
+        round_half_up(intercept, 4).alias("intercept"),
+    ).orderBy("event_type")
+
+
+_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS s_e2
+  FROM events
+  GROUP BY event_type, CAST(ts AS DATE)),
+pts AS (
+  SELECT *,
+         CAST(datediff('day', MIN(day) OVER (PARTITION BY event_type), day) AS BIGINT) AS x
+  FROM daily),
+m AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+         SUM(s_e2) AS sy, SUM(x * s_e2) AS sxy
+  FROM pts GROUP BY event_type)
+SELECT event_type, n AS n_days,
+       CAST(FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0) * 10000.0 + 0.5) AS DOUBLE)
+         / 10000.0 AS slope_per_day,
+       CAST(FLOOR(((CAST(sy AS DOUBLE) / 100.0
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS intercept
+FROM m
+ORDER BY event_type
+"""
+
+
+QUERIES = {"cusum_alerts": cusum_alerts, "daily_value_trend": daily_value_trend}
+ORACLES = {"cusum_alerts": _CUSUM_SQL, "daily_value_trend": _TREND_SQL}

@@ -460,3 +460,29 @@ def test_cusum_closed_form_equals_recursion(spark, sf_dir):
             expect[r["hour"]] = s / 1000.0
     got = {r["hour"]: r["cusum"] for r in out if r["event_type"] == "error"}
     assert got == expect
+
+
+def test_daily_trend_matches_numpy_lstsq(spark, sf_dir):
+    import numpy as np
+
+    from data_pipeline_for_autonomous_vehicles_spark.operators import anomaly
+
+    out = {r["event_type"]: r for r in anomaly.daily_value_trend(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg((F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")) / 100.0).alias("s"))
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["s"]))
+    for et, pts in series.items():
+        pts.sort()
+        d0 = pts[0][0]
+        x = np.array([(d - d0).days for d, _ in pts], dtype=float)
+        y = np.array([s for _, s in pts])
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(out[et]["slope_per_day"] - slope) < 1e-2
+        assert abs(out[et]["intercept"] - intercept) < 1e-1
+        assert out[et]["n_days"] == len(pts)
