@@ -154,10 +154,74 @@ ORDER BY pos
 """
 
 
+def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph: nodes = parts, an edge
+    joins two parts bought in the same order, a triangle = three mutually
+    co-purchased parts (the motif behind "frequently bought together"
+    bundles). Exact count via the id-oriented 3-way edge join — every edge
+    stored once as (p1 < p2), every triangle (a < b < c) counted once.
+
+    Scale notes: the per-order pair expansion is O(k²) in basket size k —
+    real pipelines cap or salt giant baskets (driver baskets are single
+    digits); the wedge join's cost is Σ deg², the textbook bound, and the
+    production mitigation is degree-ordered orientation (orient each edge
+    toward the higher-degree endpoint so every wedge pivots on its
+    LOWEST-degree vertex — same count, hub wedges never materialize). The
+    id-ordering here keeps the plan identical to the ANSI oracle; both
+    orientations are one `orderBy` apart. All joins are equi-joins on part
+    keys — shuffle-partitionable, no cartesian anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .distinct()
+    )
+    x, y, z = edges.alias("x"), edges.alias("y"), edges.alias("z")
+    tris = x.join(y, F.col("y.p1") == F.col("x.p2")).join(
+        z,
+        (F.col("z.p1") == F.col("x.p1")) & (F.col("z.p2") == F.col("y.p2")),
+    )
+    nodes = edges.select(F.col("p1").alias("p")).unionByName(
+        edges.select(F.col("p2").alias("p"))
+    )
+    return (
+        tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .crossJoin(F.broadcast(nodes.distinct().agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+_TRIANGLE_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+nodes AS (SELECT p1 AS p FROM e UNION SELECT p2 FROM e)
+SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*)
+        FROM e x JOIN e y ON y.p1 = x.p2
+                 JOIN e z ON z.p1 = x.p1 AND z.p2 = y.p2) AS n_triangles
+"""
+
+
 QUERIES = {
     "pagerank_top_nodes": pagerank_top_nodes,
+    "copurchase_triangle_count": copurchase_triangle_count,
 }
 
 ORACLES = {
     "pagerank_top_nodes": _sql_pagerank(),
+    "copurchase_triangle_count": _TRIANGLE_SQL,
 }

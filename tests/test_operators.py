@@ -486,3 +486,13 @@ def test_daily_trend_matches_numpy_lstsq(spark, sf_dir):
         assert abs(out[et]["slope_per_day"] - slope) < 1e-2
         assert abs(out[et]["intercept"] - intercept) < 1e-1
         assert out[et]["n_days"] == len(pts)
+
+
+def test_triangle_count_invariants(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import graph
+
+    r = graph.copurchase_triangle_count(spark, sf_dir).collect()[0]
+    n, e, t = r["n_nodes"], r["n_edges"], r["n_triangles"]
+    assert 0 < n and 0 < e <= n * (n - 1) // 2
+    # each triangle needs 3 edges; an edge is in at most (n-2) triangles
+    assert 0 <= t <= e * (n - 2) // 3
