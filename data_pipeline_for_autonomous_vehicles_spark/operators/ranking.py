@@ -131,5 +131,56 @@ ORDER BY rank
 """
 
 
-QUERIES = {"bm25_topk": bm25_topk}
-ORACLES = {"bm25_topk": _sql_bm25()}
+POSTINGS_CAP = 10
+
+
+def term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the batch job whose output BM25-style serving
+    reads: per term, document frequency, total term frequency, and the first
+    POSTINGS_CAP doc ids of the (sorted) posting list.
+
+    Scale shape: one (doc, term) hash agg (the same single fact shuffle as
+    bm25_topk — an index build IS that aggregate plus a term-keyed regroup),
+    then a term-keyed `collect_list` whose payload is bounded ids, never
+    text. The posting arrays here are capped for the driver check; the
+    production writer would range-partition by term and spill full lists to
+    per-term parquet row groups — same plan, unbounded sink.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.slice(
+                F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_CAP
+            ).alias("top_doc_ids"),
+        )
+        .orderBy("term")
+    )
+
+
+_POSTINGS_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms WHERE term <> ''
+  GROUP BY doc_id, term)
+SELECT term,
+       COUNT(*) AS df,
+       SUM(tf) AS total_tf,
+       list_sort(list(doc_id))[1:{POSTINGS_CAP}] AS top_doc_ids
+FROM tf
+GROUP BY term
+ORDER BY term
+"""
+
+
+QUERIES = {"bm25_topk": bm25_topk, "term_postings": term_postings}
+ORACLES = {"bm25_topk": _sql_bm25(), "term_postings": _POSTINGS_SQL}

@@ -496,3 +496,16 @@ def test_triangle_count_invariants(spark, sf_dir):
     assert 0 < n and 0 < e <= n * (n - 1) // 2
     # each triangle needs 3 edges; an edge is in at most (n-2) triangles
     assert 0 <= t <= e * (n - 2) // 3
+
+
+def test_postings_sorted_capped_consistent(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import ranking
+
+    out = ranking.term_postings(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(out) >= 1
+    for r in out:
+        ids = r["top_doc_ids"]
+        assert ids == sorted(ids)
+        assert len(ids) == min(r["df"], ranking.POSTINGS_CAP)
+        assert r["total_tf"] >= r["df"] and r["df"] <= n_docs
