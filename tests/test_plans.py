@@ -232,3 +232,30 @@ def test_dq_checks_bounded_scans(spark, sf_dir):
     # one ReadSchema per scan node: orders agg + lineitem + orders key side
     assert len(plans.scan_read_schemas(df)) <= 3
     assert "SortAggregate" not in plans.plan_text(df)
+
+
+def test_psi_and_cusum_exchange_bounds(spark, sf_dir):
+    # drift: fact scan → 9-bin agg (1 exchange) + scalar reuse + final sort;
+    # cusum: hourly cells agg + per-type window + presentation sort — the
+    # windows run over CELLS, so no second fact-sized exchange may appear
+    from data_pipeline_for_autonomous_vehicles_spark.operators import anomaly, drift
+
+    psi = drift.value_drift_psi(spark, sf_dir)
+    assert plans.exchange_count(psi) <= 3
+    assert not plans.uses_cartesian_product(psi)
+
+    cus = anomaly.cusum_alerts(spark, sf_dir)
+    txt = plans.plan_text(cus)
+    assert "Join" not in txt
+    assert plans.exchange_count(cus) <= 4
+    assert txt.count("HashAggregate") >= 2  # partial+final on the cell agg
+
+
+def test_trend_derives_from_cells(spark, sf_dir):
+    # regression moments must aggregate the daily-cell frame, not rescan the
+    # fact table: exactly one scan node feeds the whole plan
+    from data_pipeline_for_autonomous_vehicles_spark.operators import anomaly
+
+    df = anomaly.daily_value_trend(spark, sf_dir)
+    assert len(plans.scan_read_schemas(df)) == 1
+    assert "Join" not in plans.plan_text(df)
