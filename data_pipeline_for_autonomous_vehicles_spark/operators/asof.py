@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.scalars import round_half_up
 
 
 def asof_join(
@@ -238,13 +239,106 @@ ORDER BY user_id
 """
 
 
+LATENCY_CAP_US = 3_600_000_000  # attribute purchases within 1 hour
+
+
+def view_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of view→first-purchase latency (within 1 hour): how fast
+    browsing converts. FORWARD as-of via the same union+window machinery as
+    `asof_join` — time and tiebreak are NEGATED, so "latest right ≤ t"
+    becomes "earliest purchase ≥ view, ties to the lowest event_id". Same
+    single-shuffle scale shape as the backward join: no fact⋈fact pair
+    blow-up, each view meets exactly one purchase candidate.
+
+    Bucket edges are integer micros, counts integers, shares rounded — the
+    whole report is exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        (-F.unix_micros("ts")).alias("negt"),
+        (-F.col("event_id")).alias("negid"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (-F.unix_micros("ts")).alias("negt"),
+        (-F.col("event_id")).alias("negid"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    matched = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_time="negt",
+        right_time="negt",
+        value_cols=["p_us"],
+        tie="negid",
+    )
+    lat = matched.select(
+        (F.col("asof_p_us") - (-F.col("negt"))).alias("lat_us")
+    ).filter(F.col("lat_us").isNotNull() & (F.col("lat_us") <= F.lit(LATENCY_CAP_US)))
+    bucket = (
+        F.when(F.col("lat_us") < 300_000_000, "lt_5m")
+        .when(F.col("lat_us") < 900_000_000, "5m_to_15m")
+        .otherwise("15m_to_1h")
+    )
+    counts = lat.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_views")
+    )
+    total = counts.agg(F.sum("n_views").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_views",
+            round_half_up(
+                F.col("n_views").cast("double") / F.col("n_total").cast("double"), 4
+            ).alias("share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_LATENCY_SQL = f"""
+WITH v AS (
+  SELECT event_id, user_id, epoch_us(ts) AS v_us
+  FROM events WHERE event_type = 'view'),
+p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT v.event_id AS vid, v.v_us, p.p_us,
+         ROW_NUMBER() OVER (PARTITION BY v.event_id
+                            ORDER BY p.p_us ASC, p.event_id ASC) AS rn
+  FROM v JOIN p ON p.user_id = v.user_id AND p.p_us >= v.v_us),
+lat AS (
+  SELECT p_us - v_us AS lat_us FROM pairs
+  WHERE rn = 1 AND p_us - v_us <= {LATENCY_CAP_US}),
+counts AS (
+  SELECT CASE WHEN lat_us < 300000000 THEN 'lt_5m'
+              WHEN lat_us < 900000000 THEN '5m_to_15m'
+              ELSE '15m_to_1h' END AS bucket,
+         COUNT(*) AS n_views
+  FROM lat GROUP BY 1)
+SELECT bucket, n_views,
+       CAST(FLOOR((CAST(n_views AS DOUBLE)
+             / CAST((SELECT SUM(n_views) FROM counts) AS DOUBLE)) * 10000.0 + 0.5)
+            AS DOUBLE) / 10000.0 AS share
+FROM counts
+ORDER BY bucket
+"""
+
+
 QUERIES = {
+    "view_to_purchase_latency": view_to_purchase_latency,
     "purchases_with_last_view": purchases_with_last_view,
     "telemetry_at_event": telemetry_at_event,
     "view_to_purchase_funnel": view_to_purchase_funnel,
 }
 
 ORACLES = {
+    "view_to_purchase_latency": _LATENCY_SQL,
     "purchases_with_last_view": _ASOF_SQL,
     "telemetry_at_event": _TELEMETRY_AT_EVENT_SQL,
     "view_to_purchase_funnel": _FUNNEL_SQL,

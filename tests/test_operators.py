@@ -509,3 +509,17 @@ def test_postings_sorted_capped_consistent(spark, sf_dir):
         assert ids == sorted(ids)
         assert len(ids) == min(r["df"], ranking.POSTINGS_CAP)
         assert r["total_tf"] >= r["df"] and r["df"] <= n_docs
+
+
+def test_latency_histogram_shares(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import asof
+
+    out = asof.view_to_purchase_latency(spark, sf_dir).collect()
+    n_views = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .count()
+    )
+    assert {r["bucket"] for r in out} <= {"lt_5m", "5m_to_15m", "15m_to_1h"}
+    assert 0 < sum(r["n_views"] for r in out) <= n_views  # each view ≤ once
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-3
