@@ -101,8 +101,15 @@ def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
 
-    # warmup: JVM + codegen + parquet footer caches at the smallest sf
-    for name in ("q1_pricing_summary", "latest_telemetry", "token_counts"):
+    # warmup: JVM + codegen + parquet footer caches at the smallest sf;
+    # simhash included because its wide codegen'd expression tree is the
+    # slowest to JIT-compile (dominates its own first-run time otherwise)
+    for name in (
+        "q1_pricing_summary",
+        "latest_telemetry",
+        "token_counts",
+        "simhash_fingerprints",
+    ):
         _execute(queries[name](spark, "/root/testdata/sf0.001"))
 
     # two measured runs per query, report the min: steady-state execution

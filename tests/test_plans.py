@@ -259,3 +259,59 @@ def test_trend_derives_from_cells(spark, sf_dir):
     df = anomaly.daily_value_trend(spark, sf_dir)
     assert len(plans.scan_read_schemas(df)) == 1
     assert "Join" not in plans.plan_text(df)
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    # SCALE.md claims skewed keys are AQE's job — pin the mechanism: build a
+    # deliberately skewed fact (every row the same join key) and check the
+    # final adaptive plan marks the sort-merge join as skew-handled. The
+    # thresholds are lowered so sf-test data trips the optimization; at
+    # 100 TB the defaults (256 MB / 5× median) trip naturally.
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        # the downstream agg re-shuffles anyway; without force the rule
+        # conservatively declines whenever a later exchange exists
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        # 80 % of fact rows share key 0. Three constructions that DON'T trip
+        # the rule, for the record: a literal key (folds the equi-condition
+        # → cross join), a single-map-task input (a skewed reduce partition
+        # splits at mapper-block granularity — hence the repartition(8)),
+        # and a dim DERIVED from the fact (an agg between shuffle and join
+        # breaks the rule's shuffle-sort-join pattern match).
+        hot = F.when(F.col("l_orderkey") % 10 < 8, F.lit(0)).otherwise(
+            F.col("l_orderkey")
+        )
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .repartition(8)
+            .withColumn("hot_key", hot)
+        )
+        dim = (
+            load_table(spark, sf_dir, "orders")
+            .select(F.col("o_orderkey").alias("hot_key"))
+            .union(spark.range(1).select(F.lit(0).cast("long").alias("hot_key")))
+        )
+        j = li.join(dim, "hot_key").groupBy("l_returnflag").count()
+        j.collect()
+        final = plans.plan_text(j)
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
