@@ -505,7 +505,60 @@ ORDER BY user_id, missing_day
 """
 
 
+def inter_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival analytics: per-user purchase-to-purchase gaps, rolled
+    into one fleet row — repeat-purchase cadence (n gaps, exact mean gap,
+    exact p50/p90 gap, all in minutes). One entity-keyed window computes the
+    lag on integer epoch micros; the global aggregate runs over |purchases|
+    gap rows. Mean via int64 micros sum; percentiles are the same
+    linear-interpolation pair as `value_percentiles` (Spark `percentile` ≡
+    DuckDB `quantile_cont`), computed on int64 micros and scaled to minutes
+    through one mirrored division."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    gaps = (
+        p.withColumn("gap_us", F.col("t_us") - F.lag("t_us").over(w))
+        .filter(F.col("gap_us").isNotNull())
+        .select("gap_us")
+    )
+    m = 60_000_000.0  # micros per minute
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        round_half_up(
+            F.sum("gap_us").cast("double") / F.count(F.lit(1)).cast("double") / F.lit(m),
+            4,
+        ).alias("mean_gap_min"),
+        round_half_up(F.percentile(F.col("gap_us"), F.lit(0.5)) / F.lit(m), 4).alias(
+            "p50_gap_min"
+        ),
+        round_half_up(F.percentile(F.col("gap_us"), F.lit(0.9)) / F.lit(m), 4).alias(
+            "p90_gap_min"
+        ),
+    )
+
+
+_INTER_PURCHASE_SQL = f"""
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us
+  FROM events WHERE event_type = 'purchase'),
+gaps AS (
+  SELECT t_us - LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+           AS gap_us
+  FROM p)
+SELECT COUNT(*) AS n_gaps,
+       {sql_round_half_up("CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 60000000.0", 4)} AS mean_gap_min,
+       {sql_round_half_up("quantile_cont(gap_us, 0.5) / 60000000.0", 4)} AS p50_gap_min,
+       {sql_round_half_up("quantile_cont(gap_us, 0.9) / 60000000.0", 4)} AS p90_gap_min
+FROM gaps
+WHERE gap_us IS NOT NULL
+"""
+
+
 QUERIES = {
+    "inter_purchase_gaps": inter_purchase_gaps,
     "user_missing_days": user_missing_days,
     "cohort_retention": cohort_retention,
     "rolling_7d_active_users": rolling_7d_active_users,
@@ -518,6 +571,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "inter_purchase_gaps": _INTER_PURCHASE_SQL,
     "user_missing_days": _MISSING_DAYS_SQL,
     "cohort_retention": _COHORT_SQL,
     "rolling_7d_active_users": _ROLLING_7D_SQL,

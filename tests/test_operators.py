@@ -523,3 +523,16 @@ def test_latency_histogram_shares(spark, sf_dir):
     assert {r["bucket"] for r in out} <= {"lt_5m", "5m_to_15m", "15m_to_1h"}
     assert 0 < sum(r["n_views"] for r in out) <= n_views  # each view ≤ once
     assert abs(sum(r["share"] for r in out) - 1.0) < 1e-3
+
+
+def test_inter_purchase_gap_counts(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import timeseries
+
+    r = timeseries.inter_purchase_gaps(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    n_p = purchases.count()
+    n_buyers = purchases.select("user_id").distinct().count()
+    assert r["n_gaps"] == n_p - n_buyers  # one fewer gap than events per user
+    assert 0 < r["p50_gap_min"] <= r["p90_gap_min"]
+    assert r["mean_gap_min"] > 0
