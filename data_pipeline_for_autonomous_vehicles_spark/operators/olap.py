@@ -430,6 +430,80 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+_DECILES = [i / 10.0 for i in range(1, 10)]
+
+
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile segmentation of customers by total order spend — the
+    at-scale substitute for NTILE: a global NTILE needs a single-partition
+    window over every customer, while this shape computes the nine exact
+    percentile BOUNDARIES on the per-customer aggregate (tiny frame), then
+    assigns deciles with a broadcast compare — fully parallel at any
+    cardinality. Bucket rule: decile = 1 + #{boundaries < spend}, ties land
+    in the lower bucket; boundaries are linear-interpolated percentiles, so
+    bucket populations may differ by ±1-ish from a rank-based NTILE at tied
+    values — the standard boundary-bucketing semantics, identical in both
+    engines.
+
+    Spend is exact (int64 cents); the report per decile is count + exact
+    min/max/total spend.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    bounds = spend.agg(
+        *[
+            F.percentile(F.col("cents"), F.lit(p)).alias(f"b{int(p * 10)}")
+            for p in _DECILES
+        ]
+    )
+    decile = (
+        F.lit(1)
+        + sum(
+            F.when(F.col("cents").cast("double") > F.col(f"b{int(p * 10)}"), 1).otherwise(0)
+            for p in _DECILES
+        )
+    ).cast("long")
+    return (
+        spend.crossJoin(F.broadcast(bounds))
+        .select("o_custkey", "cents", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.min("cents").cast("double") / F.lit(100.0)).alias("spend_min"),
+            (F.max("cents").cast("double") / F.lit(100.0)).alias("spend_max"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("spend_total"),
+        )
+        .orderBy("decile")
+    )
+
+
+_DECILE_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey),
+bounds AS (
+  SELECT {", ".join(f"quantile_cont(cents, {p}) AS b{int(p * 10)}" for p in _DECILES)}
+  FROM spend),
+assigned AS (
+  SELECT o_custkey, cents,
+         CAST(1 + {" + ".join(f"CASE WHEN CAST(cents AS DOUBLE) > b{int(p * 10)} THEN 1 ELSE 0 END" for p in _DECILES)} AS BIGINT) AS decile
+  FROM spend CROSS JOIN bounds)
+SELECT decile,
+       COUNT(*) AS n_customers,
+       CAST(MIN(cents) AS DOUBLE) / 100.0 AS spend_min,
+       CAST(MAX(cents) AS DOUBLE) / 100.0 AS spend_max,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS spend_total
+FROM assigned
+GROUP BY decile
+ORDER BY decile
+"""
+
+
 def distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DISTINCT-aggregate twin (expand + two-phase agg in Spark)."""
     ev = load_table(spark, sf_dir, "events")
@@ -826,6 +900,7 @@ QUERIES = {
     "value_percentiles": value_percentiles,
     "approx_distinct_users": approx_distinct_users,
     "approx_value_percentiles": approx_value_percentiles,
+    "customer_spend_deciles": customer_spend_deciles,
     "distinct_users_exact": distinct_users_exact,
     "status_priority_grouping_sets": status_priority_grouping_sets,
     "user_metric_unpivot": user_metric_unpivot,
@@ -847,7 +922,9 @@ ORACLES = {
     "churned_users": _CHURNED_SQL,
     "event_value_stats": _STATS_SQL,
     "value_percentiles": _PCT_SQL,
-    # approx_distinct_users: rows-only by design (sketches differ per engine)
+    # approx_distinct_users / approx_value_percentiles: rows-only by design
+    # (sketch implementations differ per engine)
+    "customer_spend_deciles": _DECILE_SQL,
     "distinct_users_exact": _DISTINCT_SQL,
     "status_priority_grouping_sets": _GROUPING_SETS_SQL,
     "user_metric_unpivot": _UNPIVOT_SQL,

@@ -536,3 +536,19 @@ def test_inter_purchase_gap_counts(spark, sf_dir):
     assert r["n_gaps"] == n_p - n_buyers  # one fewer gap than events per user
     assert 0 < r["p50_gap_min"] <= r["p90_gap_min"]
     assert r["mean_gap_min"] > 0
+
+
+def test_spend_deciles_partition_customers(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import olap
+
+    out = olap.customer_spend_deciles(spark, sf_dir).collect()
+    n_cust = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in out) == n_cust
+    assert [r["decile"] for r in out] == sorted(r["decile"] for r in out)
+    # buckets are value-ordered: each decile's max ≤ the next decile's min
+    for lo, hi in zip(out, out[1:]):
+        assert lo["spend_max"] <= hi["spend_min"]
+        # roughly equal populations (boundary bucketing, ±interpolation slack)
+        assert abs(lo["n_customers"] - n_cust / 10) <= max(2, n_cust * 0.02)
