@@ -123,12 +123,63 @@ ORDER BY pattern
 """
 
 
+PREFIX_LEN = 12
+TOP_JOURNEYS = 10
+
+
+def top_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-pattern mining lite: the TOP_JOURNEYS most common journey
+    PREFIXES (first PREFIX_LEN events) with user counts and share. Prefixes
+    keep the group key bounded no matter how active a user is; the regroup
+    runs on the one-row-per-user journey frame, and top-k is a
+    TakeOrderedAndProject. Tie-break: prefix ascending."""
+    j = _journeys(spark, sf_dir)
+    prefixes = j.select(F.substring("journey", 1, PREFIX_LEN).alias("journey_prefix"))
+    counts = prefixes.groupBy("journey_prefix").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    total = counts.agg(F.sum("n_users").alias("n_total"))
+    from ..functions.scalars import round_half_up
+
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "journey_prefix",
+            "n_users",
+            round_half_up(
+                F.col("n_users").cast("double") / F.col("n_total").cast("double"), 4
+            ).alias("user_share"),
+        )
+        .orderBy(F.desc("n_users"), F.asc("journey_prefix"))
+        .limit(TOP_JOURNEYS)
+    )
+
+
+def _sql_top_journeys() -> str:
+    return f"""
+WITH {_JOURNEY_CTE},
+prefixes AS (
+  SELECT SUBSTRING(journey, 1, {PREFIX_LEN}) AS journey_prefix FROM journeys),
+counts AS (
+  SELECT journey_prefix, COUNT(*) AS n_users FROM prefixes GROUP BY journey_prefix)
+SELECT journey_prefix, n_users,
+       CAST(FLOOR((CAST(n_users AS DOUBLE)
+             / CAST((SELECT SUM(n_users) FROM counts) AS DOUBLE)) * 10000.0 + 0.5)
+            AS DOUBLE) / 10000.0 AS user_share
+FROM counts
+ORDER BY n_users DESC, journey_prefix ASC
+LIMIT {TOP_JOURNEYS}
+"""
+
+
 QUERIES = {
     "user_journey_patterns": user_journey_patterns,
     "journey_pattern_counts": journey_pattern_counts,
+    "top_journeys": top_journeys,
 }
 
 ORACLES = {
     "user_journey_patterns": _sql_patterns(),
     "journey_pattern_counts": _sql_pattern_counts(),
+    "top_journeys": _sql_top_journeys(),
 }

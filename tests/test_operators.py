@@ -552,3 +552,16 @@ def test_spend_deciles_partition_customers(spark, sf_dir):
         assert lo["spend_max"] <= hi["spend_min"]
         # roughly equal populations (boundary bucketing, ±interpolation slack)
         assert abs(lo["n_customers"] - n_cust / 10) <= max(2, n_cust * 0.02)
+
+
+def test_top_journeys_shares_and_order(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import sequences
+
+    out = sequences.top_journeys(spark, sf_dir).collect()
+    assert 1 <= len(out) <= sequences.TOP_JOURNEYS
+    counts = [r["n_users"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    for r in out:
+        assert 1 <= len(r["journey_prefix"]) <= sequences.PREFIX_LEN
+        assert set(r["journey_prefix"]) <= set("cepsv")
+        assert 0 < r["user_share"] <= 1
