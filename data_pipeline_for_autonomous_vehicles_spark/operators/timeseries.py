@@ -557,7 +557,55 @@ WHERE gap_us IS NOT NULL
 """
 
 
+def event_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity matrix with share of total — the
+    load-shape report behind capacity planning and anomaly baselines. One
+    hash agg to ≤168 cells; the total re-aggregates the cell frame.
+    Day-part portability: Spark's `dayofweek` is 1=Sunday while DuckDB's
+    `dayofweek` is 0=Sunday — both sides use the ISO convention instead
+    (Spark `weekday(ts)+1`, DuckDB `isodow(ts)`: 1=Monday…7=Sunday)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (F.expr("weekday(ts)") + F.lit(1)).cast("long").alias("dow_iso"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .groupBy("dow_iso", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    total = cells.agg(F.sum("n_events").alias("n_total"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "dow_iso",
+            "hour",
+            "n_events",
+            round_half_up(
+                F.col("n_events").cast("double") / F.col("n_total").cast("double"), 5
+            ).alias("share"),
+        )
+        .orderBy("dow_iso", "hour")
+    )
+
+
+_SEASONALITY_SQL = """
+WITH cells AS (
+  SELECT CAST(isodow(ts) AS BIGINT) AS dow_iso,
+         CAST(hour(ts) AS BIGINT) AS hour,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY 1, 2)
+SELECT dow_iso, hour, n_events,
+       CAST(FLOOR((CAST(n_events AS DOUBLE)
+             / CAST((SELECT SUM(n_events) FROM cells) AS DOUBLE)) * 100000.0 + 0.5)
+            AS DOUBLE) / 100000.0 AS share
+FROM cells
+ORDER BY dow_iso, hour
+"""
+
+
 QUERIES = {
+    "event_seasonality": event_seasonality,
     "inter_purchase_gaps": inter_purchase_gaps,
     "user_missing_days": user_missing_days,
     "cohort_retention": cohort_retention,
@@ -571,6 +619,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_seasonality": _SEASONALITY_SQL,
     "inter_purchase_gaps": _INTER_PURCHASE_SQL,
     "user_missing_days": _MISSING_DAYS_SQL,
     "cohort_retention": _COHORT_SQL,

@@ -565,3 +565,15 @@ def test_top_journeys_shares_and_order(spark, sf_dir):
         assert 1 <= len(r["journey_prefix"]) <= sequences.PREFIX_LEN
         assert set(r["journey_prefix"]) <= set("cepsv")
         assert 0 < r["user_share"] <= 1
+
+
+def test_seasonality_covers_all_events(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import timeseries
+
+    out = timeseries.event_seasonality(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in out) == n
+    assert len(out) <= 168
+    for r in out:
+        assert 1 <= r["dow_iso"] <= 7 and 0 <= r["hour"] <= 23
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-2
