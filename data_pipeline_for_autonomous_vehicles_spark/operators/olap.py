@@ -141,6 +141,47 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 VariantType path over the same JSONB-surrogate column:
+    `parse_json` shreds props to a binary variant ONCE, `try_variant_get`
+    extracts a typed field without re-parsing text per access — the
+    semi-structured layout that replaces per-query string parsing
+    (`props_json_stats` is the classic `get_json_object` twin). At 100 TB
+    the variant parse is paid once per row scan instead of once per
+    extracted path, and open-schema columns stay queryable without
+    migrations. Output: per type, parse coverage, distinct k, exact mean k.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("k").alias("n_with_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+            round_half_up(
+                F.sum("k").cast("double") / F.count("k").cast("double"), 4
+            ).alias("mean_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PROPS_VARIANT_SQL = f"""
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(k) AS n_with_k,
+       COUNT(DISTINCT k) AS n_distinct_k,
+       {sql_round_half_up("CAST(SUM(k) AS DOUBLE) / CAST(COUNT(k) AS DOUBLE)", 4)} AS mean_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events) t
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 _PROPS_JSON_SQL = """
 SELECT event_type,
        COUNT(k) AS n_with_k, MIN(k) AS min_k, MAX(k) AS max_k, SUM(k) AS sum_k
@@ -892,6 +933,7 @@ QUERIES = {
     "orders_rollup": orders_rollup,
     "orders_cube": orders_cube,
     "props_json_stats": props_json_stats,
+    "props_variant_stats": props_variant_stats,
     "value_histogram": value_histogram,
     "value_k_correlation": value_k_correlation,
     "retained_users": retained_users,
@@ -916,6 +958,7 @@ ORACLES = {
     "orders_cube": _CUBE_SQL,
     "lang_source_chi2": _CHI2_SQL,
     "props_json_stats": _PROPS_JSON_SQL,
+    "props_variant_stats": _PROPS_VARIANT_SQL,
     "value_histogram": _HISTOGRAM_SQL,
     "value_k_correlation": _CORR_SQL,
     "retained_users": _RETAINED_SQL,

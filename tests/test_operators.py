@@ -577,3 +577,15 @@ def test_seasonality_covers_all_events(spark, sf_dir):
     for r in out:
         assert 1 <= r["dow_iso"] <= 7 and 0 <= r["hour"] <= 23
     assert abs(sum(r["share"] for r in out) - 1.0) < 1e-2
+
+
+def test_variant_stats_agree_with_json_path(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import olap
+
+    variant = {r["event_type"]: r for r in olap.props_variant_stats(spark, sf_dir).collect()}
+    legacy = {r["event_type"]: r for r in olap.props_json_stats(spark, sf_dir).collect()}
+    assert set(variant) == set(legacy)
+    for et, v in variant.items():
+        # two extraction paths, one answer
+        assert v["n_with_k"] == legacy[et]["n_with_k"]
+        assert v["n_rows"] >= v["n_with_k"] >= v["n_distinct_k"] >= 1
