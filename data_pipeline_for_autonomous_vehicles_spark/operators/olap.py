@@ -545,6 +545,41 @@ ORDER BY decile
 """
 
 
+def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-sketch COUNT DISTINCT — the re-aggregatable path that
+    `caggs.py` uses for sums, extended to distincts: per-day Datasketches
+    HLL sketches (`hll_sketch_agg`) are the stored rollup, and ANY coarser
+    window is `hll_union_agg` over the daily sketches — no raw rescan. At
+    100 TB the nightly job stores |types|·|days| kilobyte sketches; every
+    dashboard window is a union over them. Rows-only check (sketch binaries
+    are engine-specific); the in-row invariants carry the proof: the
+    union-of-daily estimate must equal the direct whole-range estimate
+    (mergeability), both within HLL error of the exact count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    unioned = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return (
+        unioned.join(direct, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "est_direct",
+            "est_union",
+            (F.col("est_union") == F.col("est_direct")).alias("union_equals_direct"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DISTINCT-aggregate twin (expand + two-phase agg in Spark)."""
     ev = load_table(spark, sf_dir, "events")
@@ -943,6 +978,7 @@ QUERIES = {
     "approx_distinct_users": approx_distinct_users,
     "approx_value_percentiles": approx_value_percentiles,
     "customer_spend_deciles": customer_spend_deciles,
+    "hll_mergeable_distinct": hll_mergeable_distinct,
     "distinct_users_exact": distinct_users_exact,
     "status_priority_grouping_sets": status_priority_grouping_sets,
     "user_metric_unpivot": user_metric_unpivot,

@@ -589,3 +589,15 @@ def test_variant_stats_agree_with_json_path(spark, sf_dir):
         # two extraction paths, one answer
         assert v["n_with_k"] == legacy[et]["n_with_k"]
         assert v["n_rows"] >= v["n_with_k"] >= v["n_distinct_k"] >= 1
+
+
+def test_hll_union_mergeability(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import olap
+
+    out = olap.hll_mergeable_distinct(spark, sf_dir).collect()
+    assert len(out) >= 1
+    for r in out:
+        # union of daily sketches ≡ one whole-range sketch (mergeability)
+        assert r["union_equals_direct"], r
+        # HLL (lgConfigK=12 default) is ~1.6% σ; allow 5σ
+        assert abs(r["est_direct"] - r["exact_users"]) <= max(2, 0.08 * r["exact_users"])
