@@ -37,6 +37,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # naive. Set at runtime so externally created sessions (the driver's)
     # get the same semantics as engine-created ones (session.get_spark).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The driver's parquet stores naive timestamps (no isAdjustedToUTC). With
+    # Spark 4's default inferTimestampNTZ they'd scan as TIMESTAMP_NTZ, which
+    # rejects unix_micros/unix_timestamp and diverges from the oracle's
+    # naive-as-UTC reading. Under a UTC session TZ, LTZ holds the identical
+    # instant, so force the classic TIMESTAMP read.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         # runtime-settable; applied here so externally created sessions
         # (the driver's) read the nanos file correctly too

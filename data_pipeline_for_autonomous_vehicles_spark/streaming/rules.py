@@ -27,11 +27,10 @@ from pyspark.sql import types as T
 
 from ..operators.metrics import derive_alerts
 
-# events schema as scanned with nanosAsLong (ts arrives as int64 nanos)
-EVENTS_NANOS_SCHEMA = T.StructType(
+EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -43,22 +42,21 @@ EVENTS_NANOS_SCHEMA = T.StructType(
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet directory (file streaming source).
 
-    The nanos→micros conversion matches catalog.load_table; a schema is
-    mandatory for streaming reads so the nanosAsLong conf is set explicitly.
+    The explicit schema (mandatory for streaming reads) requests classic
+    TIMESTAMP for `ts`, matching catalog.load_table's naive-as-UTC reading.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # UTC is load-bearing for oracle parity (see catalog.load_table); the
     # streaming path bypasses load_table so it pins the TZ itself
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # the file streaming source requires a directory; events.parquet is a
     # single file inside sf_dir, so stream the dir with a glob filter
-    raw = (
-        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def run_alert_pipeline(
