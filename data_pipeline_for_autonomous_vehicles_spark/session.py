@@ -50,6 +50,16 @@ def get_spark(
         # nanos and convert in catalog.load_table (Spark has no ns timestamps)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Whole-stage codegen emits one compiled class per distinct plan; a
+        # long session running many distinct queries (the bench, the driver's
+        # correctness sweep) fills the JVM's default 240 MB code cache, after
+        # which the JIT disables itself and everything runs interpreted
+        # (observed 4-6x slowdowns on late-bench queries). Reserve enough to
+        # keep compilation alive for hundreds of distinct plans.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
