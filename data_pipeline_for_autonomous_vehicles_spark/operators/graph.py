@@ -61,8 +61,18 @@ def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))  # 1 row, broadcast below
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
 
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", F.expr(f"CAST({PR_SCALE} AS BIGINT) div n").alias("rank"), "n"
+    # outdeg is static across iterations — join it into the rank state ONCE
+    # (suppliers are dangling: outdeg null) so each round needs no re-join
+    # against the degree table, only the contribution shuffle.
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_nodes))
+        .join(F.broadcast(outdeg), nodes.node == outdeg.src, "left")
+        .select(
+            "node",
+            F.expr(f"CAST({PR_SCALE} AS BIGINT) div n").alias("rank"),
+            "n",
+            "outdeg",
+        )
     )
     for _ in range(PR_ITERS):
         # Truncate lineage at each iteration boundary: the rank frame is read
@@ -72,12 +82,12 @@ def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         # eager localCheckpoint per iteration keeps each round one scan
         # (17s → 4s at sf0.01; on a cluster this also caps planning time).
         ranks = ranks.localCheckpoint(eager=True)
-        with_deg = ranks.join(F.broadcast(outdeg), ranks.node == outdeg.src, "left")
-        dangling = with_deg.filter(F.col("outdeg").isNull()).agg(
+        dangling = ranks.filter(F.col("outdeg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dangling")
         )
         contrib = (
-            with_deg.filter(F.col("outdeg").isNotNull())
+            ranks.filter(F.col("outdeg").isNotNull())
+            .withColumnRenamed("node", "src")
             .join(edges, "src")
             .select("dst", F.expr("rank div outdeg").alias("contrib"))
             .groupBy("dst")
@@ -94,6 +104,7 @@ def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "+ (17 * (dangling div n)) div 20 AS BIGINT)"
                 ).alias("rank"),
                 "n",
+                "outdeg",
             )
         )
     # top-k first via orderBy+limit (TakeOrderedAndProject: per-partition
