@@ -448,10 +448,18 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexical score is exact int64 — `ln` differs in the last ulp between
     libm and the JVM, which can flip a rounding at the rank boundary. The
     per-term dfs are ONE corpus aggregate broadcast back (never a per-doc
-    subquery); both rank passes are global windows over scored docs — at
-    true scale each would be a `orderBy().limit(k')` pre-cut (k' ≫ k
-    candidates) before fusing, the same top-k-then-fuse every production
-    retriever does.
+    subquery). Ranking uses a PROVABLE candidate cut instead of a global
+    window (a single-partition sort of every scored doc, the classic
+    scale cliff): with M = 2·(RRF_K + RRF_TOP), the vec-tower top-TOP all
+    survive the id join (shared id space) and each scores ≥
+    1/(RRF_K+RRF_TOP), while any doc outside BOTH tower top-Ms scores
+    < 2/(RRF_K+M+1) = 1/(RRF_K+RRF_TOP+0.5) — strictly below the floor —
+    so the fused top-TOP is contained in the union of the two tower
+    top-Ms. Tower top-Ms are TakeOrderedAndProject (per-partition heaps,
+    no global sort); the candidates' EXACT global ranks are then
+    comparison counts against the full towers via a broadcast join
+    (map-side, embarrassingly parallel) — bit-identical to the
+    row_number() formulation at any scale.
     """
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -486,11 +494,57 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(_cosine(F.col("emb"), F.col("qemb")), 6).alias("vec_score"),
         )
     )
-    w_lex = Window.orderBy(F.desc("lex_score"), F.asc("doc_id"))
-    w_vec = Window.orderBy(F.desc("vec_score"), F.asc("doc_id"))
+    # The tower score frames are read by three branches each (top-M cut,
+    # candidate lookup, comparison counts); materialize them ONCE so the
+    # expensive map work (tokenization / cosine) runs a single time. The
+    # materialized frames are narrow — (id, int64) / (id, double) — so this
+    # is bytes-per-row cheap at any N, unlike re-tokenizing text 3×.
+    lex = lex.localCheckpoint(eager=False)
+    vec = vec.localCheckpoint(eager=False)
+    m_cut = 2 * (RRF_K + RRF_TOP)  # provable bound — see docstring
+    cand = (
+        lex.orderBy(F.desc("lex_score"), F.asc("doc_id"))
+        .limit(m_cut)
+        .select("doc_id")
+        .unionByName(
+            vec.orderBy(F.desc("vec_score"), F.asc("doc_id"))
+            .limit(m_cut)
+            .select("doc_id")
+        )
+        .distinct()
+    )
+    cand_lex = lex.join(F.broadcast(cand), "doc_id")
+    cand_vec = vec.join(F.broadcast(cand), "doc_id")
+
+    def _exact_ranks(tower: DataFrame, cands: DataFrame, score: str, rank_name: str) -> DataFrame:
+        """Global rank of each candidate within its full tower, as
+        1 + count(strictly-better rows), better = (score DESC, doc_id ASC)
+        — identical to row_number() but computed as a broadcast
+        comparison-count: no single-partition sort at any N."""
+        c = cands.select(
+            F.col("doc_id").alias("c_id"), F.col(score).alias("c_score")
+        )
+        better = (F.col(score) > F.col("c_score")) | (
+            (F.col(score) == F.col("c_score")) & (F.col("doc_id") < F.col("c_id"))
+        )
+        counts = (
+            tower.join(F.broadcast(c), better)
+            .groupBy("c_id")
+            .agg(F.count(F.lit(1)).alias("n_better"))
+        )
+        return (
+            c.join(counts, "c_id", "left")
+            .select(
+                F.col("c_id").alias("doc_id"),
+                (F.coalesce(F.col("n_better"), F.lit(0)) + 1)
+                .cast("int")
+                .alias(rank_name),
+            )
+        )
+
     fused = (
-        lex.withColumn("rank_lex", F.row_number().over(w_lex))
-        .join(vec.withColumn("rank_vec", F.row_number().over(w_vec)), "doc_id")
+        _exact_ranks(lex, cand_lex, "lex_score", "rank_lex")
+        .join(_exact_ranks(vec, cand_vec, "vec_score", "rank_vec"), "doc_id")
         .withColumn(
             "rrf_score",
             round_half_up(
