@@ -174,13 +174,15 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: the per-order pair expansion is O(k²) in basket size k —
     real pipelines cap or salt giant baskets (driver baskets are single
-    digits); the wedge join's cost is Σ deg², the textbook bound, and the
-    production mitigation is degree-ordered orientation (orient each edge
-    toward the higher-degree endpoint so every wedge pivots on its
-    LOWEST-degree vertex — same count, hub wedges never materialize). The
-    id-ordering here keeps the plan identical to the ANSI oracle; both
-    orientations are one `orderBy` apart. All joins are equi-joins on part
-    keys — shuffle-partitionable, no cartesian anywhere.
+    digits). The wedge enumeration uses DEGREE-ORDERED orientation (the
+    compact-forward algorithm): each undirected edge is directed toward
+    its higher-(degree, id) endpoint, so every wedge pivots on its
+    lowest-degree vertex and hub wedges never materialize — Σ out-deg² is
+    bounded by O(m^1.5) instead of Σ deg². The count is
+    orientation-invariant, so the ANSI oracle keeps the simpler
+    id-oriented join: identical n_triangles, different physical cost. All
+    joins are equi-joins on part keys — shuffle-partitionable, no
+    cartesian anywhere.
     """
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
@@ -195,14 +197,59 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
         )
         .distinct()
-    )
-    x, y, z = edges.alias("x"), edges.alias("y"), edges.alias("z")
-    tris = x.join(y, F.col("y.p1") == F.col("x.p2")).join(
-        z,
-        (F.col("z.p1") == F.col("x.p1")) & (F.col("z.p2") == F.col("y.p2")),
+        # read by the degree agg, the orientation join, and the count —
+        # materialize once (narrow int64 pairs)
+        .localCheckpoint(eager=False)
     )
     nodes = edges.select(F.col("p1").alias("p")).unionByName(
         edges.select(F.col("p2").alias("p"))
+    )
+    deg = nodes.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
+    # orient u -> v iff (deg(u), u) < (deg(v), v); carry the target's key so
+    # the wedge join can order its two spokes without another lookup
+    du = deg.select(F.col("p").alias("p1"), F.col("deg").alias("deg1"))
+    dv = deg.select(F.col("p").alias("p2"), F.col("deg").alias("deg2"))
+    directed = (
+        edges.join(du, "p1")
+        .join(dv, "p2")
+        .select(
+            F.when(
+                (F.col("deg1") < F.col("deg2"))
+                | ((F.col("deg1") == F.col("deg2")) & (F.col("p1") < F.col("p2"))),
+                F.struct(
+                    F.col("p1").alias("u"),
+                    F.col("p2").alias("v"),
+                    F.col("deg2").alias("vdeg"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("p2").alias("u"),
+                    F.col("p1").alias("v"),
+                    F.col("deg1").alias("vdeg"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.u", "e.v", "e.vdeg")
+        .localCheckpoint(eager=False)
+    )
+    x, y, z = directed.alias("x"), directed.alias("y"), directed.alias("z")
+    # wedge (u->b, u->c) with b before c in the same (deg, id) order; the
+    # closing edge b->c is directed exactly that way, so one equi-join probes it
+    tris = (
+        x.join(
+            y,
+            (F.col("y.u") == F.col("x.u"))
+            & (
+                (F.col("x.vdeg") < F.col("y.vdeg"))
+                | (
+                    (F.col("x.vdeg") == F.col("y.vdeg"))
+                    & (F.col("x.v") < F.col("y.v"))
+                )
+            ),
+        )
+        .join(z, (F.col("z.u") == F.col("x.v")) & (F.col("z.v") == F.col("y.v")))
     )
     return (
         tris.agg(F.count(F.lit(1)).alias("n_triangles"))
