@@ -315,3 +315,29 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_hybrid_rrf_no_global_window(spark, sf_dir):
+    # the fused top-k comes from the provable candidate cut: tower top-Ms
+    # are TakeOrderedAndProject (per-partition heaps), candidate ranks are
+    # broadcast comparison-counts — there must be NO Window over the full
+    # scored-doc relation (the single-partition sort that breaks at scale)
+    from data_pipeline_for_autonomous_vehicles_spark.operators import similarity
+
+    df = similarity.hybrid_search_rrf(spark, sf_dir)
+    txt = plans.plan_text(df)
+    assert "Window" not in txt
+    assert "TakeOrderedAndProject" in txt
+
+
+def test_triangle_census_degree_oriented(spark, sf_dir):
+    # compact-forward wedge join: no cartesian product, and the wedge/close
+    # joins stay equi-keyed (SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin)
+    from data_pipeline_for_autonomous_vehicles_spark.operators import graph
+
+    df = graph.copurchase_triangle_count(spark, sf_dir)
+    assert not plans.uses_cartesian_product(df)
+    # wedge + closing joins are shuffle-partitionable equi joins (the only
+    # nested-loop joins are the 1-row scalar combines for n_edges/n_nodes)
+    txt = plans.plan_text(df)
+    assert "SortMergeJoin" in txt or "ShuffledHashJoin" in txt
