@@ -75,6 +75,46 @@ def write_bucketed(
 
 def append_stream_partitioned(batch_df: DataFrame, path: str, time_col: str = "ts") -> None:
     """foreachBatch-compatible append variant (streaming sinks, SURVEY §2.9
-    R4): same layout, append mode, idempotent per micro-batch under
-    checkpointing."""
+    R4). Plain append is at-least-once under replay (a crash between the
+    data write and the checkpoint commit re-appends the batch) — the same
+    semantics as the reference consumer (SURVEY §2.9 R5). Use
+    `append_stream_exactly_once` when duplicates are not acceptable."""
     write_time_partitioned(batch_df, path, time_col=time_col, mode="append")
+
+
+def append_stream_exactly_once(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    time_col: str = "ts",
+    sort_cols: tuple[str, ...] = ("user_id",),
+) -> None:
+    """Exactly-once foreachBatch sink: each micro-batch lands in its own
+    `batch_id=N` partition via DYNAMIC partition overwrite, so a replayed
+    batch (crash after data write, before checkpoint commit) overwrites
+    its own output instead of appending a duplicate — idempotence comes
+    from the layout, not from a fragile commit-marker protocol.
+
+    This is the "checkpointing gives exactly-once to idempotent sinks"
+    upgrade over the reference's at-least-once consumer (SURVEY §2.9 R5).
+    Readers scan `path` and see `batch_id` as an ordinary partition
+    column (filter it out or drop it); date partitioning nests inside so
+    time-predicate pruning still works. At high volume, compaction
+    (`maintenance.compact_partition`) folds old batch dirs into the
+    steady-state date layout.
+    """
+    spark = batch_df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            batch_df.withColumn(PARTITION_COL, F.to_date(F.col(time_col)))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .repartition(F.col(PARTITION_COL))
+            .sortWithinPartitions(PARTITION_COL, *sort_cols)
+            .write.partitionBy("batch_id", PARTITION_COL)
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

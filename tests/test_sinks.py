@@ -115,3 +115,26 @@ def test_dynamic_partition_pruning_from_dim_join(spark, sf_dir, tmp_path):
     # and the result only covers the dim-selected days
     got = sorted(r["event_date"] for r in joined.collect())
     assert got == days[:2]
+
+
+def test_exactly_once_sink_idempotent_on_replay(spark, sf_dir, tmp_path):
+    """Replaying a micro-batch (same batch_id — the crash-recovery path)
+    must overwrite its own batch partition, not append duplicates; a new
+    batch_id must append. This is the idempotence that upgrades
+    checkpointed streaming to exactly-once (SURVEY §2.9 R5)."""
+    from data_pipeline_for_autonomous_vehicles_spark.sinks import append_stream_exactly_once
+
+    path = str(tmp_path / "alerts")
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    n = ev.count()
+
+    append_stream_exactly_once(ev, 0, path)
+    append_stream_exactly_once(ev, 0, path)  # replay of batch 0
+    out = spark.read.parquet(path)
+    assert out.count() == n  # no duplicates
+
+    append_stream_exactly_once(ev, 1, path)  # genuinely new batch
+    out = spark.read.parquet(path)
+    assert out.count() == 2 * n
+    # batch_id and event_date are partition columns readers can prune on
+    assert {"batch_id", "event_date"} <= set(out.columns)
