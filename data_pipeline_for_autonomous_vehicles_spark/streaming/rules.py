@@ -67,13 +67,24 @@ def run_alert_pipeline(
 ) -> int:
     """Bounded end-to-end run: stream events → rules → parquet alert sink.
 
-    foreachBatch appends each micro-batch (R4); the checkpoint gives
-    exactly-once on restart (R5→upgrade). Returns rows written.
+    foreachBatch lands each micro-batch in its own batch_id partition via
+    `sinks.append_stream_exactly_once` (R4), so checkpoint replay after a
+    crash overwrites rather than duplicates — true exactly-once, the
+    upgrade over the reference's at-least-once consumer (R5). Returns
+    rows written.
     """
+    from ..sinks import append_stream_exactly_once
+
     alerts = derive_alerts(stream_events(spark, sf_dir))
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(output_dir)
+        append_stream_exactly_once(
+            batch_df,
+            epoch_id,
+            output_dir,
+            time_col="time",
+            sort_cols=("vehicle_id",),
+        )
 
     q = (
         alerts.writeStream.foreachBatch(_sink)

@@ -24,7 +24,16 @@ def test_alert_pipeline_foreachbatch_sink(spark, sf_dir, tmp_path):
     n = rules.run_alert_pipeline(spark, sf_dir, str(out), str(ckpt))
     assert n == alerts_batch(spark, sf_dir).count()
     written = spark.read.parquet(str(out))
-    assert set(written.columns) == {"time", "vehicle_id", "alert_type", "alert_message"}
+    # data columns plus the sink's layout partitions (batch-scoped
+    # exactly-once dir + date pruning)
+    assert set(written.columns) == {
+        "time",
+        "vehicle_id",
+        "alert_type",
+        "alert_message",
+        "batch_id",
+        "event_date",
+    }
     # exactly-once: re-running with the same checkpoint adds nothing
     n2 = rules.run_alert_pipeline(spark, sf_dir, str(out), str(ckpt))
     assert n2 == n
