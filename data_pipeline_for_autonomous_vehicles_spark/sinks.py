@@ -100,7 +100,7 @@ def append_stream_exactly_once(
     Readers scan `path` and see `batch_id` as an ordinary partition
     column (filter it out or drop it); date partitioning nests inside so
     time-predicate pruning still works. At high volume, compaction
-    (`maintenance.compact_partition`) folds old batch dirs into the
+    (`maintenance.compact_partitions`) folds old batch dirs into the
     steady-state date layout.
     """
     spark = batch_df.sparkSession

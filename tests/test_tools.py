@@ -1,0 +1,62 @@
+"""Tests for tools/ — the scale-stress data generator.
+
+scale_data must preserve referential integrity under K× replication, or
+the scaled bench would silently measure joins that drop rows (a plan that
+looks fast because it does less work).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from scale_data import scale  # noqa: E402
+
+SRC = "/root/testdata/sf0.001"
+
+
+def test_scale_data_replicates_with_fk_integrity(tmp_path):
+    dst = str(tmp_path / "scaled")
+    scale(2, SRC, dst)
+    con = duckdb.connect()
+
+    # facts and keyed dimensions exactly K×, global enums copied
+    for t, factor in (
+        ("lineitem", 2),
+        ("orders", 2),
+        ("customer", 2),
+        ("events", 2),
+        ("documents", 2),
+        ("region", 1),
+        ("nation", 1),
+    ):
+        n_src = con.execute(f"SELECT COUNT(*) FROM '{SRC}/{t}.parquet'").fetchone()[0]
+        n_dst = con.execute(f"SELECT COUNT(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
+        assert n_dst == factor * n_src, t
+
+    # no FK orphans anywhere in the scaled star schema
+    orphans = con.execute(
+        f"""
+        SELECT
+          (SELECT COUNT(*) FROM '{dst}/lineitem.parquet' l
+            WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM '{dst}/orders.parquet')) +
+          (SELECT COUNT(*) FROM '{dst}/lineitem.parquet' l
+            WHERE l.l_partkey NOT IN (SELECT p_partkey FROM '{dst}/part.parquet')) +
+          (SELECT COUNT(*) FROM '{dst}/lineitem.parquet' l
+            WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM '{dst}/supplier.parquet')) +
+          (SELECT COUNT(*) FROM '{dst}/orders.parquet' o
+            WHERE o.o_custkey NOT IN (SELECT c_custkey FROM '{dst}/customer.parquet'))
+        """
+    ).fetchone()[0]
+    assert orphans == 0
+
+    # keys stay unique after offsetting (no replica collisions)
+    for t, k in (("orders", "o_orderkey"), ("customer", "c_custkey"), ("events", "event_id")):
+        dup = con.execute(
+            f"SELECT COUNT(*) - COUNT(DISTINCT {k}) FROM '{dst}/{t}.parquet'"
+        ).fetchone()[0]
+        assert dup == 0, t
