@@ -201,3 +201,63 @@ def test_python_datasource_stream_equals_batch(spark, tmp_path):
     got = spark.table("opensky_replay_stream")
     batch = spark.read.format("opensky_replay").options(**opts).load()
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_replay_stream_paces_one_bucket_per_batch(spark, sf_dir, tmp_path):
+    """S7 rate-controlled replay: the recording is split by event-time
+    bucket and replayed one bucket per micro-batch. Each batch must carry
+    exactly one bucket's rows (no splitting, no merging) and the stream
+    must deliver every row exactly once."""
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.sources.replay import (
+        replay_stream,
+        split_by_time_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lo, hi = ev.agg(
+        F.unix_timestamp(F.min("ts")), F.unix_timestamp(F.max("ts"))
+    ).first()
+    bucket_s = max((hi - lo) // 4, 1)  # ~5 buckets
+    out = str(tmp_path / "buckets")
+    n_buckets = split_by_time_bucket(ev, out, time_col="ts", bucket_seconds=bucket_s)
+    assert n_buckets >= 2
+
+    stream, trigger = replay_stream(
+        spark, out, ev.schema, speed_factor=bucket_s * 100.0, bucket_seconds=bucket_s
+    )
+    batches = []
+
+    def _collect(batch_df, batch_id):
+        row = batch_df.agg(
+            F.count(F.lit(1)), F.min("ts"), F.max("ts")
+        ).first()
+        batches.append((batch_id, row[0], row[1], row[2]))
+
+    q = (
+        stream.writeStream.foreachBatch(_collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(**trigger)
+        .start()
+    )
+    import time as _t
+
+    deadline = _t.time() + 120
+    total = ev.count()
+    while _t.time() < deadline and sum(b[1] for b in batches) < total:
+        _t.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+
+    nonempty = [b for b in batches if b[1] > 0]
+    assert sum(b[1] for b in nonempty) == total  # every row exactly once
+    assert len(nonempty) == n_buckets  # one bucket per micro-batch
+    # batches' event-time spans never straddle a bucket boundary (buckets
+    # are absolute-epoch aligned: floor(epoch_seconds / bucket_s))
+    import datetime as _dt
+
+    epoch = _dt.datetime(1970, 1, 1)
+    for _, _, mn, mx in nonempty:
+        assert int((mn - epoch).total_seconds()) // bucket_s == int(
+            (mx - epoch).total_seconds()
+        ) // bucket_s
