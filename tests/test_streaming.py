@@ -136,3 +136,73 @@ def test_stream_static_enrichment_matches_batch_join(spark, sf_dir):
         .collect()
     }
     assert out == batch
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics, end to end: a row arriving after the watermark
+    has passed its window must be dropped, and the finalized window's
+    count must reflect only the on-time rows. Three single-file
+    micro-batches (mtime-ordered, maxFilesPerTrigger=1): on-time rows →
+    watermark-advancing row → late row."""
+    import os
+    import time as _t
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def _write(name, rows, mtime):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        p = str(src / name)
+        df.write.mode("overwrite").parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(p, (mtime, mtime))
+
+    import datetime as dt
+
+    d = dt.datetime(2024, 1, 1)
+    now = _t.time()
+    _write("a.parquet", [(d.replace(hour=10, minute=5), 1), (d.replace(hour=10, minute=15), 2)], now - 400)
+    _write("b.parquet", [(d.replace(hour=20, minute=0), 3)], now - 300)
+    # c's batch runs with watermark 19:00 → window 10–11 is finalized
+    # (emitted + evicted) BEFORE the late row exists in the stream
+    _write("c.parquet", [(d.replace(hour=20, minute=30), 4)], now - 200)
+    _write("d.parquet", [(d.replace(hour=10, minute=20), 5)], now - 100)  # late
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src) + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    name = "late_drop_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    ten = [r["n"] for r in rows if r["w_start"] == d.replace(hour=10)]
+    # the 10:00 window finalized with ONLY the two on-time rows, emitted
+    # exactly once; the late 10:20 row (behind the 19:00 watermark, window
+    # already evicted) was dropped — neither merged nor re-emitted
+    assert ten == [2]
