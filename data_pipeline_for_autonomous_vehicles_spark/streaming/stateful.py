@@ -25,7 +25,7 @@ watermark-ordered replay from the checkpoint.
 
 from __future__ import annotations
 
-from typing import Any, Iterator
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
