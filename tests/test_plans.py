@@ -341,3 +341,16 @@ def test_triangle_census_degree_oriented(spark, sf_dir):
     # nested-loop joins are the 1-row scalar combines for n_edges/n_nodes)
     txt = plans.plan_text(df)
     assert "SortMergeJoin" in txt or "ShuffledHashJoin" in txt
+
+
+def test_shipment_proximity_is_equi_join_banded(spark, sf_dir):
+    # cross-table banded join must stay an equi-join on (customer, cell)
+    # with the band as a post-join filter — no cartesian/nested-loop pair
+    # generation, and the anchor-side explode is the only row expansion
+    from data_pipeline_for_autonomous_vehicles_spark.operators import temporal
+
+    df = temporal.order_shipment_proximity(spark, sf_dir)
+    assert not plans.uses_cartesian_product(df)
+    txt = plans.plan_text(df)
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "Generate" in txt  # the 3-cell explode
