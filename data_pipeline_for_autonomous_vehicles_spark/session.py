@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Spark's 10 MB default broadcast cutoff is sized for laptops; on the
+        # target deployment (>=4 GB/core, SCALE.md §1) every true dimension
+        # of this schema fits comfortably at 64 MB, keeping q5/q21-class
+        # multi-dim joins broadcast even when dimensions grow 100x. AQE
+        # still downgrades at runtime if a build side proves too large.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.ui.enabled", "false")
         # the driver's events.parquet stores TIMESTAMP(NANOS); read as int64
         # nanos and convert in catalog.load_table (Spark has no ns timestamps)
