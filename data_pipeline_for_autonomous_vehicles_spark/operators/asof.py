@@ -230,9 +230,9 @@ carried AS (
   FROM tagged)
 SELECT user_id,
        COUNT(*) AS n_purchases,
-       SUM(CASE WHEN view_ts IS NOT NULL
+       CAST(SUM(CASE WHEN view_ts IS NOT NULL
                  AND epoch_us(t) - epoch_us(view_ts) <= {FUNNEL_WINDOW_S * 1_000_000}
-            THEN 1 ELSE 0 END) AS n_converted
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
 FROM carried WHERE is_left = 1
 GROUP BY user_id
 ORDER BY user_id

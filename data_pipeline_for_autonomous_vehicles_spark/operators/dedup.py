@@ -555,7 +555,7 @@ SELECT d.lang,
        CASE WHEN CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
                  < {TRAIN_PCT}
             THEN 'train' ELSE 'holdout' END AS split,
-       COUNT(*) AS n_docs, SUM(d.n_chars) AS total_chars
+       COUNT(*) AS n_docs, CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
 FROM documents d
 JOIN (SELECT doc_id FROM ({_sql_near_dup_clusters()}) c
       WHERE doc_id = cluster_id) reps USING (doc_id)

@@ -108,8 +108,8 @@ def drift_psi_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BINNED_CTE = f"""
 counts AS (
   SELECT LEAST({N_BINS - 1}, CAST(FLOOR(value / {BIN_WIDTH!r}) AS BIGINT)) AS bin_id,
-         SUM(CASE WHEN ts < TIMESTAMP '{BASELINE_END}' THEN 1 ELSE 0 END) AS n_base,
-         SUM(CASE WHEN ts < TIMESTAMP '{BASELINE_END}' THEN 0 ELSE 1 END) AS n_curr
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '{BASELINE_END}' THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '{BASELINE_END}' THEN 0 ELSE 1 END) AS BIGINT) AS n_curr
   FROM events
   GROUP BY 1),
 scalars AS (

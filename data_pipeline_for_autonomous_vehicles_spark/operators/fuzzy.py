@@ -114,7 +114,7 @@ mapped AS (
   FROM names a JOIN names b ON a.block = b.block
   WHERE levenshtein(a.p_name, b.p_name) <= {MAX_EDIT_DISTANCE}
   GROUP BY a.p_name, a.n_parts)
-SELECT canonical, COUNT(*) AS n_names, SUM(n_parts) AS n_parts
+SELECT canonical, COUNT(*) AS n_names, CAST(SUM(n_parts) AS BIGINT) AS n_parts
 FROM mapped
 GROUP BY canonical
 ORDER BY canonical

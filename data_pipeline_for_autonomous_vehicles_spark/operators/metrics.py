@@ -475,7 +475,7 @@ def autopilot_engagement(
 
 _AUTOPILOT_SQL = f"""
 SELECT user_id AS vehicle_id,
-       SUM(CASE WHEN value > {ENGAGED_THRESHOLD} THEN 1 ELSE 0 END) AS engaged_rows,
+       CAST(SUM(CASE WHEN value > {ENGAGED_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS engaged_rows,
        COUNT(*) AS total_rows,
        CAST(FLOOR((100.0 * CAST(SUM(CASE WHEN value > {ENGAGED_THRESHOLD} THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(NULLIF(COUNT(*), 0) AS DOUBLE)) * 100.0 + 0.5) AS DOUBLE) / 100.0 AS engagement_pct

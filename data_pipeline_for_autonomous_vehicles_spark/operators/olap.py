@@ -46,7 +46,7 @@ def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIVOT_SQL = f"""
 SELECT user_id,
-       {", ".join(f"COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END), 0) AS {t}" for t in EVENT_TYPES)}
+       {", ".join(f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END), 0) AS BIGINT) AS {t}" for t in EVENT_TYPES)}
 FROM events
 GROUP BY user_id
 ORDER BY user_id
@@ -184,7 +184,7 @@ ORDER BY event_type
 
 _PROPS_JSON_SQL = """
 SELECT event_type,
-       COUNT(k) AS n_with_k, MIN(k) AS min_k, MAX(k) AS max_k, SUM(k) AS sum_k
+       COUNT(k) AS n_with_k, MIN(k) AS min_k, MAX(k) AS max_k, CAST(SUM(k) AS BIGINT) AS sum_k
 FROM (
   SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events) t
@@ -677,7 +677,7 @@ def user_metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNPIVOT_SQL = f"""
 WITH wide AS (
   SELECT user_id,
-         {", ".join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in EVENT_TYPES)}
+         {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in EVENT_TYPES)}
   FROM events GROUP BY user_id
 )
 SELECT user_id, metric, n

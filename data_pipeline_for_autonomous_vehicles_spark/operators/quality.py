@@ -88,7 +88,7 @@ SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val,
 FROM (
   SELECT col_name,
          COUNT(*) AS n_rows,
-         SUM(CASE WHEN sval IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         CAST(SUM(CASE WHEN sval IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
          COUNT(DISTINCT sval) AS n_distinct,
          MIN(dval) AS min_val,
          MAX(dval) AS max_val

@@ -174,7 +174,7 @@ tf AS (
   GROUP BY doc_id, term)
 SELECT term,
        COUNT(*) AS df,
-       SUM(tf) AS total_tf,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
        list_sort(list(doc_id))[1:{POSTINGS_CAP}] AS top_doc_ids
 FROM tf
 GROUP BY term

@@ -112,7 +112,7 @@ ORDER BY user_id
 def _sql_pattern_counts() -> str:
     arms = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS pattern, "
-        f"SUM(CASE WHEN REGEXP_MATCHES(journey, '{pat}') THEN 1 ELSE 0 END) AS n_users "
+        f"CAST(SUM(CASE WHEN REGEXP_MATCHES(journey, '{pat}') THEN 1 ELSE 0 END) AS BIGINT) AS n_users "
         "FROM journeys"
         for name, pat in PATTERNS.items()
     )

@@ -190,7 +190,7 @@ pairs AS (
   GROUP BY 1, 2)
 SELECT cust AS custkey,
        COUNT(*) AS n_orders_with_nearby,
-       SUM(n_near) AS n_pairs,
+       CAST(SUM(n_near) AS BIGINT) AS n_pairs,
        MAX(n_near) AS max_pairs_one_order
 FROM pairs
 GROUP BY cust

@@ -167,7 +167,7 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LANG_DIST_SQL = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(FLOOR((CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS avg_chars
 FROM documents
 GROUP BY lang
@@ -391,7 +391,7 @@ _STRATA_CASE = (
 )
 _STRATIFIED_SQL = f"""
 SELECT lang, target_pct, COUNT(*) AS n_total,
-       SUM(CASE WHEN bucket < target_pct THEN 1 ELSE 0 END) AS n_sampled
+       CAST(SUM(CASE WHEN bucket < target_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
 FROM (
   SELECT lang,
          CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
@@ -435,7 +435,7 @@ def token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PACK_SQL = f"""
-SELECT lang, bin_id, COUNT(*) AS n_docs, SUM(n_chars) AS bin_chars
+SELECT lang, bin_id, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS bin_chars
 FROM (
   SELECT lang, n_chars,
          CAST(FLOOR(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
@@ -511,9 +511,9 @@ scrubbed AS (
   FROM raw)
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(len(regexp_extract_all(raw, '{_EMAIL_RE}'))) AS n_emails,
-       SUM(len(regexp_extract_all(raw, '{_PHONE_RE}'))) AS n_phones,
-       SUM(len(raw) - len(redacted)) AS chars_removed
+       CAST(SUM(len(regexp_extract_all(raw, '{_EMAIL_RE}'))) AS BIGINT) AS n_emails,
+       CAST(SUM(len(regexp_extract_all(raw, '{_PHONE_RE}'))) AS BIGINT) AS n_phones,
+       CAST(SUM(len(raw) - len(redacted)) AS BIGINT) AS chars_removed
 FROM scrubbed
 GROUP BY source
 ORDER BY source

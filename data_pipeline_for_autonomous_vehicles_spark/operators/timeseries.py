@@ -133,7 +133,7 @@ WITH hourly AS (
          SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS v_e2
   FROM events GROUP BY 1)
 SELECT CAST(bucket_h AS DATE) AS day,
-       SUM(n_events) AS n_events,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
        CAST(SUM(v_e2) AS DOUBLE) / 100.0 AS sum_value,
        COUNT(*) AS active_hours
 FROM hourly

@@ -217,27 +217,107 @@ ORDER BY user_id
 
 
 # --- ranking-function zoo (rank / dense_rank / ntile) ------------------------
+#
+# None of these may use a GLOBAL window (Window.orderBy with no partitionBy):
+# that plan funnels the whole input through one task — correct at sf0.1,
+# dead at 100×. Instead, exact global ranks are computed with the same
+# two-pass boundary/broadcast idea as olap.customer_spend_deciles:
+#
+#   1. reduce to a distinct-key table (one row per key value, with a count);
+#   2. range-repartition it in rank order and take per-range-partition
+#      subtotals — a constant-size table (≤ shuffle-partition count rows per
+#      part group), whose prefix sums give each partition's global offset;
+#   3. broadcast the offsets back; a window per (range-partition, group)
+#      — bounded by partition size, never the full data — finishes the
+#      tie-aware running counts.
+#
+# rank / dense_rank / percent_rank / cume_dist / ntile are all pure
+# functions of those counts, so the results are bit-identical to the
+# single-window formulation the oracles use.
+
+
+def _tie_aware_running(
+    dist: DataFrame, part_cols: list[str], order_col: str, *, ascending: bool, n_parts: int
+) -> DataFrame:
+    """Exact global tie-aware running counts over a distinct-key table,
+    with no data-sized single-partition window.
+
+    `dist` must hold one row per (part_cols…, order_col) key with a `cnt`
+    column. Adds `rows_before` (total cnt of keys strictly before this key
+    in the given order, within its part group) and `keys_before` (distinct
+    keys strictly before). rank = rows_before+1, dense_rank = keys_before+1,
+    cume counts = rows_before + cnt.
+    """
+    okey = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    d = dist.repartitionByRange(
+        n_parts, *[F.col(c) for c in part_cols], okey
+    ).withColumn("_pid", F.spark_partition_id())
+    seg = d.groupBy("_pid", *part_cols).agg(
+        F.sum("cnt").alias("_rows"), F.count(F.lit(1)).alias("_keys")
+    )
+    # Prefix offsets over the tiny per-partition subtotal table via a
+    # conditional self-join (≤ n_parts² pairs) — not a global window.
+    cond = F.col("b._pid") < F.col("a._pid")
+    for c in part_cols:
+        cond = cond & (F.col(f"b.{c}") == F.col(f"a.{c}"))
+    offs = (
+        seg.alias("a")
+        .join(seg.alias("b"), cond, "left")
+        .groupBy(F.col("a._pid").alias("_pid"), *[F.col(f"a.{c}").alias(c) for c in part_cols])
+        .agg(
+            F.coalesce(F.sum("b._rows"), F.lit(0)).alias("_rows_off"),
+            F.coalesce(F.sum("b._keys"), F.lit(0)).alias("_keys_off"),
+        )
+    )
+    wloc = Window.partitionBy("_pid", *part_cols).orderBy(okey)
+    run = F.sum("cnt").over(wloc.rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        d.join(F.broadcast(offs), ["_pid", *part_cols])
+        .withColumn("rows_before", F.col("_rows_off") + F.coalesce(run, F.lit(0)))
+        .withColumn("keys_before", F.col("_keys_off") + F.row_number().over(wloc) - 1)
+        .drop("_pid", "_rows_off", "_keys_off")
+    )
+
+
+def _n_shuffle_parts(spark: SparkSession) -> int:
+    return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
 
 def supplier_revenue_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers ranked by exact total revenue: row_number, rank and
     dense_rank side by side (ties — identical revenues — make the three
     functions diverge; exact int revenue keeps tie structure identical in
-    both engines)."""
+    both engines).
+
+    Scale shape: ranks come from `_tie_aware_running` over the distinct
+    revenue values — no global window. The only per-tie window partitions
+    by rev_e4 (bounded by tie multiplicity); ties in exact int revenue are
+    rare by construction."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     rev_e4 = F.floor(
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(10_000.0)
         + F.lit(0.5)
     ).cast("long")
     totals = lineitem.groupBy("l_suppkey").agg(F.sum(rev_e4).alias("rev_e4"))
-    w = Window.orderBy(F.desc("rev_e4"), F.asc("l_suppkey"))
-    w_ties = Window.orderBy(F.desc("rev_e4"))
-    return totals.select(
+    dist = totals.groupBy("rev_e4").agg(F.count(F.lit(1)).alias("cnt"))
+    dist = _tie_aware_running(
+        dist, [], "rev_e4", ascending=False, n_parts=_n_shuffle_parts(spark)
+    )
+    ranked = totals.join(
+        dist.select(
+            "rev_e4",
+            (F.col("rows_before") + 1).alias("_rnk"),
+            (F.col("keys_before") + 1).alias("_dense"),
+        ),
+        "rev_e4",
+    )
+    w_tie = Window.partitionBy("rev_e4").orderBy("l_suppkey")
+    return ranked.select(
         "l_suppkey",
         (F.col("rev_e4").cast("double") / 10_000.0).alias("revenue"),
-        F.row_number().over(w).cast("long").alias("row_num"),
-        F.rank().over(w_ties).cast("long").alias("rnk"),
-        F.dense_rank().over(w_ties).cast("long").alias("dense_rnk"),
+        (F.col("_rnk") + F.row_number().over(w_tie) - 1).cast("long").alias("row_num"),
+        F.col("_rnk").cast("long").alias("rnk"),
+        F.col("_dense").cast("long").alias("dense_rnk"),
     ).orderBy("row_num")
 
 
@@ -259,11 +339,32 @@ ORDER BY row_num
 def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE(4) over account balance → per-quartile count and exact balance
     range. The ntile order includes the unique custkey tiebreak so bucket
-    membership is total-order deterministic."""
+    membership is total-order deterministic.
+
+    Scale shape: the global row number each customer would get under
+    NTILE's total order is rows_before(acctbal) [via `_tie_aware_running`]
+    + position within the acctbal tie group; NTILE(k) is then a closed-form
+    function of (row_number, N): the first N%k buckets take ceil(N/k) rows,
+    the rest floor(N/k). No global window anywhere."""
     customer = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    tiled = customer.select(
-        "c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile")
+    dist = customer.groupBy("c_acctbal").agg(F.count(F.lit(1)).alias("cnt"))
+    dist = _tie_aware_running(
+        dist, [], "c_acctbal", ascending=False, n_parts=_n_shuffle_parts(spark)
+    )
+    n_total = dist.agg(F.sum("cnt").alias("_n"))  # 1-row scalar, broadcast
+    w_tie = Window.partitionBy("c_acctbal").orderBy("c_custkey")
+    rn = F.col("rows_before") + F.row_number().over(w_tie)  # global 1..N
+    q, r = F.floor(F.col("_n") / 4), F.col("_n") % 4
+    big = r * (q + 1)  # rows covered by the ceil-sized buckets
+    quartile = (
+        F.when(rn <= big, F.ceil(rn / (q + 1)))
+        .otherwise(r + F.ceil((rn - big) / q))
+        .cast("long")
+    )
+    tiled = (
+        customer.join(dist.select("c_acctbal", "rows_before"), "c_acctbal")
+        .crossJoin(F.broadcast(n_total))
+        .select("c_acctbal", quartile.alias("quartile"))
     )
     return (
         tiled.groupBy("quartile")
@@ -368,19 +469,49 @@ def order_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both values are ratios of tie-aware integer counts, so they are
     bit-identical across engines and partitionings — no float-accumulation
-    hazard. One window pass computes both (shared sort on
-    (o_orderpriority, o_totalprice)); at scale this is a single hash
-    repartition by priority followed by an in-partition sort.
+    hazard.
+
+    Scale shape: o_orderpriority has only 5 values, so a window partitioned
+    by it is 5 giant single-task sorts at 100×. Instead the tie-aware counts
+    come from `_tie_aware_running` over the distinct (priority, price) table
+    — range-partitioned on (priority, price), so each priority spreads over
+    many range partitions — and are joined back to the fact rows on the
+    well-distributed (priority, price) key. percent_rank = rows_before/(N−1)
+    and cume_dist = (rows_before+cnt)/N are then computed from the exact
+    same integers Spark's window functions would use.
     """
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    dist = orders.groupBy("o_orderpriority", "o_totalprice").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dist = _tie_aware_running(
+        dist,
+        ["o_orderpriority"],
+        "o_totalprice",
+        ascending=True,
+        n_parts=_n_shuffle_parts(spark),
+    )
+    per_priority = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("_n"))
+    pct = F.when(
+        F.col("_n") > 1,
+        F.col("rows_before").cast("double") / (F.col("_n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    cume = (F.col("rows_before") + F.col("cnt")).cast("double") / F.col("_n").cast(
+        "double"
+    )
     return (
-        orders.select(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .join(
+            dist.select("o_orderpriority", "o_totalprice", "cnt", "rows_before"),
+            ["o_orderpriority", "o_totalprice"],
+        )
+        .join(F.broadcast(per_priority), "o_orderpriority")
+        .select(
             "o_orderkey",
             "o_orderpriority",
             F.col("o_totalprice").cast("double").alias("o_totalprice"),
-            F.percent_rank().over(w).alias("price_pct_rank"),
-            F.cume_dist().over(w).alias("price_cume_dist"),
+            pct.alias("price_pct_rank"),
+            cume.alias("price_cume_dist"),
         )
         .orderBy("o_orderkey")
     )

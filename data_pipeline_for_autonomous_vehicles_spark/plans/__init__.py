@@ -13,6 +13,7 @@ from .audit import (
     plan_text,
     pushed_filters,
     scan_read_schemas,
+    unpartitioned_windows,
     uses_cartesian_product,
 )
 
@@ -22,5 +23,6 @@ __all__ = [
     "scan_read_schemas",
     "join_strategies",
     "exchange_count",
+    "unpartitioned_windows",
     "uses_cartesian_product",
 ]

@@ -86,6 +86,32 @@ def exchange_count(df: DataFrame) -> int:
     )
 
 
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window specs with NO partition columns — each one is a global sort
+    funneled through a single task (Exchange SinglePartition), the classic
+    100×-scale killer. Returns the offending spec strings (empty = safe).
+
+    Detection: in a `windowspecdefinition(part…, order…, frame)` the
+    partition columns come first without sort markers; if the FIRST
+    top-level argument already carries ASC/DESC NULLS ordering, the
+    partition list is empty."""
+    out: list[str] = []
+    text = plan_text(df)
+    for m in re.finditer(r"windowspecdefinition\(", text):
+        start = m.end()
+        depth, i = 1, start
+        while i < len(text) and depth:
+            if text[i] == "(":
+                depth += 1
+            elif text[i] == ")":
+                depth -= 1
+            i += 1
+        args = _split_top_level(text[start : i - 1])
+        if args and (" ASC NULLS" in args[0] or " DESC NULLS" in args[0]):
+            out.append(text[m.start() : i])
+    return out
+
+
 def uses_cartesian_product(df: DataFrame) -> bool:
     """True if any join degenerated to an unkeyed cross product — at fact
     scale that is always a plan bug (bucket it or broadcast it)."""

@@ -108,7 +108,7 @@ WITH flagged AS (
            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
     FROM events) t)
 SELECT user_id,
-       SUM(new_session) AS n_sessions,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
        COUNT(*) AS total_events
 FROM flagged
 GROUP BY user_id

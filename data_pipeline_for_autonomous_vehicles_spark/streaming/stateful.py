@@ -151,7 +151,7 @@ per_session AS (
 SELECT user_id,
        COUNT(*) AS n_sessions,
        MAX(n_events) AS longest_session,
-       SUM(n_events) AS total_events
+       CAST(SUM(n_events) AS BIGINT) AS total_events
 FROM per_session
 GROUP BY user_id
 ORDER BY user_id

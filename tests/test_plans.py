@@ -59,6 +59,29 @@ def test_top_orders_window_group_limit(spark, sf_dir):
     )
 
 
+def test_ranking_queries_have_no_global_windows(spark, sf_dir):
+    # VERDICT r1 "What's wrong" #3: rank/ntile/percent_rank formerly ran a
+    # Window.orderBy() with no partitioning — one task sorts everything at
+    # 100×. The two-pass _tie_aware_running rewrite must keep every window
+    # partitioned (range-partition locals + bounded tie groups only).
+    for fn in (
+        windows.supplier_revenue_ranks,
+        windows.customer_balance_quartiles,
+        windows.order_price_position,
+    ):
+        assert plans.unpartitioned_windows(fn(spark, sf_dir)) == [], fn.__name__
+
+
+def test_unpartitioned_window_detector_positive_control(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bad = spark.range(10).select(
+        F.row_number().over(Window.orderBy("id")).alias("rn")
+    )
+    assert len(plans.unpartitioned_windows(bad)) == 1
+
+
 def test_spatial_join_is_equi_not_cartesian(spark, sf_dir):
     df = spatial.nearby_vehicle_pairs(spark, sf_dir)
     # cell-bucketing must make this a hash join keyed on the cell —
