@@ -226,11 +226,27 @@ SELECT * FROM sigs ORDER BY doc_id
 """
 
 
+def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Drop every row whose bucket (the `keys` tuple) holds more than
+    `max_bucket` rows. Bounds the within-bucket cross product of any
+    bucketed self-join: post-cap, fan-out per bucket ≤ max_bucket²."""
+    ok = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= max_bucket)
+        .select(*keys)
+    )
+    return df.join(ok, keys, "left_semi")
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: b bands of r signature rows;
     docs sharing any full band collide. Estimated Jaccard = fraction of
     equal signature components. The self-join key is (band_id, band_hash) —
-    per-bucket cross products only, never all-pairs.
+    per-bucket cross products only, never all-pairs — and buckets larger
+    than MAX_BUCKET docs are dropped before the join (degenerate band
+    hashes carry no near-dup signal; an uncapped one is quadratic at
+    scale). The oracle mirrors the cap.
     """
     # signatures are one narrow row per doc; cache so the band explode and
     # the two signature re-joins below read one materialization instead of
@@ -256,6 +272,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
     )
+    # Per-bucket size guard (VERDICT r1 task 5): a degenerate band hash —
+    # e.g. a signature band shared by boilerplate-heavy documents — makes
+    # one bucket quadratic at 100 TB. Same cap idea as the shingle
+    # frequency filter in ngram_jaccard_pairs, keyed on (band_id,
+    # band_hash); the count table is data-sized, so it joins (semi), not
+    # broadcasts. The oracle SQL mirrors the cap, so parity is exact.
+    banded = _cap_buckets(banded, ["band_id", "band_hash"], MAX_BUCKET)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
     b2 = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
     cand = (
@@ -297,9 +320,14 @@ def _sql_lsh_pairs() -> str:
     return f"""
 WITH {_sql_minhash_cte()},
 banded AS ({banded}),
+kept AS (
+  SELECT banded.* FROM banded
+  JOIN (SELECT band_id, band_hash FROM banded
+        GROUP BY band_id, band_hash HAVING COUNT(*) <= {MAX_BUCKET}) ok
+    USING (band_id, band_hash)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
+  FROM kept a JOIN kept b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b,
        CAST(FLOOR((CAST(({match_sum}) AS DOUBLE) / {float(MINHASH_K)}) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS est_jaccard

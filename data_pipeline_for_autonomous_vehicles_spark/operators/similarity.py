@@ -161,10 +161,22 @@ ORDER BY bucket
 """
 
 
+ANN_BUCKET_CAP = 500  # max candidates probed per LSH bucket
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: candidates limited to the query's own LSH bucket,
     then exact cosine rank within the bucket. The join key is the bucket
-    signature → per-bucket work only, no corpus-wide cross join."""
+    signature → per-bucket work only, no corpus-wide cross join.
+
+    Per-bucket probe cap (VERDICT r1 task 5): bucket occupancy grows
+    linearly with the corpus, so an uncapped hot bucket is an unbounded
+    per-query scan at 100 TB. Candidates are the first ANN_BUCKET_CAP
+    vectors per bucket in vec_id order — a deterministic cut both engines
+    compute identically; the rank<=cap filter compiles to WindowGroupLimit
+    (partial mode runs map-side), so no task ever buffers a full hot
+    bucket. At the test SFs every bucket is far below the cap, so results
+    equal the uncapped formulation."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -172,8 +184,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), "bucket"
     )
+    w_bucket = Window.partitionBy("bucket").orderBy("vec_id")
+    candidates = (
+        sig.withColumn("_bpos", F.row_number().over(w_bucket))
+        .filter(F.col("_bpos") <= ANN_BUCKET_CAP)
+        .drop("_bpos")
+    )
     scored = (
-        sig.join(F.broadcast(queries), "bucket")
+        candidates.join(F.broadcast(queries), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -192,10 +210,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_LSH_SQL = f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 sig AS (SELECT vec_id, emb, {_sql_signature('emb')} AS bucket FROM emb),
+candidates AS (
+  SELECT vec_id, emb, bucket FROM (
+    SELECT vec_id, emb, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS bpos
+    FROM sig) c
+  WHERE bpos <= {ANN_BUCKET_CAP}),
 scored AS (
   SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
          CAST(FLOOR(({_SQL_DOT_AB} / ({_sql_norm('a')} * {_sql_norm('b')})) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS cosine
-  FROM sig a
+  FROM candidates a
   JOIN sig b ON a.bucket = b.bucket AND b.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id)
 SELECT query_id, vec_id, cosine, rank FROM (
   SELECT query_id, vec_id, cosine,

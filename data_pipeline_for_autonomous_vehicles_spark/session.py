@@ -48,8 +48,15 @@ def get_spark(
         # Spark's 10 MB default broadcast cutoff is sized for laptops; on the
         # target deployment (>=4 GB/core, SCALE.md §1) every true dimension
         # of this schema fits comfortably at 64 MB, keeping q5/q21-class
-        # multi-dim joins broadcast even when dimensions grow 100x. AQE
-        # still downgrades at runtime if a build side proves too large.
+        # multi-dim joins broadcast even when dimensions grow 100x.
+        # Caveat (round-2 advice): a STATICALLY chosen broadcast — picked
+        # from compressed parquet scan estimates — is never demoted at
+        # runtime; AQE can only upgrade/downgrade joins at shuffle-stage
+        # boundaries, and columnar compression can understate in-memory
+        # build size several-fold. Budget accordingly: 64 MB parquet ≈
+        # ≤~400 MB hydrated worst-case, well inside the 8 GB driver /
+        # >=4 GB-per-core executor floor this engine targets; deployments
+        # with thinner drivers should lower this via extra_conf.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.ui.enabled", "false")
         # the driver's events.parquet stores TIMESTAMP(NANOS); read as int64

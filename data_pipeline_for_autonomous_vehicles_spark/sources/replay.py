@@ -23,8 +23,6 @@ ordinary file-source listing; nothing is driver-paced row-at-a-time.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,8 +34,16 @@ def split_by_time_bucket(
     bucket_seconds: int = 60,
 ) -> int:
     """Materialize `df` as one directory per `bucket_seconds` of event
-    time (lexicographically ordered bucket ids, so the file source lists
-    them in event-time order). Returns the number of buckets written."""
+    time. Returns the number of buckets written.
+
+    Replay ORDER guarantee: Spark's file streaming source picks new files
+    in MODIFICATION-TIME order, not path order — and one distributed write
+    lands every bucket's files with near-identical mtimes, so bucket
+    replay order would otherwise be arbitrary (round-2 advice). After the
+    write, every bucket's data files are re-stamped with strictly
+    increasing mtimes in bucket (event-time) order through the Hadoop
+    FileSystem API — which also makes the stamping and the bucket listing
+    work on any Hadoop filesystem, not just local paths."""
     bucket = (F.unix_timestamp(F.col(time_col)) / F.lit(bucket_seconds)).cast(
         "long"
     )
@@ -49,9 +55,27 @@ def split_by_time_bucket(
         .mode("overwrite")
         .parquet(out_dir)
     )
-    return len(
-        [d for d in os.listdir(out_dir) if d.startswith("replay_bucket=")]
+    spark = df.sparkSession
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    buckets = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith("replay_bucket=")
     )
+    # strictly increasing, 2s apart (outranks coarse FS mtime granularity),
+    # starting past every freshly-written mtime
+    base = 0
+    for b in buckets:
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{out_dir}/{b}")):
+            base = max(base, st.getModificationTime())
+    for i, b in enumerate(buckets):
+        stamp = base + 2000 * (i + 1)
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{out_dir}/{b}")):
+            if st.isFile():
+                fs.setTimes(st.getPath(), stamp, -1)
+    return len(buckets)
 
 
 def replay_stream(

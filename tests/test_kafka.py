@@ -48,6 +48,38 @@ def test_malformed_json_dropped(spark):
     assert k.decode_topic(wire, "vehicle_telemetry").count() == 0
 
 
+def test_streaming_decode_roundtrip(spark, tmp_path):
+    """S1/S2 exercised as STREAMS (VERDICT r1 task 7): encoded wire rows —
+    the exact (key, value: binary, topic) shape the kafka source emits —
+    are replayed through readStream, demultiplexed with the same
+    decode_all_topics branches, and must reproduce every typed row of
+    every topic. This proves the decode expressions are streaming-legal
+    (no batch-only ops) and the topic routing holds under micro-batching;
+    only the broker socket itself remains untestable in this sandbox."""
+    frames = generate_fleet(spark, n_vehicles=3, n_ticks=4)
+    wire = _wire_union(spark, frames)
+    wire_dir = str(tmp_path / "wire")
+    wire.write.parquet(wire_dir)
+
+    stream = spark.readStream.schema(wire.schema).parquet(wire_dir)
+    assert stream.isStreaming
+    decoded = k.decode_all_topics(stream)
+    for topic, original in frames.items():
+        qname = f"kafka_rt_{topic.replace('-', '_')}"
+        q = (
+            decoded[topic]
+            .writeStream.format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table(qname)
+        a = {tuple(str(v) for v in r) for r in original.select(*got.columns).collect()}
+        b = {tuple(str(v) for v in r) for r in got.collect()}
+        assert a == b, f"{topic} streaming round-trip lost rows"
+
+
 def test_key_preserves_vehicle(spark):
     frames = generate_fleet(spark, n_vehicles=3, n_ticks=2)
     tel = frames["vehicle_telemetry"]

@@ -78,3 +78,47 @@ def test_asof_join_matches_bruteforce(spark, left, right):
                     best = (rt, rid, rv)
         expected[lid] = best[2] if best else None
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=60),
+    parts=st.integers(min_value=1, max_value=9),
+)
+def test_tie_aware_running_matches_global_window(spark, vals, parts):
+    """The two-pass `_tie_aware_running` (windows.py — the scale-safe
+    replacement for global rank windows) must reproduce Spark's own
+    rank()/dense_rank() for ANY tie distribution and ANY range-partition
+    count. The value domain [0, 5] forces heavy ties; a global window is a
+    fine oracle at 60 rows."""
+    from pyspark.sql import Window
+
+    from data_pipeline_for_autonomous_vehicles_spark.operators.windows import (
+        _tie_aware_running,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    dist = df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    got = {
+        r["v"]: (r["rows_before"] + 1, r["keys_before"] + 1)
+        for r in _tie_aware_running(
+            dist, [], "v", ascending=True, n_parts=parts
+        ).collect()
+    }
+    w = Window.orderBy("v")
+    expected = {
+        r["v"]: (r["rnk"], r["drnk"])
+        for r in dist.select(
+            "v", F.rank().over(w).alias("rnk"), F.dense_rank().over(w).alias("drnk")
+        ).collect()
+    }
+    # dist has one row per key, so rank over it counts KEYS before; compare
+    # rows_before against the expanded row rank instead
+    w_rows = Window.orderBy("v")
+    row_rank = {
+        r["v"]: r["rnk"]
+        for r in df.select("v", F.rank().over(w_rows).alias("rnk")).distinct().collect()
+    }
+    for v, (rnk, drnk) in got.items():
+        assert rnk == row_rank[v], f"rank mismatch at v={v}"
+        assert drnk == expected[v][1], f"dense_rank mismatch at v={v}"

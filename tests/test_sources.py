@@ -261,3 +261,9 @@ def test_replay_stream_paces_one_bucket_per_batch(spark, sf_dir, tmp_path):
         assert int((mn - epoch).total_seconds()) // bucket_s == int(
             (mx - epoch).total_seconds()
         ) // bucket_s
+    # cross-batch event-time MONOTONICITY — the property S7 exists for.
+    # The file source picks files by mtime, so this only holds because
+    # split_by_time_bucket stamps strictly increasing mtimes per bucket.
+    ordered = sorted(nonempty, key=lambda b: b[0])  # by batch_id
+    for (_, _, _, prev_max), (_, _, cur_min, _) in zip(ordered, ordered[1:]):
+        assert prev_max <= cur_min

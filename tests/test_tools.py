@@ -60,3 +60,31 @@ def test_scale_data_replicates_with_fk_integrity(tmp_path):
             f"SELECT COUNT(*) - COUNT(DISTINCT {k}) FROM '{dst}/{t}.parquet'"
         ).fetchone()[0]
         assert dup == 0, t
+
+    # documents↔embeddings share one id space (hybrid RRF joins vec_id to
+    # doc_id): every replicated vector must still point at a document of
+    # ITS OWN replica. With independent strides (the round-2 ADVICE bug)
+    # replica-1 vectors land in replica-0's doc range or in no range at all.
+    cross_replica = con.execute(
+        f"""
+        WITH stride AS (
+          SELECT MAX(doc_id) + 1 AS s FROM '{SRC}/documents.parquet')
+        SELECT COUNT(*) FROM '{dst}/embeddings.parquet' e, stride
+        WHERE e.vec_id // stride.s
+              <> (SELECT MIN(d.doc_id // stride.s)
+                  FROM '{dst}/documents.parquet' d
+                  WHERE d.doc_id = e.vec_id)
+        """
+    ).fetchone()[0]
+    assert cross_replica == 0
+    # and every embedding that had a matching document in the source still
+    # has one after scaling (no orphaned vectors introduced)
+    src_matched = con.execute(
+        f"""SELECT COUNT(*) FROM '{SRC}/embeddings.parquet' e
+            WHERE e.vec_id IN (SELECT doc_id FROM '{SRC}/documents.parquet')"""
+    ).fetchone()[0]
+    dst_matched = con.execute(
+        f"""SELECT COUNT(*) FROM '{dst}/embeddings.parquet' e
+            WHERE e.vec_id IN (SELECT doc_id FROM '{dst}/documents.parquet')"""
+    ).fetchone()[0]
+    assert dst_matched == 2 * src_matched

@@ -14,6 +14,17 @@ matches how a real deployment scales: facts grow, enums don't.
 Timestamps are kept as-is: K× replicas densify every time window K×, the
 same growth pattern a busier fleet produces.
 
+Reading dedup-family results at K×: replication makes every document
+K-fold duplicated ACROSS replicas on content (keys differ, text doesn't),
+so content-keyed operators legitimately super-linearize — exact-dup
+groups grow K×, and pair-producing operators (minhash_lsh_pairs,
+ngram_jaccard_pairs) emit ≈ K² · P₁ + K · C(K,2) · D pairs, where P₁ =
+source pair count and D = source docs that collide with their own
+replicas (every replica pair of the same doc is a certain collision).
+A ~K² pair-count growth at K× is therefore the EXPECTED artifact of
+replicated text, not a plan regression — check wall-clock against the
+candidate-join input sizes, not against the output row count.
+
 Usage:
     python tools/scale_data.py [K] [src_dir] [dst_dir]
 Defaults: K=10, src=/root/testdata/sf0.1, dst=/tmp/sf_scaled_{K}x
@@ -52,7 +63,11 @@ STRIDE_OF = {
     "event_id": ("events", "event_id"),
     "user_id": ("events", "user_id"),
     "doc_id": ("documents", "doc_id"),
-    "vec_id": ("embeddings", "vec_id"),
+    # vec_id and doc_id share one logical id space (hybrid RRF joins
+    # embeddings.vec_id to documents.doc_id), so both must use the SAME
+    # stride — an independent embeddings-derived stride would attach
+    # replica i's vectors to other replicas' documents.
+    "vec_id": ("documents", "doc_id"),
 }
 COPY_TABLES = ("region", "nation")
 
