@@ -252,6 +252,16 @@ def _tie_aware_running(
     d = dist.repartitionByRange(
         n_parts, *[F.col(c) for c in part_cols], okey
     ).withColumn("_pid", F.spark_partition_id())
+    # Materialize ONCE before fanning out. `d` feeds two plan branches
+    # (per-partition subtotals + the join-back); without this they compile
+    # to two independent rangepartitioning exchanges (no ReusedExchange —
+    # verified on the executed plan), and the RangePartitioner re-SAMPLES
+    # boundaries per exchange with an RDD-id-derived seed, so the same key
+    # can land in different `_pid`s across branches — silently corrupting
+    # every offset. Checkpointing pins one physical partitioning for all
+    # consumers; the table is the distinct-key reduction (≪ fact size), so
+    # the materialization cost is bounded.
+    d = d.localCheckpoint(eager=True)
     seg = d.groupBy("_pid", *part_cols).agg(
         F.sum("cnt").alias("_rows"), F.count(F.lit(1)).alias("_keys")
     )
