@@ -23,6 +23,7 @@ def _modules():
     from . import (
         anomaly,
         asof,
+        corpus,
         dedup,
         drift,
         frequency,
@@ -48,6 +49,7 @@ def _modules():
 
     return (
         anomaly,
+        corpus,
         tpch,
         tpch_ext,
         metrics,

@@ -1,0 +1,274 @@
+"""Corpus-hygiene operators over the `documents` table: the filter signals a
+large-scale training-data pipeline computes before anything is trained.
+
+Complements the dedup family (`dedup.py`: exact / MinHash-LSH / SimHash /
+n-gram Jaccard) and the per-doc text metrics (`text.py`: token counts,
+quality, lang-ID) with the repetition / duplication / diversity signals of
+C4- and Gopher-style corpus filtering:
+
+* `repetition_ratios` — fraction of a document occupied by its most
+  frequent token and most frequent token-bigram (high values ⇒ boilerplate
+  or degenerate generation; the Gopher repetition rules).
+* `passage_dedup_stats` — exact-substring duplication at passage
+  granularity: split each document into non-overlapping 8-token passages,
+  md5 them, and count how many of a document's passages occur anywhere
+  else in the corpus (the within-corpus exact-substring dedup signal).
+* `token_entropy` — per-document Shannon entropy of the unigram
+  distribution (low entropy ⇒ repetitive/low-information text).
+
+Scale notes. All three are explode → hash-aggregate shapes: the unit of
+shuffle is a (doc_id, token/passage-digest) pair, partial aggregation is
+map-side, and no step is quadratic in documents. `passage_dedup_stats`
+joins on the passage digest (md5 — 32 chars, not the passage text) so the
+shuffle width stays bounded no matter how long passages get; a degenerate
+hot passage ("lorem lorem …" boilerplate) only widens one reduce group of
+a count aggregate, never a join fan-out. Entropy terms are rounded to
+1e-8 and summed as integers, so the result is independent of partition
+order (the same order-independent-sum discipline as `drift.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import round_half_up, sql_round_half_up
+
+def _toks() -> F.Column:
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+_SQL_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+PASSAGE_TOKENS = 8
+
+
+def _nonempty(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.trim(F.col("text")) != "")
+
+
+# --- Gopher-style repetition ratios ----------------------------------------
+
+
+def repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-token and top-bigram mass fractions.
+
+    Two explode → (doc_id, gram) hash-agg passes; the per-doc max/total
+    reduction groups on doc_id. Documents with fewer than two tokens have
+    no bigrams and report 0.0 (left join + coalesce), matching the Gopher
+    convention that the rule does not fire on degenerate-length docs.
+    """
+    docs = _nonempty(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", _toks().alias("toks"))
+
+    tcnt = (
+        toks.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok_top = tcnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.max("c").alias("max_tok")
+    )
+
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+    )
+    # guard: Spark's sequence(1, 0) steps DOWNWARD to [1, 0]; emit an empty
+    # array for single-token docs instead
+    bcnt = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.when(F.size("toks") >= 2, bigrams).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big_top = bcnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("max_big")
+    )
+
+    return (
+        tok_top.join(big_top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            round_half_up(
+                F.col("max_tok").cast("double") / F.col("n_tokens").cast("double"), 4
+            ).alias("top_token_frac"),
+            F.coalesce(
+                round_half_up(
+                    F.col("max_big").cast("double") / F.col("n_bigrams").cast("double"),
+                    4,
+                ),
+                F.lit(0.0),
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE trim(text) <> ''),
+tcnt AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS w FROM toks) t GROUP BY doc_id, w),
+tok_top AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS max_tok
+  FROM tcnt GROUP BY doc_id),
+bcnt AS (
+  SELECT doc_id, b, COUNT(*) AS c
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS b
+        FROM toks) t GROUP BY doc_id, b),
+big_top AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS max_big
+  FROM bcnt GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens,
+       {sql_round_half_up('CAST(t.max_tok AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)', 4)}
+         AS top_token_frac,
+       COALESCE({sql_round_half_up('CAST(b.max_big AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)', 4)},
+                0.0) AS top_bigram_frac
+FROM tok_top t LEFT JOIN big_top b USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# --- exact-substring passage dedup -----------------------------------------
+
+
+def passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-substring duplication at 8-token passage
+    granularity: n_passages, how many of them occur anywhere else in the
+    corpus (same or another document), and the duplicated fraction.
+
+    Documents shorter than one full passage carry no signal and are
+    omitted (both engines restrict identically). The corpus-wide passage
+    count groups on the md5 digest — the 100 TB path shuffles 32-byte
+    digests, not passage text.
+    """
+    docs = _nonempty(load_table(spark, sf_dir, "documents"))
+    passages = F.expr(
+        f"transform(sequence(1, size(toks) div {PASSAGE_TOKENS}), "
+        f"i -> array_join(slice(toks, (i - 1) * {PASSAGE_TOKENS} + 1, {PASSAGE_TOKENS}), ' '))"
+    )
+    wins = (
+        docs.select("doc_id", _toks().alias("toks"))
+        .filter(F.size("toks") >= PASSAGE_TOKENS)
+        .select("doc_id", F.explode(passages).alias("passage"))
+        .select("doc_id", F.md5("passage").alias("digest"))
+    )
+    total = wins.groupBy("digest").agg(F.count(F.lit(1)).alias("n_inst"))
+    return (
+        wins.join(total, "digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("n_inst") > 1, 1).otherwise(0)).alias("n_dup_passages"),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_dup_passages",
+            round_half_up(
+                F.col("n_dup_passages").cast("double") / F.col("n_passages").cast("double"),
+                4,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PASSAGE_SQL = f"""
+WITH wins AS (
+  SELECT doc_id, md5(passage) AS digest
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) // {PASSAGE_TOKENS} + 1),
+               i -> array_to_string(
+                      toks[((i - 1) * {PASSAGE_TOKENS} + 1):((i - 1) * {PASSAGE_TOKENS} + {PASSAGE_TOKENS})],
+                      ' '))) AS passage
+    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE trim(text) <> '') t
+    WHERE len(toks) >= {PASSAGE_TOKENS}) w),
+total AS (SELECT digest, COUNT(*) AS n_inst FROM wins GROUP BY digest)
+SELECT doc_id,
+       COUNT(*) AS n_passages,
+       CAST(SUM(CASE WHEN n_inst > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+       {sql_round_half_up('CAST(SUM(CASE WHEN n_inst > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)', 4)}
+         AS dup_frac
+FROM wins JOIN total USING (digest)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --- unigram entropy --------------------------------------------------------
+
+
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the unigram distribution:
+    H = −Σ_w p_w·ln(p_w), p_w = c_w / n.
+
+    Each term is rounded to 1e-8 and summed as BIGINT so the total is
+    exact under any partitioning / accumulation order (`drift.py`'s
+    order-independent-sum discipline)."""
+    docs = _nonempty(load_table(spark, sf_dir, "documents"))
+    tcnt = (
+        docs.select("doc_id", F.explode(_toks()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = tcnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term_e8 = F.floor((-p * F.log(p)) * F.lit(1e8) + F.lit(0.5)).cast("long")
+    return (
+        tcnt.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            (F.sum(term_e8).cast("double") / F.lit(1e8)).alias("entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ENTROPY_SQL = """
+WITH tcnt AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents WHERE trim(text) <> '') t
+  GROUP BY doc_id, w),
+tot AS (SELECT doc_id, SUM(c) AS n FROM tcnt GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(MAX(t2.n) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct_tokens,
+       CAST(SUM(CAST(FLOOR(
+           (-(CAST(c AS DOUBLE) / CAST(t2.n AS DOUBLE))
+             * ln(CAST(c AS DOUBLE) / CAST(t2.n AS DOUBLE))) * 100000000.0 + 0.5)
+         AS BIGINT)) AS DOUBLE) / 100000000.0 AS entropy_nats
+FROM tcnt t JOIN tot t2 USING (doc_id)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+QUERIES = {
+    "repetition_ratios": repetition_ratios,
+    "passage_dedup_stats": passage_dedup_stats,
+    "token_entropy": token_entropy,
+}
+
+ORACLES = {
+    "repetition_ratios": _REPETITION_SQL,
+    "passage_dedup_stats": _PASSAGE_SQL,
+    "token_entropy": _ENTROPY_SQL,
+}

@@ -1,0 +1,86 @@
+"""Corpus-hygiene operators (repetition / passage dedup / entropy) — hand
+fixtures with closed-form expected values, plus invariants on driver data."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+    PASSAGE_TOKENS,
+    passage_dedup_stats,
+    repetition_ratios,
+    token_entropy,
+)
+
+
+@pytest.fixture()
+def docs_dir(spark, tmp_path):
+    """A tiny documents table with hand-computable signals."""
+    rows = [
+        # 4 tokens, 'a' twice -> top_token 2/4; bigram 'a b' twice -> 2/3
+        Row(doc_id=0, text="a b a b", lang="en", source="s", n_chars=7),
+        # single token: no bigrams -> top_bigram_frac 0.0; entropy 0
+        Row(doc_id=1, text="solo", lang="en", source="s", n_chars=4),
+        # 16 tokens = two 8-token passages; first passage repeats in doc 3
+        Row(doc_id=2, text="p q r s t u v w x1 x2 x3 x4 x5 x6 x7 x8",
+            lang="en", source="s", n_chars=40),
+        Row(doc_id=3, text="p q r s t u v w y1 y2 y3 y4 y5 y6 y7 y8",
+            lang="en", source="s", n_chars=40),
+        # uniform 4 distinct tokens -> entropy ln(4)
+        Row(doc_id=4, text="w x y z", lang="en", source="s", n_chars=7),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(d + "/documents.parquet")
+    return d
+
+
+def test_repetition_ratios_closed_form(spark, docs_dir):
+    got = {r["doc_id"]: r for r in repetition_ratios(spark, docs_dir).collect()}
+    assert got[0]["n_tokens"] == 4
+    assert got[0]["top_token_frac"] == 0.5
+    assert got[0]["top_bigram_frac"] == round(2 / 3, 4)
+    assert got[1]["n_tokens"] == 1
+    assert got[1]["top_token_frac"] == 1.0
+    assert got[1]["top_bigram_frac"] == 0.0  # no bigrams -> convention 0
+
+
+def test_passage_dedup_flags_shared_prefix(spark, docs_dir):
+    got = {r["doc_id"]: r for r in passage_dedup_stats(spark, docs_dir).collect()}
+    # docs 0,1,4 are shorter than one passage -> omitted
+    assert set(got) == {2, 3}
+    for d in (2, 3):
+        assert got[d]["n_passages"] == 2
+        assert got[d]["n_dup_passages"] == 1  # the shared 8-token prefix
+        assert got[d]["dup_frac"] == 0.5
+
+
+def test_token_entropy_closed_form(spark, docs_dir):
+    got = {r["doc_id"]: r for r in token_entropy(spark, docs_dir).collect()}
+    assert got[1]["entropy_nats"] == 0.0  # single token
+    # uniform over 4 tokens: ln(4), rounded per-term to 1e-8
+    expected = 4 * math.floor((0.25 * math.log(4)) * 1e8 + 0.5) / 1e8
+    assert got[4]["entropy_nats"] == pytest.approx(expected, abs=1e-9)
+    assert got[4]["n_distinct_tokens"] == 4
+
+
+def test_corpus_signals_bounded_on_driver_data(spark, sf_dir):
+    rep = repetition_ratios(spark, sf_dir)
+    bad = rep.filter(
+        (rep.top_token_frac < 0) | (rep.top_token_frac > 1)
+        | (rep.top_bigram_frac < 0) | (rep.top_bigram_frac > 1)
+    ).count()
+    assert bad == 0
+    ent = token_entropy(spark, sf_dir)
+    # 0 <= H <= ln(n_distinct) (+ per-term rounding slack)
+    from pyspark.sql import functions as F
+
+    viol = ent.filter(
+        (F.col("entropy_nats") < 0)
+        | (F.col("entropy_nats") > F.log(F.col("n_distinct_tokens").cast("double")) + 1e-4)
+    ).count()
+    assert viol == 0
+    pds = passage_dedup_stats(spark, sf_dir)
+    assert pds.filter((pds.n_dup_passages > pds.n_passages) | (pds.dup_frac > 1)).count() == 0
