@@ -377,3 +377,45 @@ def test_shipment_proximity_is_equi_join_banded(spark, sf_dir):
     txt = plans.plan_text(df)
     assert "BroadcastNestedLoopJoin" not in txt
     assert "Generate" in txt  # the 3-cell explode
+
+
+def test_corpus_ops_prune_scans_and_avoid_global_windows(spark, sf_dir):
+    # corpus.py shapes: explode -> hash-agg (+ one digest equi-join for
+    # passage dedup). No windows at all, documents scan pruned to the two
+    # columns the signals need (doc_id, text) — at 100 TB the scan IS the
+    # dominant cost, so reading lang/source/n_chars here would be a bug.
+    from data_pipeline_for_autonomous_vehicles_spark.operators import corpus
+
+    for fn in (
+        corpus.repetition_ratios,
+        corpus.passage_dedup_stats,
+        corpus.token_entropy,
+    ):
+        df = fn(spark, sf_dir)
+        assert plans.unpartitioned_windows(df) == [], fn.__name__
+        schemas = plans.scan_read_schemas(df)
+        assert schemas, fn.__name__
+        for s in schemas:
+            assert "lang" not in s and "source" not in s and "n_chars" not in s, (
+                fn.__name__,
+                s,
+            )
+        assert not plans.uses_cartesian_product(df), fn.__name__
+
+
+def test_tie_aware_rank_queries_have_no_range_exchange_at_execution(spark, sf_dir):
+    # the distinct-key table is eagerly checkpointed inside
+    # _tie_aware_running, so the final plan must consume the materialized
+    # partitioning instead of re-running rangepartitioning exchanges
+    # (re-sampled range boundaries per consumer branch corrupt offsets —
+    # the round-2 fix).
+    df = windows.order_price_position(spark, sf_dir)
+    txt = plans.plan_text(df)
+    # every consumer branch reads the one materialized table
+    assert txt.count("Scan ExistingRDD") >= 2
+    # the only range exchange left is the final presentation sort on
+    # o_orderkey — none on the (priority, price) tie keys
+    import re
+
+    ranges = re.findall(r"rangepartitioning\(([^)]*)\)", txt)
+    assert all("o_orderkey" in r for r in ranges), ranges
