@@ -261,14 +261,101 @@ ORDER BY t.doc_id
 """
 
 
+# --- provenance: cross-source duplicate overlap -----------------------------
+
+
+def source_dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate each other: for every unordered source pair
+    (a ≤ b), how many canonical-fingerprint groups (`dedup_fingerprint`'s
+    sorted-distinct-token md5) have a copy in both — the diagonal counts
+    groups duplicated within one source. The provenance view that decides
+    which feeds to drop when deduplicating a multi-source corpus.
+
+    Scale shape: the self-join is on the digest over the (digest, source)
+    DISTINCT reduction, so per-digest fan-out is bounded by the number of
+    sources (enum-sized), never by document count."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(_toks())), " "))
+    per = (
+        docs.select(fp.alias("digest"), "source")
+        .groupBy("digest", "source")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+    )
+    cross = (
+        per.alias("a")
+        .join(per.alias("b"), "digest")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_groups"))
+    )
+    diag = (
+        per.filter(F.col("n_copies") >= 2)
+        .groupBy(F.col("source").alias("source_a"), F.col("source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_groups"))
+    )
+    return cross.unionByName(diag).orderBy("source_a", "source_b")
+
+
+_SOURCE_OVERLAP_SQL = f"""
+WITH per AS (
+  SELECT md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS digest,
+         source, COUNT(*) AS n_copies
+  FROM documents
+  GROUP BY 1, 2)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_groups
+FROM per a JOIN per b USING (digest)
+WHERE a.source < b.source
+GROUP BY 1, 2
+UNION ALL
+SELECT source AS source_a, source AS source_b, COUNT(*) AS n_shared_groups
+FROM per WHERE n_copies >= 2
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
+# --- language-ID quality: confusion matrix ----------------------------------
+
+
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared vs predicted language counts — the QA rollup for the
+    marker-token classifier in `text.lang_id`. One extra hash-agg over the
+    per-doc predictions; ≤ |langs|² output cells."""
+    from .text import lang_id
+
+    return (
+        lang_id(spark, sf_dir)
+        .groupBy("declared_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("declared_lang", "predicted_lang")
+    )
+
+
+def _sql_lang_confusion() -> str:
+    from .text import _sql_lang_id
+
+    return f"""
+SELECT declared_lang, predicted_lang, COUNT(*) AS n_docs
+FROM ({_sql_lang_id()}) t
+GROUP BY declared_lang, predicted_lang
+ORDER BY declared_lang, predicted_lang
+"""
+
+
 QUERIES = {
     "repetition_ratios": repetition_ratios,
     "passage_dedup_stats": passage_dedup_stats,
     "token_entropy": token_entropy,
+    "source_dedup_overlap": source_dedup_overlap,
+    "lang_confusion_matrix": lang_confusion_matrix,
 }
 
 ORACLES = {
     "repetition_ratios": _REPETITION_SQL,
     "passage_dedup_stats": _PASSAGE_SQL,
     "token_entropy": _ENTROPY_SQL,
+    "source_dedup_overlap": _SOURCE_OVERLAP_SQL,
+    "lang_confusion_matrix": _sql_lang_confusion(),
 }

@@ -84,3 +84,41 @@ def test_corpus_signals_bounded_on_driver_data(spark, sf_dir):
     assert viol == 0
     pds = passage_dedup_stats(spark, sf_dir)
     assert pds.filter((pds.n_dup_passages > pds.n_passages) | (pds.dup_frac > 1)).count() == 0
+
+
+def test_source_overlap_bounded_by_group_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        source_dedup_overlap,
+    )
+    from data_pipeline_for_autonomous_vehicles_spark.operators.dedup import (
+        dedup_fingerprint,
+    )
+
+    ov = source_dedup_overlap(spark, sf_dir).collect()
+    # pairs are canonical (a <= b) and counts positive
+    assert all(r.source_a <= r.source_b and r.n_shared_groups > 0 for r in ov)
+    # no pair can share more groups than there are multi-member groups
+    n_dup_groups = (
+        dedup_fingerprint(spark, sf_dir).filter(F.col("n_members") >= 2).count()
+    )
+    assert all(r.n_shared_groups <= n_dup_groups for r in ov)
+
+
+def test_lang_confusion_cells_sum_to_corpus(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        lang_confusion_matrix,
+    )
+
+    cm = lang_confusion_matrix(spark, sf_dir)
+    total = cm.agg(F.sum("n_docs")).first()[0]
+    assert total == load_table(spark, sf_dir, "documents").count()
+    # predictions restricted to the marker vocabulary's language codes
+    from data_pipeline_for_autonomous_vehicles_spark.operators.text import LANG_MARKERS
+
+    preds = {r.predicted_lang for r in cm.select("predicted_lang").distinct().collect()}
+    assert preds <= set(LANG_MARKERS)

@@ -206,3 +206,69 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # exactly once; the late 10:20 row (behind the 19:00 watermark, window
     # already evicted) was dropped — neither merged nor re-emitted
     assert ten == [2]
+
+
+def test_online_outliers_batch_split_invariant(spark, sf_dir):
+    # the state fold must give the same answer for any micro-batch split:
+    # folding a user's ordered events in one go == folding them in two
+    # chunks carrying the integer-moment state across the boundary
+    import pandas as pd
+
+    from data_pipeline_for_autonomous_vehicles_spark.streaming.online import _fold
+
+    cents = [100, 120, 110, 95, 130, 5000, 99, 101, 7000, 98]
+    one_shot = _fold((0, 0, 0, 0), cents)
+    for cut in range(len(cents) + 1):
+        assert _fold(_fold((0, 0, 0, 0), cents[:cut]), cents[cut:]) == one_shot
+    # the injected 5000/7000 spikes get flagged once warmup (5 priors) passed
+    assert one_shot[3] == 2
+
+
+def test_online_outliers_matches_batch_window_formulation(spark, sf_dir):
+    # stream (stateful fold) == batch (running-window SQL twin semantics
+    # re-expressed on DataFrames) on the driver data
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.streaming.online import (
+        MIN_PRIOR,
+        SIGMAS,
+        streaming_online_outliers,
+    )
+
+    got = streaming_online_outliers(spark, sf_dir)
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = (
+        ev.select("user_id", "ts", "event_id", cents.alias("cents"))
+        .withColumn("n_prior", F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)))
+        .withColumn("s_prior", F.coalesce(F.sum("cents").over(w), F.lit(0)))
+        .withColumn("q_prior", F.coalesce(F.sum(F.col("cents") * F.col("cents")).over(w), F.lit(0)))
+    )
+    n_d = F.when(F.col("n_prior") > 0, F.col("n_prior").cast("double"))  # NULL at 0
+    mean = F.col("s_prior").cast("double") / n_d
+    var = F.col("q_prior").cast("double") / n_d - mean * mean
+    flagged = F.when(
+        (F.col("n_prior") >= MIN_PRIOR)
+        & (
+            F.col("cents").cast("double")
+            > mean + F.lit(SIGMAS) * F.sqrt(F.greatest(var, F.lit(0.0)))
+        ),
+        1,
+    ).otherwise(0)
+    want = (
+        prior.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(flagged).cast("long").alias("n_flagged"),
+        )
+        .orderBy("user_id")
+    )
+    assert [r.asDict() for r in got.collect()] == [r.asDict() for r in want.collect()]
