@@ -140,14 +140,58 @@ ORDER BY media_id, frame_idx
 """
 
 
+def media_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable exercise of the mapInPandas decode path: the stub
+    features unnested to one (media_id, bin, share) row per histogram bin.
+
+    Unlike `media_features` (rows-only: array-typed cells don't hash
+    portably), this flattens to scalar columns — and because the driver's
+    documents are pure ASCII (verified: octet_length == length at every
+    SF), the byte histogram the Python stub computes is exactly a
+    character histogram, which IS ANSI-expressible. The oracle therefore
+    checks the real Arrow plumbing end to end: payload bytes → pandas
+    batch → decode → posexplode, value-hashed against DuckDB."""
+    feats = extract_features(media_table(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.posexplode("features").alias("bin", "share"),
+    ).orderBy("media_id", "bin")
+
+
+_FEATURE_BINS_SQL = f"""
+WITH docs_m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         text
+  FROM documents),
+counts AS (
+  SELECT media_id, (unicode(ch) * {N_FEATURES}) // 256 AS bin, COUNT(*) AS c
+  FROM (SELECT media_id, unnest(string_split(text, '')) AS ch FROM docs_m) t
+  GROUP BY 1, 2),
+bins AS (SELECT unnest(range(0, {N_FEATURES})) AS bin)
+SELECT d.media_id, d.media_type, CAST(b.bin AS INTEGER) AS bin,
+       CAST(COALESCE(c.c, 0) AS DOUBLE)
+         / CAST(GREATEST(octet_length(encode(d.text)), 1) AS DOUBLE) AS share
+FROM docs_m d
+CROSS JOIN bins b
+LEFT JOIN counts c ON c.media_id = d.media_id AND c.bin = b.bin
+ORDER BY d.media_id, b.bin
+"""
+
+
 QUERIES = {
     "media_metadata": media_metadata,
     "media_features": media_features,
     "media_frame_samples": media_frame_samples,
+    "media_feature_bins": media_feature_bins,
 }
 
 ORACLES = {
     "media_metadata": _METADATA_SQL,
-    # media_features: rows-only (stub decode not ANSI-expressible)
+    # media_features: rows-only (array-typed cells; see media_feature_bins
+    # for the oracle-checked flattened twin of the same decode path)
     "media_frame_samples": _FRAMES_SQL,
+    "media_feature_bins": _FEATURE_BINS_SQL,
 }
