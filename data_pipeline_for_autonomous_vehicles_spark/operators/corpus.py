@@ -344,12 +344,134 @@ ORDER BY declared_lang, predicted_lang
 """
 
 
+# --- one-row curation dashboard ---------------------------------------------
+
+
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health dashboard — the `fleet_summary` (SURVEY §2.4
+    A7/J2 scalar-combine) pattern applied to training-data curation:
+
+      n_docs, n_dup_groups (fingerprint groups with ≥2 members),
+      lang_match_pct (declared == predicted under the marker classifier),
+      mean_entropy_nats, mean_top_token_frac.
+
+    Every mean is an exact integer sum (per-term 1e-8 entropy units /
+    per-doc 1e-4 frac units) divided once at the end, so the result is
+    partition-order independent; the single-row aggregates combine via
+    broadcast crossJoin exactly like fleet_summary."""
+    from .text import lang_id
+
+    docs = _nonempty(load_table(spark, sf_dir, "documents"))
+
+    counts = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(_toks())), " "))
+    dups = (
+        docs.select(fp.alias("digest"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+        .agg(F.count(F.lit(1)).alias("n_dup_groups"))
+    )
+
+    match = lang_id(spark, sf_dir).agg(
+        F.sum(
+            F.when(F.col("declared_lang") == F.col("predicted_lang"), 1).otherwise(0)
+        ).alias("n_match")
+    )
+
+    tcnt = (
+        docs.select("doc_id", F.explode(_toks()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = tcnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.max("c").alias("max_c")
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term_e8 = F.floor((-p * F.log(p)) * F.lit(1e8) + F.lit(0.5)).cast("long")
+    ent = (
+        tcnt.join(totals.select("doc_id", "n"), "doc_id")
+        .agg(F.sum(term_e8).alias("ent_e8_sum"))
+    )
+    frac_e4 = F.floor(
+        F.col("max_c").cast("double") / F.col("n").cast("double") * F.lit(1e4)
+        + F.lit(0.5)
+    ).cast("long")
+    rep = totals.agg(F.sum(frac_e4).alias("frac_e4_sum"))
+
+    one = (
+        counts.crossJoin(F.broadcast(dups))
+        .crossJoin(F.broadcast(match))
+        .crossJoin(F.broadcast(ent))
+        .crossJoin(F.broadcast(rep))
+    )
+    n_d = F.col("n_docs").cast("double")
+    return one.select(
+        "n_docs",
+        "n_dup_groups",
+        round_half_up(
+            F.lit(100.0) * F.col("n_match").cast("double") / n_d, 4
+        ).alias("lang_match_pct"),
+        (F.col("ent_e8_sum").cast("double") / n_d / F.lit(1e8)).alias(
+            "mean_entropy_nats"
+        ),
+        (F.col("frac_e4_sum").cast("double") / n_d / F.lit(1e4)).alias(
+            "mean_top_token_frac"
+        ),
+    )
+
+
+def _sql_curation_report() -> str:
+    from .text import _sql_lang_id
+
+    return f"""
+WITH docs_ne AS (SELECT * FROM documents WHERE trim(text) <> ''),
+counts AS (SELECT COUNT(*) AS n_docs FROM docs_ne),
+dups AS (
+  SELECT COUNT(*) AS n_dup_groups FROM (
+    SELECT md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS digest,
+           COUNT(*) AS n_members
+    FROM docs_ne GROUP BY 1 HAVING COUNT(*) >= 2) t),
+lmatch AS (
+  SELECT CAST(SUM(CASE WHEN declared_lang = predicted_lang THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match
+  FROM ({_sql_lang_id()}) li),
+tcnt AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM docs_ne) t
+  GROUP BY doc_id, w),
+totals AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, MAX(c) AS max_c
+           FROM tcnt GROUP BY doc_id),
+ent AS (
+  SELECT CAST(SUM(CAST(FLOOR(
+      (-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 100000000.0 + 0.5)
+    AS BIGINT)) AS BIGINT) AS ent_e8_sum
+  FROM tcnt JOIN totals USING (doc_id)),
+rep AS (
+  SELECT CAST(SUM(CAST(FLOOR(
+      CAST(max_c AS DOUBLE) / CAST(n AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+    AS frac_e4_sum
+  FROM totals)
+SELECT n_docs, n_dup_groups,
+       {sql_round_half_up('100.0 * CAST(n_match AS DOUBLE) / CAST(n_docs AS DOUBLE)', 4)}
+         AS lang_match_pct,
+       CAST(ent_e8_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) / 100000000.0
+         AS mean_entropy_nats,
+       CAST(frac_e4_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) / 10000.0
+         AS mean_top_token_frac
+FROM counts, dups, lmatch, ent, rep
+"""
+
+
 QUERIES = {
     "repetition_ratios": repetition_ratios,
     "passage_dedup_stats": passage_dedup_stats,
     "token_entropy": token_entropy,
     "source_dedup_overlap": source_dedup_overlap,
     "lang_confusion_matrix": lang_confusion_matrix,
+    "corpus_curation_report": corpus_curation_report,
 }
 
 ORACLES = {
@@ -358,4 +480,5 @@ ORACLES = {
     "token_entropy": _ENTROPY_SQL,
     "source_dedup_overlap": _SOURCE_OVERLAP_SQL,
     "lang_confusion_matrix": _sql_lang_confusion(),
+    "corpus_curation_report": _sql_curation_report(),
 }

@@ -122,3 +122,27 @@ def test_lang_confusion_cells_sum_to_corpus(spark, sf_dir):
 
     preds = {r.predicted_lang for r in cm.select("predicted_lang").distinct().collect()}
     assert preds <= set(LANG_MARKERS)
+
+
+def test_curation_report_consistent_with_component_queries(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        corpus_curation_report,
+        token_entropy,
+    )
+    from data_pipeline_for_autonomous_vehicles_spark.operators.dedup import (
+        dedup_fingerprint,
+    )
+
+    rep = corpus_curation_report(spark, sf_dir).first()
+    assert rep.n_docs > 0
+    assert 0.0 <= rep.lang_match_pct <= 100.0
+    assert 0.0 < rep.mean_top_token_frac <= 1.0
+    # cross-check against the standalone queries
+    n_dup = dedup_fingerprint(spark, sf_dir).filter(F.col("n_members") >= 2).count()
+    assert rep.n_dup_groups == n_dup
+    ent_sum = token_entropy(spark, sf_dir).agg(
+        F.sum(F.floor(F.col("entropy_nats") * 1e8 + F.lit(0.5)).cast("long"))
+    ).first()[0]
+    assert rep.mean_entropy_nats == ent_sum / rep.n_docs / 1e8
