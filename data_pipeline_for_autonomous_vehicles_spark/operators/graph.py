@@ -22,7 +22,7 @@ is embarrassingly parallel.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -109,13 +109,15 @@ def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # top-k first via orderBy+limit (TakeOrderedAndProject: per-partition
     # heaps, no global single-partition window over all N nodes), then the
-    # display rank is a window over just the k survivors.
+    # display rank over the K survivors via broadcast self-join count —
+    # zero WindowExec in the plan (see ranking.rank_of_topk)
     top = ranks.select("node", "rank").orderBy(F.desc("rank"), F.asc("node")).limit(TOP_NODES)
-    w = Window.orderBy(F.desc("rank"), F.asc("node"))
+    from .ranking import rank_of_topk
+
     return (
-        top.withColumn("pos", F.row_number().over(w))
+        rank_of_topk(top, "rank", "node")
         .select(
-            "pos",
+            F.col("topk_pos").alias("pos"),
             "node",
             F.col("rank").alias("rank_e12"),
             (F.col("node") >= _SUPP_OFFSET).alias("is_supplier"),

@@ -23,9 +23,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..catalog import load_table
+
+
+def rank_of_topk(top: DataFrame, score_desc: str, tiebreak_asc: str) -> DataFrame:
+    """Display rank 1..K for an already-top-k'd relation WITHOUT a window:
+    rank(r) = 1 + |rows strictly before r| via a broadcast self-join over
+    the K survivors (K² pairs, K ≤ tens). A row_number window here would
+    be an unpartitioned WindowExec — harmless on K rows but it puts a
+    single-partition window operator in the plan, which the plan audit
+    (`plans.unpartitioned_windows`) bans outright so that the invariant
+    "no window ever runs pre-limit on data-sized input" stays machine-
+    checkable with zero exceptions."""
+    a, b = top.alias("a"), top.alias("b")
+    before = (F.col(f"b.{score_desc}") > F.col(f"a.{score_desc}")) | (
+        (F.col(f"b.{score_desc}") == F.col(f"a.{score_desc}"))
+        & (F.col(f"b.{tiebreak_asc}") < F.col(f"a.{tiebreak_asc}"))
+    )
+    return (
+        a.join(F.broadcast(b), before, "left")
+        .groupBy(*[F.col(f"a.{c}").alias(c) for c in top.columns])
+        .agg((F.count(F.col(f"b.{tiebreak_asc}")) + 1).cast("long").alias("topk_pos"))
+    )
+
 
 QUERY_TERMS = ("vector", "merge", "stream")
 TOP_K = 10
@@ -80,15 +101,13 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(contrib_e6).cast("double") / F.lit(1_000_000.0)).alias("bm25"),
         )
     )
-    # top-k first (TakeOrderedAndProject over the per-doc relation), then the
-    # single-partition rank window runs on only K rows
+    # top-k first (TakeOrderedAndProject over the per-doc relation); the
+    # display rank over the K survivors comes from rank_of_topk's broadcast
+    # self-join — zero WindowExec anywhere in this plan.
     top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(TOP_K)
-    return top.withColumn(
-        "rank",
-        F.row_number()
-        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
-        .cast("long"),
-    ).select("rank", "doc_id", "n_matched_terms", "bm25")
+    return rank_of_topk(top, "bm25", "doc_id").select(
+        F.col("topk_pos").alias("rank"), "doc_id", "n_matched_terms", "bm25"
+    )
 
 
 def _sql_bm25() -> str:

@@ -207,15 +207,28 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
 
 
 def test_bm25_broadcasts_and_takeordered(spark, sf_dir):
-    # df + corpus scalars broadcast; top-k is TakeOrderedAndProject, and the
-    # rank window runs AFTER the limit (K rows), never over the doc relation
+    # df + corpus scalars broadcast; top-k is TakeOrderedAndProject; the
+    # display rank over the K survivors is rank_of_topk's broadcast
+    # self-join, so there is NO WindowExec anywhere in the plan
     from data_pipeline_for_autonomous_vehicles_spark.operators import ranking
 
     df = ranking.bm25_topk(spark, sf_dir)
     txt = plans.plan_text(df)
     assert "TakeOrderedAndProject" in txt
     assert not plans.uses_cartesian_product(df)
-    assert txt.index("Window") < txt.index("TakeOrderedAndProject")  # top-down print
+    assert "Window" not in txt
+
+
+def test_topk_display_ranks_are_windowless(spark, sf_dir):
+    # round-1 bench tail carried "No Partition Defined for Window" warnings
+    # from the post-limit display-rank windows in bm25/pagerank; both now
+    # derive rank via broadcast self-join over the K survivors — assert the
+    # operator is fully absent so the warning cannot come back
+    from data_pipeline_for_autonomous_vehicles_spark.operators import graph
+
+    df = graph.pagerank_top_nodes(spark, sf_dir)
+    assert "Window" not in plans.plan_text(df)
+    assert plans.unpartitioned_windows(df) == []
 
 
 def test_journey_patterns_one_fact_shuffle(spark, sf_dir):
