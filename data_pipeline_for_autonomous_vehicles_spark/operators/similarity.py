@@ -765,6 +765,197 @@ ORDER BY cid
 """
 
 
+# --- product quantization (PQ) ADC search -----------------------------------
+#
+# The remaining rung of the ANN ladder after brute-force / LSH / IVF: compress
+# each vector to M subspace code ids against per-subspace codebooks, then
+# answer queries with an asymmetric-distance (ADC) table lookup — the memory
+# layout that makes billion-vector search feasible (codes are M bytes, not
+# 4·dim). Codebooks come from the same fixed-point integer Lloyd's as
+# kmeans_cluster_stats, so encode + ADC are bit-exact against the ANSI twin.
+
+PQ_M = 4  # subspaces
+PQ_SUB = 16  # dims per subspace (4 × 16 = the 64-dim embeddings)
+PQ_K = 8  # codes per subspace
+PQ_ITERS = 2
+PQ_TOP = 10
+
+
+def _pq_codebooks(vecs: DataFrame) -> DataFrame:
+    """Per-subspace codebooks: (m, cid, c[16]) after PQ_ITERS Lloyd rounds
+    over the subvectors, seeded from the first PQ_K vectors. One frame holds
+    all M codebooks (subspace id is just another grouping key), so training
+    is M parallel little k-means in a single plan."""
+    subs = vecs.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.struct(
+                    m.alias("m"),
+                    F.slice(F.col("sx"), m * PQ_SUB + 1, PQ_SUB).alias("sv"),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    cents = subs.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").cast("int").alias("cid"), F.col("sv").alias("c")
+    )
+    for _ in range(PQ_ITERS):
+        w = Window.partitionBy("m", "vec_id").orderBy("sqdist", "cid")
+        assigned = (
+            subs.join(F.broadcast(cents), "m")
+            .withColumn("sqdist", _sq_dist(F.col("sv"), F.col("c")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("m", "vec_id", "sv", "cid")
+        )
+        cell = assigned.select("m", "cid", F.posexplode("sv").alias("pos", "v")).groupBy(
+            "m", "cid", "pos"
+        ).agg(
+            F.floor(
+                F.sum("v").cast("double") / F.count(F.lit(1)).cast("double") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cv")
+        )
+        cents = cell.groupBy("m", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+            ).alias("c")
+        )
+    return cents
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K nearest vectors to QUERY_VEC under PQ asymmetric distance,
+    with the exact distance alongside (the approximation-quality audit).
+
+    Plan shape for 100 TB: codebooks (M·K rows) broadcast twice — once to
+    encode the corpus (map-side row_number over M·K candidates per vector,
+    no shuffle of the corpus) and once as the query's ADC table (M·K
+    precomputed integer distances). The scan carries only (vec_id, codes)
+    after encoding — M small ints per vector, the PQ compression story —
+    and the final top-k is a TakeOrderedAndProject. Composing with
+    `ann_ivf_topk`'s list-pruning gives standard IVF-PQ; here the probe is
+    exhaustive over codes so the oracle twin stays a pure expression."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _scaled_vec(F.col("embedding")).alias("sx"))
+    cents = _pq_codebooks(vecs)
+
+    subs = vecs.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.struct(
+                    m.alias("m"),
+                    F.slice(F.col("sx"), m * PQ_SUB + 1, PQ_SUB).alias("sv"),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    w = Window.partitionBy("m", "vec_id").orderBy("sqdist", "cid")
+    codes = (
+        subs.join(F.broadcast(cents), "m")
+        .withColumn("sqdist", _sq_dist(F.col("sv"), F.col("c")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+
+    # ADC table: per (m, cid) the exact int64 distance from the query's
+    # m-th subvector to that centroid
+    qsubs = subs.filter(F.col("vec_id") == QUERY_VEC).select(
+        "m", F.col("sv").alias("qsv")
+    )
+    adc = (
+        cents.join(F.broadcast(qsubs), "m")
+        .select("m", "cid", _sq_dist(F.col("qsv"), F.col("c")).alias("d"))
+    )
+
+    approx = (
+        codes.join(F.broadcast(adc), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").cast("long").alias("approx_sqdist"))
+    )
+    qv = vecs.filter(F.col("vec_id") == QUERY_VEC).select(F.col("sx").alias("qsx"))
+    exact = vecs.crossJoin(F.broadcast(qv)).select(
+        "vec_id", _sq_dist(F.col("sx"), F.col("qsx")).alias("exact_sqdist")
+    )
+    return (
+        approx.join(exact, "vec_id")
+        .filter(F.col("vec_id") != QUERY_VEC)
+        .orderBy("approx_sqdist", "vec_id")
+        .limit(PQ_TOP)
+    )
+
+
+def _sql_pq() -> str:
+    sx = (
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> CAST(FLOOR(x * {_KM_SCALE} + 0.5) AS BIGINT))"
+    )
+    dist_sv_c = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_zip(s.sv, c.c), x -> (x[1] - x[2]) * (x[1] - x[2]))), "
+        "(acc, x) -> acc + x)"
+    )
+
+    def assign(subs: str, cents: str) -> str:
+        return f"""
+  SELECT m, vec_id, sv, cid FROM (
+    SELECT s.m, s.vec_id, s.sv, c.cid, {dist_sv_c} AS sqdist,
+           ROW_NUMBER() OVER (PARTITION BY s.m, s.vec_id
+                              ORDER BY {dist_sv_c}, c.cid) AS rn
+    FROM {subs} s JOIN {cents} c ON s.m = c.m) t
+  WHERE rn = 1"""
+
+    update = f"""
+  SELECT m, cid, list(cv ORDER BY pos) AS c FROM (
+    SELECT m, cid, i AS pos,
+           CAST(FLOOR(CAST(SUM(sv[i]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS cv
+    FROM {{src}}, generate_series(1, {PQ_SUB}) AS g(i)
+    GROUP BY m, cid, i) cells
+  GROUP BY m, cid"""
+
+    return f"""
+WITH vecs AS (SELECT vec_id, {sx} AS sx FROM embeddings),
+subs AS (
+  SELECT vec_id, m, sx[(m * {PQ_SUB} + 1):(m * {PQ_SUB} + {PQ_SUB})] AS sv
+  FROM vecs, generate_series(0, {PQ_M - 1}) AS g(m)),
+c0 AS (SELECT m, CAST(vec_id AS INTEGER) AS cid, sv AS c
+       FROM subs WHERE vec_id < {PQ_K}),
+a1 AS ({assign('subs', 'c0')}),
+c1 AS ({update.format(src='a1')}),
+a2 AS ({assign('subs', 'c1')}),
+c2 AS ({update.format(src='a2')}),
+codes AS ({assign('subs', 'c2')}),
+qsubs AS (SELECT m, sv AS qsv FROM subs WHERE vec_id = {QUERY_VEC}),
+adc AS (
+  SELECT c.m, c.cid,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_zip(q.qsv, c.c), x -> (x[1] - x[2]) * (x[1] - x[2]))),
+           (acc, x) -> acc + x) AS d
+  FROM c2 c JOIN qsubs q ON c.m = q.m),
+approx AS (
+  SELECT k.vec_id, CAST(SUM(a.d) AS BIGINT) AS approx_sqdist
+  FROM codes k JOIN adc a ON k.m = a.m AND k.cid = a.cid
+  GROUP BY k.vec_id),
+exact AS (
+  SELECT v.vec_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_zip(v.sx, q.sx), x -> (x[1] - x[2]) * (x[1] - x[2]))),
+           (acc, x) -> acc + x) AS exact_sqdist
+  FROM vecs v CROSS JOIN (SELECT sx FROM vecs WHERE vec_id = {QUERY_VEC}) q)
+SELECT a.vec_id, a.approx_sqdist, e.exact_sqdist
+FROM approx a JOIN exact e ON a.vec_id = e.vec_id
+WHERE a.vec_id <> {QUERY_VEC}
+ORDER BY a.approx_sqdist, a.vec_id
+LIMIT {PQ_TOP}
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -773,6 +964,7 @@ QUERIES = {
     "embedding_near_dups": embedding_near_dups,
     "embedding_quantize_report": embedding_quantize_report,
     "kmeans_cluster_stats": kmeans_cluster_stats,
+    "ann_pq_topk": ann_pq_topk,
     "hybrid_search_rrf": hybrid_search_rrf,
 }
 
@@ -784,5 +976,6 @@ ORACLES = {
     "embedding_near_dups": _NEAR_DUP_SQL,
     "embedding_quantize_report": _QUANT_SQL,
     "kmeans_cluster_stats": _sql_kmeans(),
+    "ann_pq_topk": _sql_pq(),
     "hybrid_search_rrf": _sql_hybrid(),
 }

@@ -630,3 +630,24 @@ def test_hll_union_mergeability(spark, sf_dir):
         assert r["union_equals_direct"], r
         # HLL (lgConfigK=12 default) is ~1.6% σ; allow 5σ
         assert abs(r["est_direct"] - r["exact_users"]) <= max(2, 0.08 * r["exact_users"])
+
+
+def test_ann_pq_structural_invariants(spark, sf_dir):
+    # PQ ADC search: exactly PQ_TOP rows, approx distances nonnegative and
+    # nondecreasing in output order, and the whole computation (codebook
+    # training included) is deterministic run-to-run. Recall vs exact is
+    # data-limited on the near-random synthetic embeddings (distance
+    # concentration), so it is audited, not asserted.
+    from data_pipeline_for_autonomous_vehicles_spark.operators.similarity import (
+        PQ_TOP,
+        ann_pq_topk,
+    )
+
+    rows1 = ann_pq_topk(spark, sf_dir).collect()
+    assert len(rows1) == PQ_TOP
+    dists = [r.approx_sqdist for r in rows1]
+    assert all(d >= 0 for d in dists)
+    assert dists == sorted(dists)
+    assert all(r.exact_sqdist >= 0 for r in rows1)
+    rows2 = ann_pq_topk(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]
