@@ -651,3 +651,28 @@ def test_ann_pq_structural_invariants(spark, sf_dir):
     assert all(r.exact_sqdist >= 0 for r in rows1)
     rows2 = ann_pq_topk(spark, sf_dir).collect()
     assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]
+
+
+def test_rank_of_topk_equals_row_number_with_ties(spark):
+    # rank_of_topk replaced the display-rank windows in bm25/pagerank; it
+    # must reproduce ROW_NUMBER() OVER (ORDER BY score DESC, id ASC)
+    # exactly, including tie groups and a single max row
+    from pyspark.sql import Row
+
+    from data_pipeline_for_autonomous_vehicles_spark.operators.ranking import (
+        rank_of_topk,
+    )
+
+    rows = [
+        Row(id=5, score=10.0),
+        Row(id=2, score=10.0),  # tie with id=5 -> id 2 ranks first
+        Row(id=9, score=30.0),
+        Row(id=1, score=20.0),
+        Row(id=7, score=20.0),
+        Row(id=3, score=5.0),
+    ]
+    got = {
+        r.id: r.topk_pos
+        for r in rank_of_topk(spark.createDataFrame(rows), "score", "id").collect()
+    }
+    assert got == {9: 1, 1: 2, 7: 3, 2: 4, 5: 5, 3: 6}
