@@ -956,6 +956,161 @@ LIMIT {PQ_TOP}
 """
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the production serving path — coarse cells prune the corpus
+    (probe NPROBE of N_CENTROIDS inverted lists), PQ ADC ranks within the
+    probed lists. Proves the composition `ann_ivf_topk`'s list pruning ×
+    `ann_pq_topk`'s compressed ranking as ONE declarative plan.
+
+    Integer-exact end to end: the coarse step uses int64 squared-L2 to the
+    same deterministic centroid vectors as `ann_ivf_topk` (L2, not cosine,
+    so the whole pipeline shares one metric with PQ), the fine step reuses
+    `_pq_codebooks`. Scale shape: both quantizers broadcast; the corpus is
+    touched by exactly one map-side assignment each and never shuffles;
+    the probe is an equi-join on cell id (NPROBE/N_CENTROIDS of the data),
+    then a broadcast ADC lookup and TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _scaled_vec(F.col("embedding")).alias("sx"))
+    coarse = vecs.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("sx").alias("cx"))
+
+    w_assign = Window.partitionBy("vec_id").orderBy("d", "cent_id")
+    cells = (
+        vecs.crossJoin(F.broadcast(coarse))
+        .withColumn("d", _sq_dist(F.col("sx"), F.col("cx")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+
+    cents = _pq_codebooks(vecs)
+    subs = vecs.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.struct(
+                    m.alias("m"),
+                    F.slice(F.col("sx"), m * PQ_SUB + 1, PQ_SUB).alias("sv"),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    w_code = Window.partitionBy("m", "vec_id").orderBy("sqdist", "cid")
+    codes = (
+        subs.join(F.broadcast(cents), "m")
+        .withColumn("sqdist", _sq_dist(F.col("sv"), F.col("c")))
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+
+    qv = vecs.filter(F.col("vec_id") == QUERY_VEC)
+    probed = (
+        qv.crossJoin(F.broadcast(coarse))
+        .withColumn("d", _sq_dist(F.col("sx"), F.col("cx")))
+        .orderBy("d", "cent_id")
+        .limit(NPROBE)
+        .select(F.col("cent_id").alias("cell"))
+    )
+    qsubs = subs.filter(F.col("vec_id") == QUERY_VEC).select(
+        "m", F.col("sv").alias("qsv")
+    )
+    adc = cents.join(F.broadcast(qsubs), "m").select(
+        "m", "cid", _sq_dist(F.col("qsv"), F.col("c")).alias("d")
+    )
+
+    candidates = cells.join(F.broadcast(probed), "cell").filter(
+        F.col("vec_id") != QUERY_VEC
+    )
+    return (
+        candidates.join(codes, "vec_id")
+        .join(F.broadcast(adc), ["m", "cid"])
+        .groupBy("vec_id", "cell")
+        .agg(F.sum("d").cast("long").alias("approx_sqdist"))
+        .orderBy("approx_sqdist", "vec_id")
+        .limit(PQ_TOP)
+    )
+
+
+def _sql_ivfpq() -> str:
+    sx = (
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> CAST(FLOOR(x * {_KM_SCALE} + 0.5) AS BIGINT))"
+    )
+
+    def int_dist(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(list_zip({a}, {b}), x -> (x[1] - x[2]) * (x[1] - x[2]))), "
+            "(acc, x) -> acc + x)"
+        )
+
+    dist_sv_c = int_dist("s.sv", "c.c")
+
+    def assign(subs: str, cents: str) -> str:
+        return f"""
+  SELECT m, vec_id, sv, cid FROM (
+    SELECT s.m, s.vec_id, s.sv, c.cid, {dist_sv_c} AS sqdist,
+           ROW_NUMBER() OVER (PARTITION BY s.m, s.vec_id
+                              ORDER BY {dist_sv_c}, c.cid) AS rn
+    FROM {subs} s JOIN {cents} c ON s.m = c.m) t
+  WHERE rn = 1"""
+
+    update = f"""
+  SELECT m, cid, list(cv ORDER BY pos) AS c FROM (
+    SELECT m, cid, i AS pos,
+           CAST(FLOOR(CAST(SUM(sv[i]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS cv
+    FROM {{src}}, generate_series(1, {PQ_SUB}) AS g(i)
+    GROUP BY m, cid, i) cells
+  GROUP BY m, cid"""
+
+    return f"""
+WITH vecs AS (SELECT vec_id, {sx} AS sx FROM embeddings),
+coarse AS (
+  SELECT vec_id AS cent_id, sx AS cx FROM vecs
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}),
+cells AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT v.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {int_dist('v.sx', 'c.cx')}, c.cent_id) AS rn
+    FROM vecs v CROSS JOIN coarse c) t
+  WHERE rn = 1),
+subs AS (
+  SELECT vec_id, m, sx[(m * {PQ_SUB} + 1):(m * {PQ_SUB} + {PQ_SUB})] AS sv
+  FROM vecs, generate_series(0, {PQ_M - 1}) AS g(m)),
+c0 AS (SELECT m, CAST(vec_id AS INTEGER) AS cid, sv AS c
+       FROM subs WHERE vec_id < {PQ_K}),
+a1 AS ({assign('subs', 'c0')}),
+c1 AS ({update.format(src='a1')}),
+a2 AS ({assign('subs', 'c1')}),
+c2 AS ({update.format(src='a2')}),
+codes AS ({assign('subs', 'c2')}),
+probed AS (
+  SELECT c.cent_id AS cell
+  FROM vecs q CROSS JOIN coarse c
+  WHERE q.vec_id = {QUERY_VEC}
+  ORDER BY {int_dist('q.sx', 'c.cx')}, c.cent_id
+  LIMIT {NPROBE}),
+qsubs AS (SELECT m, sv AS qsv FROM subs WHERE vec_id = {QUERY_VEC}),
+adc AS (
+  SELECT c.m, c.cid, {int_dist('q.qsv', 'c.c')} AS d
+  FROM c2 c JOIN qsubs q ON c.m = q.m),
+cand AS (
+  SELECT ce.vec_id, ce.cell FROM cells ce JOIN probed p ON ce.cell = p.cell
+  WHERE ce.vec_id <> {QUERY_VEC})
+SELECT k.vec_id, k.cell, CAST(SUM(a.d) AS BIGINT) AS approx_sqdist
+FROM cand k
+JOIN codes co ON co.vec_id = k.vec_id
+JOIN adc a ON a.m = co.m AND a.cid = co.cid
+GROUP BY k.vec_id, k.cell
+ORDER BY approx_sqdist, k.vec_id
+LIMIT {PQ_TOP}
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -965,6 +1120,7 @@ QUERIES = {
     "embedding_quantize_report": embedding_quantize_report,
     "kmeans_cluster_stats": kmeans_cluster_stats,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "hybrid_search_rrf": hybrid_search_rrf,
 }
 
@@ -977,5 +1133,6 @@ ORACLES = {
     "embedding_quantize_report": _QUANT_SQL,
     "kmeans_cluster_stats": _sql_kmeans(),
     "ann_pq_topk": _sql_pq(),
+    "ann_ivfpq_topk": _sql_ivfpq(),
     "hybrid_search_rrf": _sql_hybrid(),
 }

@@ -676,3 +676,50 @@ def test_rank_of_topk_equals_row_number_with_ties(spark):
         for r in rank_of_topk(spark.createDataFrame(rows), "score", "id").collect()
     }
     assert got == {9: 1, 1: 2, 7: 3, 2: 4, 5: 5, 3: 6}
+
+
+def test_ann_ivfpq_candidates_restricted_to_probed_cells(spark, sf_dir):
+    # IVF-PQ must (a) return rows only from the query's NPROBE probed
+    # coarse cells and (b) agree with ann_pq_topk's ADC distance on every
+    # vector it returns (the fine quantizer is shared)
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.operators.similarity import (
+        N_CENTROIDS,
+        N_QUERIES,
+        NPROBE,
+        PQ_TOP,
+        QUERY_VEC,
+        _scaled_vec,
+        _sq_dist,
+        ann_ivfpq_topk,
+        ann_pq_topk,
+    )
+
+    rows = ann_ivfpq_topk(spark, sf_dir).collect()
+    assert len(rows) == PQ_TOP
+    cells_used = {r.cell for r in rows}
+    assert len(cells_used) <= NPROBE
+    assert all(N_QUERIES <= c < N_QUERIES + N_CENTROIDS for c in cells_used)
+    # the query's true NPROBE nearest coarse cells (int L2, tie by cent_id)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _scaled_vec(F.col("embedding")).alias("sx"))
+    coarse = vecs.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("sx").alias("cx"))
+    qv = vecs.filter(F.col("vec_id") == QUERY_VEC).select(F.col("sx").alias("q"))
+    probed = {
+        r.cent_id
+        for r in coarse.crossJoin(F.broadcast(qv))
+        .select("cent_id", _sq_dist(F.col("cx"), F.col("q")).alias("d"))
+        .orderBy("d", "cent_id")
+        .limit(NPROBE)
+        .collect()
+    }
+    assert cells_used <= probed
+    # shared fine quantizer: ADC distances agree with the global PQ query
+    pq = {r.vec_id: r.approx_sqdist for r in ann_pq_topk(spark, sf_dir).collect()}
+    for r in rows:
+        if r.vec_id in pq:
+            assert r.approx_sqdist == pq[r.vec_id]
