@@ -56,10 +56,10 @@ def _encode(v):
     """Mirror the reference's SQLite degradations: bool → 0/1, timestamp →
     '%Y-%m-%d %H:%M:%S' TEXT (run_full_pipeline_local.py:44-64), date →
     ISO TEXT; containers → JSON TEXT."""
+    if isinstance(v, bool):  # must precede the int check (bool ⊂ int)
+        return int(v)
     if v is None or isinstance(v, (int, float, str, bytes)):
         return v
-    if isinstance(v, bool):  # pragma: no cover - bool is int subclass
-        return int(v)
     if isinstance(v, _dt.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, _dt.date):
@@ -118,7 +118,12 @@ def read_sqlite_table(db_path: str, table: str) -> list[tuple]:
     conn = sqlite3.connect(db_path)
     try:
         cur = conn.execute(f'SELECT * FROM "{table}"')
-        return sorted(cur.fetchall())
+        # None is unorderable against str/int in Python 3; sort NULLs first
+        # per cell so nullable result columns don't crash the comparison
+        return sorted(
+            cur.fetchall(),
+            key=lambda row: tuple((v is not None, v) for v in row),
+        )
     finally:
         conn.close()
 

@@ -374,10 +374,18 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_dup_groups"))
     )
 
-    match = lang_id(spark, sf_dir).agg(
-        F.sum(
-            F.when(F.col("declared_lang") == F.col("predicted_lang"), 1).otherwise(0)
-        ).alias("n_match")
+    # restrict the classifier output to the SAME non-empty population as
+    # n_docs — otherwise empty docs whose declared lang happens to equal
+    # the classifier's zero-hit default would inflate the numerator past
+    # the denominator (lang_match_pct > 100)
+    match = (
+        lang_id(spark, sf_dir)
+        .join(docs.select("doc_id"), "doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("declared_lang") == F.col("predicted_lang"), 1).otherwise(0)
+            ).alias("n_match")
+        )
     )
 
     tcnt = (
@@ -436,7 +444,8 @@ dups AS (
 lmatch AS (
   SELECT CAST(SUM(CASE WHEN declared_lang = predicted_lang THEN 1 ELSE 0 END) AS BIGINT)
            AS n_match
-  FROM ({_sql_lang_id()}) li),
+  FROM ({_sql_lang_id()}) li
+  JOIN docs_ne d ON li.doc_id = d.doc_id),
 tcnt AS (
   SELECT doc_id, w, COUNT(*) AS c
   FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM docs_ne) t

@@ -781,12 +781,11 @@ PQ_ITERS = 2
 PQ_TOP = 10
 
 
-def _pq_codebooks(vecs: DataFrame) -> DataFrame:
-    """Per-subspace codebooks: (m, cid, c[16]) after PQ_ITERS Lloyd rounds
-    over the subvectors, seeded from the first PQ_K vectors. One frame holds
-    all M codebooks (subspace id is just another grouping key), so training
-    is M parallel little k-means in a single plan."""
-    subs = vecs.select(
+def _pq_subvectors(vecs: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): each fixed-point vector split into PQ_M contiguous
+    PQ_SUB-dim subvectors — the single definition of the subspace layout
+    shared by training, encoding, and both query paths."""
+    return vecs.select(
         "vec_id",
         F.explode(
             F.transform(
@@ -798,18 +797,32 @@ def _pq_codebooks(vecs: DataFrame) -> DataFrame:
             )
         ).alias("s"),
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+
+def _pq_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-codeword assignment per (m, vec_id): broadcast codebooks,
+    map-side row_number over M·K candidates, ties to the lowest cid."""
+    w = Window.partitionBy("m", "vec_id").orderBy("sqdist", "cid")
+    return (
+        subs.join(F.broadcast(cents), "m")
+        .withColumn("sqdist", _sq_dist(F.col("sv"), F.col("c")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("m", "vec_id", "sv", "cid")
+    )
+
+
+def _pq_codebooks(vecs: DataFrame) -> DataFrame:
+    """Per-subspace codebooks: (m, cid, c[16]) after PQ_ITERS Lloyd rounds
+    over the subvectors, seeded from the first PQ_K vectors. One frame holds
+    all M codebooks (subspace id is just another grouping key), so training
+    is M parallel little k-means in a single plan."""
+    subs = _pq_subvectors(vecs)
     cents = subs.filter(F.col("vec_id") < PQ_K).select(
         "m", F.col("vec_id").cast("int").alias("cid"), F.col("sv").alias("c")
     )
     for _ in range(PQ_ITERS):
-        w = Window.partitionBy("m", "vec_id").orderBy("sqdist", "cid")
-        assigned = (
-            subs.join(F.broadcast(cents), "m")
-            .withColumn("sqdist", _sq_dist(F.col("sv"), F.col("c")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("m", "vec_id", "sv", "cid")
-        )
+        assigned = _pq_assign(subs, cents)
         cell = assigned.select("m", "cid", F.posexplode("sv").alias("pos", "v")).groupBy(
             "m", "cid", "pos"
         ).agg(
@@ -843,26 +856,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select("vec_id", _scaled_vec(F.col("embedding")).alias("sx"))
     cents = _pq_codebooks(vecs)
 
-    subs = vecs.select(
-        "vec_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                lambda m: F.struct(
-                    m.alias("m"),
-                    F.slice(F.col("sx"), m * PQ_SUB + 1, PQ_SUB).alias("sv"),
-                ),
-            )
-        ).alias("s"),
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
-    w = Window.partitionBy("m", "vec_id").orderBy("sqdist", "cid")
-    codes = (
-        subs.join(F.broadcast(cents), "m")
-        .withColumn("sqdist", _sq_dist(F.col("sv"), F.col("c")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "cid")
-    )
+    subs = _pq_subvectors(vecs)
+    codes = _pq_assign(subs, cents).select("vec_id", "m", "cid")
 
     # ADC table: per (m, cid) the exact int64 distance from the query's
     # m-th subvector to that centroid
@@ -889,6 +884,41 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("approx_sqdist", "vec_id")
         .limit(PQ_TOP)
     )
+
+
+# shared ANSI fragments for the PQ family (used by _sql_pq and _sql_ivfpq)
+_PQ_SQL_SX = (
+    "list_transform(CAST(embedding AS DOUBLE[]), "
+    f"x -> CAST(FLOOR(x * {_KM_SCALE} + 0.5) AS BIGINT))"
+)
+
+
+def _pq_sql_int_dist(a: str, b: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(list_zip({a}, {b}), x -> (x[1] - x[2]) * (x[1] - x[2]))), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _pq_sql_assign(subs: str, cents: str) -> str:
+    d = _pq_sql_int_dist("s.sv", "c.c")
+    return f"""
+  SELECT m, vec_id, sv, cid FROM (
+    SELECT s.m, s.vec_id, s.sv, c.cid, {d} AS sqdist,
+           ROW_NUMBER() OVER (PARTITION BY s.m, s.vec_id
+                              ORDER BY {d}, c.cid) AS rn
+    FROM {subs} s JOIN {cents} c ON s.m = c.m) t
+  WHERE rn = 1"""
+
+
+_PQ_SQL_UPDATE = f"""
+  SELECT m, cid, list(cv ORDER BY pos) AS c FROM (
+    SELECT m, cid, i AS pos,
+           CAST(FLOOR(CAST(SUM(sv[i]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS cv
+    FROM {{src}}, generate_series(1, {PQ_SUB}) AS g(i)
+    GROUP BY m, cid, i) cells
+  GROUP BY m, cid"""
 
 
 def _sql_pq() -> str:
@@ -985,26 +1015,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cents = _pq_codebooks(vecs)
-    subs = vecs.select(
-        "vec_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                lambda m: F.struct(
-                    m.alias("m"),
-                    F.slice(F.col("sx"), m * PQ_SUB + 1, PQ_SUB).alias("sv"),
-                ),
-            )
-        ).alias("s"),
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
-    w_code = Window.partitionBy("m", "vec_id").orderBy("sqdist", "cid")
-    codes = (
-        subs.join(F.broadcast(cents), "m")
-        .withColumn("sqdist", _sq_dist(F.col("sv"), F.col("c")))
-        .withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "cid")
-    )
+    subs = _pq_subvectors(vecs)
+    codes = _pq_assign(subs, cents).select("vec_id", "m", "cid")
 
     qv = vecs.filter(F.col("vec_id") == QUERY_VEC)
     probed = (

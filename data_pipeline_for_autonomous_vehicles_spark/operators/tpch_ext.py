@@ -360,9 +360,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(exact_sum(_revenue(), _REV_SCALE).alias("total_revenue"))
     )
-    w = Window.partitionBy()
+    # scalar-subquery combine, NOT `Window.partitionBy()`: the per-supplier
+    # frame grows with the data, and an unpartitioned window funnels it
+    # through one task (the round-1 scale-killer class). A 1-row broadcast
+    # MAX keeps the comparison map-side.
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
-        rev.withColumn("max_rev", F.max("total_revenue").over(w))
+        rev.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_rev"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")

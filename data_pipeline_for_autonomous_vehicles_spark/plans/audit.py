@@ -92,9 +92,12 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
     100×-scale killer. Returns the offending spec strings (empty = safe).
 
     Detection: in a `windowspecdefinition(part…, order…, frame)` the
-    partition columns come first without sort markers; if the FIRST
-    top-level argument already carries ASC/DESC NULLS ordering, the
-    partition list is empty."""
+    partition columns come first without sort markers. The partition list
+    is empty when the FIRST top-level argument either carries ASC/DESC
+    NULLS ordering (ordered global window) or IS the frame spec itself
+    (`specifiedwindowframe(...)` — an order-less global window such as
+    `max(...).over(Window.partitionBy())`, which Spark also funnels
+    through a single partition)."""
     out: list[str] = []
     text = plan_text(df)
     for m in re.finditer(r"windowspecdefinition\(", text):
@@ -107,7 +110,11 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
                 depth -= 1
             i += 1
         args = _split_top_level(text[start : i - 1])
-        if args and (" ASC NULLS" in args[0] or " DESC NULLS" in args[0]):
+        if args and (
+            " ASC NULLS" in args[0]
+            or " DESC NULLS" in args[0]
+            or args[0].startswith("specifiedwindowframe(")
+        ):
             out.append(text[m.start() : i])
     return out
 

@@ -59,10 +59,18 @@ def split_by_time_bucket(
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(out_dir)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    # Numeric sort on the bucket id, not lexicographic on the dir name:
+    # the b%012d padding makes the two agree for non-negative ids, but
+    # negative ids (pre-1970 event times) compare INVERTED as strings
+    # ('-05' > '-100' numerically, < lexicographically) — and replay order
+    # is exactly what this function exists to guarantee.
     buckets = sorted(
-        st.getPath().getName()
-        for st in fs.listStatus(root)
-        if st.isDirectory() and st.getPath().getName().startswith("replay_bucket=")
+        (
+            st.getPath().getName()
+            for st in fs.listStatus(root)
+            if st.isDirectory() and st.getPath().getName().startswith("replay_bucket=")
+        ),
+        key=lambda name: int(name.split("=", 1)[1].lstrip("b")),
     )
     # strictly increasing, 2s apart (outranks coarse FS mtime granularity),
     # starting past every freshly-written mtime

@@ -118,11 +118,16 @@ class OnlineOutlierProcessor(StatefulProcessor):
 
 
 def _update_v1(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-    """applyInPandasWithState twin of OnlineOutlierProcessor (same _fold)."""
+    """applyInPandasWithState twin of OnlineOutlierProcessor (same _fold).
+
+    Concatenate ALL of this micro-batch's Arrow chunks BEFORE the single
+    sort: a large key group arrives as multiple chunks in arbitrary order
+    (> arrow.maxRecordsPerBatch rows), and sorting each chunk separately
+    would fold late-timestamp rows of an early chunk before earlier rows
+    of a later chunk — diverging from the v2 processor and the oracle."""
     moments = state.get if state.exists else (0, 0, 0, 0)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        moments = _fold(moments, pdf["cents"])
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    moments = _fold(moments, pdf["cents"])
     state.update(moments)
     n, _s, _q, flagged = moments
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "n_flagged": [flagged]})

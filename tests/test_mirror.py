@@ -100,3 +100,15 @@ def test_ensure_database_bootstrap(spark):
         assert ensure_database(spark, name) is False
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS `{name}`")
+
+
+def test_mirror_handles_nulls(spark, tmp_path):
+    """Nullable result columns must mirror and read back without the
+    None-vs-value ordering TypeError (NULLs sort first per cell)."""
+    db = str(tmp_path / "mirror.db")
+    df = spark.createDataFrame(
+        [Row(k=1, label="a"), Row(k=2, label=None), Row(k=3, label="b")]
+    )
+    assert mirror_to_sqlite(df, db, "t") == 3
+    rows = read_sqlite_table(db, "t")
+    assert (2, None) in rows and len(rows) == 3

@@ -432,3 +432,22 @@ def test_tie_aware_rank_queries_have_no_range_exchange_at_execution(spark, sf_di
 
     ranges = re.findall(r"rangepartitioning\(([^)]*)\)", txt)
     assert all("o_orderkey" in r for r in ranges), ranges
+
+
+def test_unpartitioned_window_detector_catches_orderless_global(spark):
+    # `max over ()` has no ORDER BY, so the spec's first argument is the
+    # frame itself — the detector must flag it (it moves all data to one
+    # partition just like the ordered form)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bad = spark.range(10).select(F.max("id").over(Window.partitionBy()).alias("m"))
+    assert len(plans.unpartitioned_windows(bad)) == 1
+
+
+def test_q15_max_is_broadcast_scalar_not_global_window(spark, sf_dir):
+    # q15's MAX-over-aggregate must be a 1-row broadcast combine, not a
+    # Window.partitionBy() over the growing per-supplier frame
+    df = tpch_ext.q15_top_supplier(spark, sf_dir)
+    assert plans.unpartitioned_windows(df) == []
+    assert "Window" not in plans.plan_text(df)
