@@ -81,6 +81,90 @@ ORDER BY v.user_id
 """
 
 
+def streaming_unconverted_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: views that saw NO
+    purchase from the same user within the following hour, counted per user.
+
+    This is the join class `streaming_view_purchase_pairs` cannot express:
+    the *absence* of a match. The outer side emits its null-padded row only
+    when the watermark proves no future purchase can still arrive
+    (watermark > view_ts + 1h), i.e. state eviction doubles as negative
+    evidence — the streaming-native form of the reference's query-time
+    NOT EXISTS anti-joins (SURVEY.md §2.3 semi/anti family).
+
+    Determinism at the stream tail: rows younger than the final watermark
+    minus the join horizon are still in state when a bounded run ends, so
+    both this query and its oracle restrict to views with
+    ``view_ts <= max(ts) - 3 hours`` (1h join horizon + 1h watermark delay
+    + 1h safety), a region the no-data flush batch is guaranteed to have
+    emitted. The cutoff is a broadcast 1-row scalar (J2 pattern), applied
+    AFTER the stream completes — it never parameterizes the stream itself.
+
+    Scale: left-outer keeps the same bounded per-key state as the inner
+    join (each side held only until watermark - horizon passes it); the
+    null-emit path adds no extra state, only the eviction-time output.
+    """
+    from ..catalog import load_table
+
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    buys = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("buyer_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        buys,
+        (F.col("user_id") == F.col("buyer_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    out = _run_to_memory(joined, mode="append")
+    cutoff = load_table(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr("INTERVAL 3 HOUR")).alias("cutoff")
+    )
+    return (
+        out.filter(F.col("purchase_id").isNull())
+        .join(F.broadcast(cutoff))
+        .filter(F.col("view_ts") <= F.col("cutoff"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_unconverted"))
+        .orderBy("user_id")
+    )
+
+
+STREAMING_UNCONVERTED_SQL = """
+WITH bound AS (SELECT MAX(ts) - INTERVAL 3 HOUR AS cutoff FROM events)
+SELECT v.user_id,
+       COUNT(*) AS n_unconverted
+FROM events v, bound b
+WHERE v.event_type = 'view'
+  AND v.ts <= b.cutoff
+  AND NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.user_id = v.user_id
+        AND p.event_type = 'purchase'
+        AND p.ts >= v.ts
+        AND p.ts <= v.ts + INTERVAL 1 HOUR)
+GROUP BY v.user_id
+ORDER BY v.user_id
+"""
+
+
 def streaming_enriched_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the live event stream joined to the static
     customer dimension (user_id ↔ c_custkey) inside the stream, rolled up by
@@ -124,10 +208,12 @@ ORDER BY c_nationkey
 
 QUERIES = {
     "streaming_view_purchase_pairs": streaming_view_purchase_pairs,
+    "streaming_unconverted_views": streaming_unconverted_views,
     "streaming_enriched_nation_counts": streaming_enriched_nation_counts,
 }
 
 ORACLES = {
     "streaming_view_purchase_pairs": STREAMING_VIEW_PURCHASE_SQL,
+    "streaming_unconverted_views": STREAMING_UNCONVERTED_SQL,
     "streaming_enriched_nation_counts": STREAMING_ENRICHED_SQL,
 }

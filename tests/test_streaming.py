@@ -114,6 +114,46 @@ def test_stream_stream_join_matches_batch_self_join(spark, sf_dir):
     assert out == {r["user_id"]: (r["n"], r["nv"], r["np"]) for r in batch}
 
 
+def test_stream_stream_left_outer_matches_batch_anti_join(spark, sf_dir):
+    """Left-outer interval join null-emits must equal the batch NOT-EXISTS
+    twin inside the watermark-flushed region (view_ts <= max_ts - 3h)."""
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.streaming.joins import (
+        streaming_unconverted_views,
+    )
+
+    out = {
+        r["user_id"]: r["n_unconverted"]
+        for r in streaming_unconverted_views(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 3 HOUR")).alias("cutoff"))
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(F.broadcast(cutoff))
+        .filter(F.col("ts") <= F.col("cutoff"))
+        .select("user_id", F.col("ts").alias("vts"), F.col("event_id").alias("vid"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("uid"), F.col("ts").alias("pts")
+    )
+    batch = {
+        r["user_id"]: r["n"]
+        for r in v.join(
+            p,
+            (F.col("user_id") == F.col("uid"))
+            & (F.col("pts") >= F.col("vts"))
+            & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+            "left_anti",
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out == batch
+    assert sum(out.values()) > 0  # the region is non-degenerate at test SF
+
+
 def test_stream_static_enrichment_matches_batch_join(spark, sf_dir):
     from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
     from data_pipeline_for_autonomous_vehicles_spark.streaming.joins import (
