@@ -183,5 +183,88 @@ ORDER BY event_type
 """
 
 
-QUERIES = {"cusum_alerts": cusum_alerts, "daily_value_trend": daily_value_trend}
-ORACLES = {"cusum_alerts": _CUSUM_SQL, "daily_value_trend": _TREND_SQL}
+def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose event count deviates ≥2× from the seasonal (ISO
+    day-of-week × hour-of-day) baseline for that event type — the
+    seasonality-adjusted companion to `cusum_alerts`: CUSUM finds sustained
+    level shifts, this finds cells that break the weekly load shape
+    (`timeseries.event_seasonality` is the descriptive half).
+
+    Exactness: the baseline mean is never materialized as a float — the
+    outlier predicate cross-multiplies (n·n_cells ≥ 2·sum_n for 'high',
+    2·n·n_cells ≤ sum_n for 'low'), so the flags are pure int64 on any
+    partitioning; the reported mean is display-only (round_half_up e3).
+
+    Scale shape: one partial+final hash agg collapses the fact table to
+    |types|·|hours| cells; the baseline windows partition those CELLS by
+    (type, dow, hod) — ≤ |types|·168 independent groups whose size grows
+    only with the calendar span, never with event volume. Absent hours are
+    absent cells (count 0 is unobservable); a gap-fill spine
+    (`timeseries.hourly_gapfill_locf`) is the composition for that.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            (F.expr("weekday(ts)") + F.lit(1)).cast("long").alias("dow_iso"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .groupBy("event_type", "hour", "dow_iso", "hod")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    season = Window.partitionBy("event_type", "dow_iso", "hod")
+    b = cells.withColumn("sum_n", F.sum("n").over(season)).withColumn(
+        "n_cells", F.count(F.lit(1)).over(season)
+    )
+    high = F.col("n") * F.col("n_cells") >= F.lit(2) * F.col("sum_n")
+    low = F.lit(2) * F.col("n") * F.col("n_cells") <= F.col("sum_n")
+    return (
+        b.filter(high | low)
+        .select(
+            "event_type",
+            "hour",
+            F.col("n").alias("n_events"),
+            round_half_up(
+                F.col("sum_n").cast("double") / F.col("n_cells").cast("double"), 3
+            ).alias("seasonal_mean"),
+            F.when(high, F.lit("high")).otherwise(F.lit("low")).alias("direction"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+_SEASONAL_OUTLIER_SQL = """
+WITH cells AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(isodow(ts) AS BIGINT) AS dow_iso,
+         CAST(hour(ts) AS BIGINT) AS hod,
+         COUNT(*) AS n
+  FROM events
+  GROUP BY 1, 2, 3, 4),
+b AS (
+  SELECT *,
+         CAST(SUM(n) OVER w AS BIGINT) AS sum_n,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_cells
+  FROM cells
+  WINDOW w AS (PARTITION BY event_type, dow_iso, hod))
+SELECT event_type, hour, n AS n_events,
+       CAST(FLOOR((CAST(sum_n AS DOUBLE) / CAST(n_cells AS DOUBLE)) * 1000.0 + 0.5)
+            AS DOUBLE) / 1000.0 AS seasonal_mean,
+       CASE WHEN n * n_cells >= 2 * sum_n THEN 'high' ELSE 'low' END AS direction
+FROM b
+WHERE n * n_cells >= 2 * sum_n OR 2 * n * n_cells <= sum_n
+ORDER BY event_type, hour
+"""
+
+
+QUERIES = {
+    "cusum_alerts": cusum_alerts,
+    "daily_value_trend": daily_value_trend,
+    "seasonal_residual_outliers": seasonal_residual_outliers,
+}
+ORACLES = {
+    "cusum_alerts": _CUSUM_SQL,
+    "daily_value_trend": _TREND_SQL,
+    "seasonal_residual_outliers": _SEASONAL_OUTLIER_SQL,
+}

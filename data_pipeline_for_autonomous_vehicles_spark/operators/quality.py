@@ -270,14 +270,127 @@ ORDER BY digit
 """
 
 
+def value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust statistics of `value`: 5th/95th-percentile winsorized
+    bounds, clip counts, and the winsorized mean — the outlier-resistant
+    summary a quality gate trusts when raw means are skewed by tail junk.
+
+    Scale-safe exact order statistics WITHOUT buffering a group's values
+    (the `customer_spend_deciles` two-pass pattern, not `F.percentile`):
+    the fact table collapses to (type, cent-value) CELLS with counts — cell
+    cardinality is bounded by the value domain (≈|cents in range|), never
+    by row count — a running count over cells ordered by value picks the
+    bound as the smallest cell whose CDF reaches ceil(p·n) (percentile_disc
+    lower-bound semantics, integer-exact: k = (p·n + 99) div 100), and the
+    winsorized mean is an int64 sum of clamped cents re-joined broadcast.
+    Every comparison is integer; the only float is the final display division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("v_e2"),
+        )
+        .groupBy("event_type", "v_e2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    per_type = Window.partitionBy("event_type")
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("v_e2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cdf = (
+        cells.withColumn("n", F.sum("cnt").over(per_type))
+        .withColumn("running", F.sum("cnt").over(run))
+        .withColumn("k_lo", F.expr("(5 * n + 99) div 100"))
+        .withColumn("k_hi", F.expr("(95 * n + 99) div 100"))
+    )
+    bounds = (
+        with_cdf.groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("running") >= F.col("k_lo"), F.col("v_e2"))).alias("lo_e2"),
+            F.min(F.when(F.col("running") >= F.col("k_hi"), F.col("v_e2"))).alias("hi_e2"),
+        )
+    )
+    clamped = cells.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "cnt",
+        F.greatest(F.least(F.col("v_e2"), F.col("hi_e2")), F.col("lo_e2")).alias("w_e2"),
+        (F.col("v_e2") < F.col("lo_e2")).cast("long").alias("below"),
+        (F.col("v_e2") > F.col("hi_e2")).cast("long").alias("above"),
+        "lo_e2",
+        "hi_e2",
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("n"),
+            (F.min("lo_e2").cast("double") / F.lit(100.0)).alias("p05_value"),
+            (F.min("hi_e2").cast("double") / F.lit(100.0)).alias("p95_value"),
+            F.sum(F.col("cnt") * F.col("below")).alias("n_clipped_low"),
+            F.sum(F.col("cnt") * F.col("above")).alias("n_clipped_high"),
+            round_half_up(
+                F.sum(F.col("cnt") * F.col("w_e2")).cast("double")
+                / F.sum("cnt").cast("double")
+                / F.lit(100.0),
+                4,
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_WINSOR_SQL = f"""
+WITH cells AS (
+  SELECT event_type, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_e2,
+         COUNT(*) AS cnt
+  FROM events
+  GROUP BY 1, 2),
+cdf AS (
+  SELECT *,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY v_e2
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+  FROM cells),
+bounds AS (
+  SELECT event_type,
+         MIN(CASE WHEN running >= (5 * n + 99) // 100 THEN v_e2 END) AS lo_e2,
+         MIN(CASE WHEN running >= (95 * n + 99) // 100 THEN v_e2 END) AS hi_e2
+  FROM cdf GROUP BY event_type),
+clamped AS (
+  SELECT c.event_type, c.cnt,
+         GREATEST(LEAST(c.v_e2, b.hi_e2), b.lo_e2) AS w_e2,
+         CASE WHEN c.v_e2 < b.lo_e2 THEN 1 ELSE 0 END AS below,
+         CASE WHEN c.v_e2 > b.hi_e2 THEN 1 ELSE 0 END AS above,
+         b.lo_e2, b.hi_e2
+  FROM cells c JOIN bounds b USING (event_type))
+SELECT event_type,
+       CAST(SUM(cnt) AS BIGINT) AS n,
+       CAST(MIN(lo_e2) AS DOUBLE) / 100.0 AS p05_value,
+       CAST(MIN(hi_e2) AS DOUBLE) / 100.0 AS p95_value,
+       CAST(SUM(cnt * below) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(cnt * above) AS BIGINT) AS n_clipped_high,
+       {sql_round_half_up("CAST(SUM(cnt * w_e2) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) / 100.0", 4)}
+         AS winsorized_mean
+FROM clamped
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "table_profile": table_profile,
     "dq_checks": dq_checks,
     "benford_audit": benford_audit,
+    "value_winsorized_stats": value_winsorized_stats,
 }
 
 ORACLES = {
     "table_profile": _sql_profile(),
     "dq_checks": _sql_dq(),
     "benford_audit": _sql_benford(),
+    "value_winsorized_stats": _WINSOR_SQL,
 }

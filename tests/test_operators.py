@@ -723,3 +723,65 @@ def test_ann_ivfpq_candidates_restricted_to_probed_cells(spark, sf_dir):
     for r in rows:
         if r.vec_id in pq:
             assert r.approx_sqdist == pq[r.vec_id]
+
+
+def test_seasonal_outliers_match_bruteforce(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import anomaly
+
+    out = {
+        (r["event_type"], r["hour"]): (r["n_events"], r["direction"])
+        for r in anomaly.seasonal_residual_outliers(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    groups = {}
+    for r in cells:
+        key = (r["event_type"], r["hour"].isoweekday(), r["hour"].hour)
+        groups.setdefault(key, []).append((r["hour"], r["n"]))
+    expect = {}
+    for (et, dow, hod), members in groups.items():
+        sum_n, n_cells = sum(n for _, n in members), len(members)
+        for hour, n in members:
+            if n * n_cells >= 2 * sum_n:
+                expect[(et, hour)] = (n, "high")
+            elif 2 * n * n_cells <= sum_n:
+                expect[(et, hour)] = (n, "low")
+    assert out == expect
+    assert any(d == "high" for _, d in out.values())
+    assert any(d == "low" for _, d in out.values())
+
+
+def test_winsorized_stats_bounds_and_clip_counts(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import quality
+
+    out = {r["event_type"]: r for r in quality.value_winsorized_stats(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    vals = (
+        ev.select("event_type", F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("v"))
+        .collect()
+    )
+    series = {}
+    for r in vals:
+        series.setdefault(r["event_type"], []).append(r["v"])
+    for et, vs in series.items():
+        vs.sort()
+        n = len(vs)
+        k_lo, k_hi = (5 * n + 99) // 100, (95 * n + 99) // 100
+        lo, hi = vs[k_lo - 1], vs[k_hi - 1]  # smallest value whose CDF >= k
+        r = out[et]
+        assert r["n"] == n
+        assert r["p05_value"] == lo / 100.0
+        assert r["p95_value"] == hi / 100.0
+        assert r["n_clipped_low"] == sum(1 for v in vs if v < lo)
+        assert r["n_clipped_high"] == sum(1 for v in vs if v > hi)
+        wmean = sum(min(max(v, lo), hi) for v in vs) / n / 100.0
+        assert abs(r["winsorized_mean"] - wmean) < 1e-3
+        # winsorization pulls the mean toward the middle, never outside bounds
+        assert lo / 100.0 <= r["winsorized_mean"] <= hi / 100.0
