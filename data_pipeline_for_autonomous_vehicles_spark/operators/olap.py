@@ -390,16 +390,24 @@ _PCTS = (0.5, 0.9, 0.99)
 
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles of `value` per event type (linear
-    interpolation — Spark `percentile`, DuckDB `quantile_cont`: same
-    definition; outputs rounded through the portable formula)."""
+    interpolation, ≡ DuckDB `quantile_cont` through the shared rounding).
+
+    Scale: NOT `F.percentile` — that buffers every group value in one
+    aggregation buffer (billions of rows per popular type at 100 TB).
+    The cent-priced `value` domain is bounded, so facts collapse to
+    (type, value, count) cells first and the exact order statistics come
+    from the cell CDF (`functions.quantiles.quantiles_from_cells`,
+    bit-identical to `F.percentile`'s interpolation; equality pinned in
+    tests/test_scalars.py)."""
+    from ..functions.quantiles import quantiles_from_cells
+
     ev = load_table(spark, sf_dir, "events")
-    aggs = [
-        round_half_up(F.percentile(F.col("value"), F.lit(p)), 4).alias(
-            f"p{int(p * 100)}"
-        )
-        for p in _PCTS
-    ]
-    return ev.groupBy("event_type").agg(*aggs).orderBy("event_type")
+    cells = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    names = [f"p{int(p * 100)}" for p in _PCTS]
+    q = quantiles_from_cells(cells, ["event_type"], "value", "cnt", _PCTS, names)
+    return q.select(
+        "event_type", *[round_half_up(F.col(nm), 4).alias(nm) for nm in names]
+    ).orderBy("event_type")
 
 
 _PCT_SQL = f"""

@@ -510,10 +510,13 @@ def inter_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one fleet row — repeat-purchase cadence (n gaps, exact mean gap,
     exact p50/p90 gap, all in minutes). One entity-keyed window computes the
     lag on integer epoch micros; the global aggregate runs over |purchases|
-    gap rows. Mean via int64 micros sum; percentiles are the same
-    linear-interpolation pair as `value_percentiles` (Spark `percentile` ≡
-    DuckDB `quantile_cont`), computed on int64 micros and scaled to minutes
-    through one mirrored division."""
+    gap rows. Mean via int64 micros sum; percentiles via `F.percentile`
+    (≡ DuckDB `quantile_cont`) on int64 micros, scaled to minutes through
+    one mirrored division. Scale note (SCALE.md quality section): gap
+    micros are row-cardinality, so the cell-CDF rewrite that de-buffered
+    `value_percentiles` buys nothing here — the exact global quantile is
+    one-task-sized by nature; swap in the KLL sketch path when |gaps|
+    outgrows a task."""
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", F.unix_micros("ts").alias("t_us")

@@ -92,3 +92,37 @@ def test_equirect_distance_matches_reference_formula(spark):
         dummy=1,
     )
     assert abs(got - expected) < 1e-9
+
+
+def test_cell_quantiles_bitmatch_spark_percentile(spark):
+    """quantiles_from_cells must reproduce F.percentile BIT-identically
+    (same interpolation formula), including ties, n=1, and frac==0 cases."""
+    import random
+
+    from data_pipeline_for_autonomous_vehicles_spark.functions.quantiles import (
+        quantiles_from_cells,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        Row(k="a", v=round(rng.uniform(0, 100), 2))
+        for _ in range(501)
+    ] + [
+        Row(k="b", v=float(rng.randint(0, 5)))  # heavy ties
+        for _ in range(100)
+    ] + [Row(k="c", v=42.5)]  # single-value group
+    df = spark.createDataFrame(rows)
+    ps = [0.05, 0.25, 0.5, 0.9, 0.99]
+    names = [f"q{i}" for i in range(len(ps))]
+    ref = {
+        r["k"]: [r[nm] for nm in names]
+        for r in df.groupBy("k")
+        .agg(*[F.percentile(F.col("v"), F.lit(p)).alias(nm) for p, nm in zip(ps, names)])
+        .collect()
+    }
+    cells = df.groupBy("k", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    got = {
+        r["k"]: [r[nm] for nm in names]
+        for r in quantiles_from_cells(cells, ["k"], "v", "cnt", ps, names).collect()
+    }
+    assert got == ref  # exact float equality, not approx
