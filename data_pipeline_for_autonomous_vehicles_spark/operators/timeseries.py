@@ -607,7 +607,103 @@ ORDER BY dow_iso, hour
 """
 
 
+# EWMA weights: alpha=0.3, 24h horizon, scaled to exact int64 so the
+# weighted sums are order-independent and engine-portable (embedding
+# round(0.7^i * 1e6) as literals sidesteps cross-engine pow() rounding).
+_EWMA_HORIZON = 24
+_EWMA_W = [round(0.7**i * 1_000_000) for i in range(_EWMA_HORIZON)]
+
+
+def hourly_event_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted 24h trailing average of hourly event counts
+    per type — the smoothing companion to `hourly_ohlc`/`cusum_alerts`
+    (TimescaleDB ships this as a hyperfunction; here it is pure algebra).
+
+    Semantics: ewma(h) = Σ w_i·n(h−i) / Σ w_i over the PRESENT cells in
+    the trailing 24 hours (absent hours contribute nothing and their
+    weight is excluded — renormalized finite-horizon EWMA, deterministic
+    on gapped series).
+
+    Exactness: weights are int64 literals (round(0.7^i·10⁶) precomputed
+    once in Python and embedded in BOTH engines), so numerator and
+    denominator are exact int64 sums on any partitioning; the single
+    float op is the final display division.
+
+    Scale shape: facts collapse to |types|·|hours| cells (one shuffle);
+    the 24× contribution fan-out and its re-aggregation run on CELLS.
+    The shuffle of the contribution frame is keyed by (type, target
+    hour) — bounded by the calendar, never by event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = F.array(
+        *[
+            F.struct(F.lit(i).alias("off"), F.lit(w).alias("w"))
+            for i, w in enumerate(_EWMA_W)
+        ]
+    )
+    contrib = (
+        cells.select(
+            "event_type",
+            "hour",
+            "n",
+            F.explode(spine).alias("ow"),
+        )
+        .select(
+            "event_type",
+            (F.col("hour") + F.make_interval(hours=F.col("ow.off"))).alias("target"),
+            (F.col("n") * F.col("ow.w")).alias("num"),
+            F.col("ow.w").alias("den"),
+        )
+        .groupBy("event_type", "target")
+        .agg(F.sum("num").alias("num"), F.sum("den").alias("den"))
+    )
+    return (
+        cells.alias("c")
+        .join(
+            contrib.alias("k"),
+            (F.col("c.event_type") == F.col("k.event_type"))
+            & (F.col("c.hour") == F.col("k.target")),
+        )
+        .select(
+            F.col("c.event_type").alias("event_type"),
+            F.col("c.hour").alias("hour"),
+            "n",
+            round_half_up(
+                F.col("k.num").cast("double") / F.col("k.den").cast("double"), 4
+            ).alias("ewma"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+_EWMA_SQL = f"""
+WITH cells AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+spine AS (
+  SELECT * FROM (VALUES {", ".join(f"({i}, {w})" for i, w in enumerate(_EWMA_W))})
+         AS t(off, w)),
+contrib AS (
+  SELECT c.event_type,
+         c.hour + to_hours(CAST(s.off AS BIGINT)) AS target,
+         CAST(SUM(c.n * s.w) AS BIGINT) AS num,
+         CAST(SUM(s.w) AS BIGINT) AS den
+  FROM cells c CROSS JOIN spine s
+  GROUP BY 1, 2)
+SELECT c.event_type, c.hour, c.n,
+       {sql_round_half_up("CAST(k.num AS DOUBLE) / CAST(k.den AS DOUBLE)", 4)} AS ewma
+FROM cells c
+JOIN contrib k ON k.event_type = c.event_type AND k.target = c.hour
+ORDER BY c.event_type, c.hour
+"""
+
+
 QUERIES = {
+    "hourly_event_ewma": hourly_event_ewma,
     "event_seasonality": event_seasonality,
     "inter_purchase_gaps": inter_purchase_gaps,
     "user_missing_days": user_missing_days,
@@ -622,6 +718,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "hourly_event_ewma": _EWMA_SQL,
     "event_seasonality": _SEASONALITY_SQL,
     "inter_purchase_gaps": _INTER_PURCHASE_SQL,
     "user_missing_days": _MISSING_DAYS_SQL,

@@ -93,3 +93,36 @@ def test_ohlc_invariants(spark, sf_dir):
         assert r["low"] <= r["close"] <= r["high"]
         if r["n_events"] == 1:
             assert r["open"] == r["close"] == r["high"] == r["low"]
+
+
+def test_hourly_ewma_matches_bruteforce(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import timeseries
+
+    out = {
+        (r["event_type"], r["hour"]): (r["n"], r["ewma"])
+        for r in timeseries.hourly_event_ewma(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    import datetime
+
+    by_type = {}
+    for r in cells:
+        by_type.setdefault(r["event_type"], {})[r["hour"]] = r["n"]
+    expect = {}
+    for et, series in by_type.items():
+        for hour, n in series.items():
+            num = den = 0
+            for i, w in enumerate(timeseries._EWMA_W):
+                src = hour - datetime.timedelta(hours=i)
+                if src in series:
+                    num += series[src] * w
+                    den += w
+            import math
+
+            expect[(et, hour)] = (n, math.floor(num / den * 10_000 + 0.5) / 10_000.0)
+    assert out == expect
