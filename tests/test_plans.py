@@ -451,3 +451,35 @@ def test_q15_max_is_broadcast_scalar_not_global_window(spark, sf_dir):
     df = tpch_ext.q15_top_supplier(spark, sf_dir)
     assert plans.unpartitioned_windows(df) == []
     assert "Window" not in plans.plan_text(df)
+
+
+def test_new_cell_frame_ops_have_no_unpartitioned_windows(spark, sf_dir):
+    """Round-2 additions must honor the no-global-window rule: every Window
+    in their plans partitions by a key, and fan-out/aggregation runs on
+    cell frames (bounded exchanges), never on the raw fact table."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import (
+        anomaly,
+        olap,
+        quality,
+        timeseries,
+    )
+
+    for df, max_ex in [
+        (anomaly.seasonal_residual_outliers(spark, sf_dir), 4),
+        (quality.value_winsorized_stats(spark, sf_dir), 5),
+        (olap.value_percentiles(spark, sf_dir), 4),
+        (timeseries.hourly_event_ewma(spark, sf_dir), 5),
+    ]:
+        assert plans.unpartitioned_windows(df) == []
+        assert plans.exchange_count(df) <= max_ex
+        assert not plans.uses_cartesian_product(df)
+
+
+def test_value_percentiles_no_buffering_percentile_aggregate(spark, sf_dir):
+    """The cell-CDF rewrite must keep the Percentile buffer-aggregate out
+    of the plan (the OOM shape at 100 TB) — quantiles come from cells."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import olap
+
+    txt = plans.plan_text(olap.value_percentiles(spark, sf_dir))
+    assert "percentile" not in txt.lower()
+    assert "Window" in txt  # cell CDF running count
