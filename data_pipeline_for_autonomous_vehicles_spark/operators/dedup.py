@@ -183,6 +183,102 @@ ORDER BY doc_a, doc_b
 """
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs where one side's shingle set is ≥80% CONTAINED in the
+    other: C(A→B) = |A∩B| / |A|. The asymmetric complement to
+    `ngram_jaccard_pairs` — a short document quoted inside a long one has
+    high containment but low Jaccard (the union is dominated by the long
+    side), which is exactly the subsumed-duplicate class training-data
+    dedup must catch (quote inflation, boilerplate wrappers).
+
+    Same candidate generation as the Jaccard path (shingle inverted-index
+    equi-join, per-shingle bucket cap) — the scale shape is shared; only
+    the scoring denominator differs, so both directions come from one
+    pair aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles_df(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= MAX_BUCKET
+    )
+    sh_kept = sh.join(F.broadcast(freq.select("shingle")), "shingle")
+    a = sh_kept.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_kept.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        common.join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                    "n_shingles", "size_a"
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "n_shingles", "size_b"
+                )
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "containment_a_in_b",
+            round_half_up(
+                F.col("n_common").cast("double") / F.col("size_a").cast("double"), 4
+            ),
+        )
+        .withColumn(
+            "containment_b_in_a",
+            round_half_up(
+                F.col("n_common").cast("double") / F.col("size_b").cast("double"), 4
+            ),
+        )
+    )
+    # integer-exact admission: n_common·10 ≥ 8·size (threshold 0.8) on the
+    # smaller side, so the filter never depends on the rounded display value
+    return (
+        scored.filter(
+            F.col("n_common") * F.lit(10)
+            >= F.lit(int(CONTAINMENT_THRESHOLD * 10)) * F.least("size_a", "size_b")
+        )
+        .select("doc_a", "doc_b", "containment_a_in_b", "containment_b_in_a")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_NGRAM_CONTAINMENT_SQL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+kept AS (
+  SELECT * FROM sh WHERE shingle IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_BUCKET})),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(FLOOR((CAST(n_common AS DOUBLE) / CAST(sa.n_shingles AS DOUBLE))
+            * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS containment_a_in_b,
+       CAST(FLOOR((CAST(n_common AS DOUBLE) / CAST(sb.n_shingles AS DOUBLE))
+            * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS containment_b_in_a
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common * 10 >= {int(CONTAINMENT_THRESHOLD * 10)} * LEAST(sa.n_shingles, sb.n_shingles)
+ORDER BY doc_a, doc_b
+"""
+
+
 # --- MinHash + LSH ---------------------------------------------------------
 
 
@@ -659,6 +755,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ngram_containment_pairs": ngram_containment_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_fingerprints": simhash_fingerprints,
@@ -673,6 +770,7 @@ ORACLES = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_fingerprint": _DEDUP_FP_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+    "ngram_containment_pairs": _NGRAM_CONTAINMENT_SQL,
     "minhash_signatures": _MINHASH_SIG_SQL,
     "minhash_lsh_pairs": _sql_lsh_pairs(),
     "simhash_fingerprints": _sql_simhash(),

@@ -785,3 +785,15 @@ def test_winsorized_stats_bounds_and_clip_counts(spark, sf_dir):
         assert abs(r["winsorized_mean"] - wmean) < 1e-3
         # winsorization pulls the mean toward the middle, never outside bounds
         assert lo / 100.0 <= r["winsorized_mean"] <= hi / 100.0
+
+
+def test_containment_pairs_bounds_and_asymmetry(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import dedup
+
+    rows = dedup.ngram_containment_pairs(spark, sf_dir).collect()
+    assert rows, "expect some subsumed near-dups at test SF"
+    for r in rows:
+        a, b = r["containment_a_in_b"], r["containment_b_in_a"]
+        assert 0.0 < a <= 1.0 and 0.0 < b <= 1.0
+        # admission rule: the smaller side is >=80% contained in the other
+        assert max(a, b) >= 0.8 - 1e-4
