@@ -969,8 +969,117 @@ FROM agg
 """
 
 
+def conversion_lift_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation view→purchase conversion vs the rest of the fleet, with a
+    two-proportion z-test — the experimentation primitive (A/B segment
+    readout) the chi-square drift check doesn't give: a signed, per-segment
+    effect size with significance.
+
+    z = (p̂₁ − p̂₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂)), pooled p̂, where group 1 is
+    the nation and group 2 is everyone else. Trial = a view event;
+    conversion = that view followed by a same-user purchase within 1 hour
+    (the batch twin of `streaming_unconverted_views`' attribution window)
+    — so conversions ⊆ trials by construction, which keeps the pooled
+    variance non-negative (event-count ratios don't: purchases can exceed
+    views, DuckDB hard-errors on the sqrt, Spark silently NaNs; and
+    user-lifetime funnels degenerate to 100% on long-lived users).
+
+    Plan shape: views get their converted flag from ONE user-keyed range
+    semi-join (left semi, equi on user + time band — never a fan-out),
+    broadcast-joined to the customer dim, one hash-agg to |nations|
+    cells; the complement (rest-of-fleet) counts are global scalars
+    broadcast back onto the cells (J2 pattern). Counts are exact int64;
+    the z formula is the only float arithmetic, mirrored verbatim in the
+    twin. Degenerate splits (a nation holding every view, pooled rate 0
+    or 1) are filtered identically on both sides.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("event_id").alias("view_id")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_uid"), F.col("ts").alias("bts")
+    )
+    converted = views.join(
+        buys,
+        (F.col("user_id") == F.col("b_uid"))
+        & (F.col("bts") >= F.col("vts"))
+        & (F.col("bts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).select("view_id")
+    flagged = views.join(
+        converted.withColumn("converted", F.lit(1)), "view_id", "left"
+    ).select("user_id", F.coalesce("converted", F.lit(0)).alias("converted"))
+    cells = (
+        flagged.join(F.broadcast(cust), "user_id")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_views").alias("tv"), F.sum("n_converted").alias("tp")
+    )
+    d = F.col("n_views").cast("double")
+    p1 = F.col("n_converted").cast("double") / d
+    rest_v = (F.col("tv") - F.col("n_views")).cast("double")
+    p2 = (F.col("tp") - F.col("n_converted")).cast("double") / rest_v
+    pooled = F.col("tp").cast("double") / F.col("tv").cast("double")
+    se = F.sqrt(pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / d + F.lit(1.0) / rest_v))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("tv") > F.col("n_views"))
+            & (F.col("tp") > 0)
+            & (F.col("tp") < F.col("tv"))
+        )
+        .select(
+            "c_nationkey",
+            "n_views",
+            "n_converted",
+            round_half_up(p1, 4).alias("cvr"),
+            round_half_up(p1 - p2, 4).alias("lift_vs_rest"),
+            round_half_up((p1 - p2) / se, 4).alias("z_score"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_CONVERSION_LIFT_SQL = f"""
+WITH flagged AS (
+  SELECT v.user_id,
+         CASE WHEN EXISTS (
+             SELECT 1 FROM events p
+             WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+               AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+         THEN 1 ELSE 0 END AS converted
+  FROM events v
+  WHERE v.event_type = 'view'),
+cells AS (
+  SELECT c.c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_views,
+         CAST(SUM(f.converted) AS BIGINT) AS n_converted
+  FROM flagged f
+  JOIN customer c ON c.c_custkey = f.user_id
+  GROUP BY c.c_nationkey),
+tot AS (SELECT CAST(SUM(n_views) AS BIGINT) AS tv, CAST(SUM(n_converted) AS BIGINT) AS tp FROM cells)
+SELECT c_nationkey, n_views, n_converted,
+       {sql_round_half_up("CAST(n_converted AS DOUBLE) / CAST(n_views AS DOUBLE)", 4)} AS cvr,
+       {sql_round_half_up("CAST(n_converted AS DOUBLE) / CAST(n_views AS DOUBLE) - CAST(tp - n_converted AS DOUBLE) / CAST(tv - n_views AS DOUBLE)", 4)} AS lift_vs_rest,
+       {sql_round_half_up("(CAST(n_converted AS DOUBLE) / CAST(n_views AS DOUBLE) - CAST(tp - n_converted AS DOUBLE) / CAST(tv - n_views AS DOUBLE)) / sqrt((CAST(tp AS DOUBLE) / CAST(tv AS DOUBLE)) * (1.0 - CAST(tp AS DOUBLE) / CAST(tv AS DOUBLE)) * (1.0 / CAST(n_views AS DOUBLE) + 1.0 / CAST(tv - n_views AS DOUBLE)))", 4)} AS z_score
+FROM cells CROSS JOIN tot
+WHERE tv > n_views AND tp > 0 AND tp < tv
+ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
     "value_outliers": value_outliers,
+    "conversion_lift_by_nation": conversion_lift_by_nation,
     "event_cooccurrence": event_cooccurrence,
     "user_event_pivot": user_event_pivot,
     "orders_rollup": orders_rollup,
@@ -996,6 +1105,7 @@ QUERIES = {
 
 ORACLES = {
     "value_outliers": _OUTLIERS_SQL,
+    "conversion_lift_by_nation": _CONVERSION_LIFT_SQL,
     "event_cooccurrence": _COOCCUR_SQL,
     "user_event_pivot": _PIVOT_SQL,
     "orders_rollup": _ROLLUP_SQL,

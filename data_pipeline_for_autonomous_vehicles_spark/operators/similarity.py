@@ -615,18 +615,22 @@ vec AS (
   SELECT a.vec_id AS doc_id,
          {sql_round_half_up(cos, 6)} AS vec_score
   FROM emb a CROSS JOIN (SELECT emb FROM emb WHERE vec_id = {QUERY_VEC}) b),
-fused AS (
-  SELECT l.doc_id,
-         ROW_NUMBER() OVER (ORDER BY l.lex_score DESC, l.doc_id ASC) AS rank_lex_tmp,
-         v.vec_score
-  FROM lex l JOIN vec v ON l.doc_id = v.doc_id),
-ranked AS (
-  SELECT doc_id, rank_lex_tmp AS rank_lex,
+-- each tower ranks its OWN full corpus (lex over every document, vec over
+-- every embedding) BEFORE the id join — ranking after the join would
+-- silently re-rank inside the intersection, which diverges once documents
+-- outrank candidates without carrying an embedding (caught by the sf0.1
+-- full-registry sweep; the engine ranks full towers by construction)
+lex_ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY lex_score DESC, doc_id ASC) AS rank_lex
+  FROM lex),
+vec_ranked AS (
+  SELECT doc_id,
          ROW_NUMBER() OVER (ORDER BY vec_score DESC, doc_id ASC) AS rank_vec
-  FROM fused)
-SELECT doc_id, rank_lex, rank_vec,
+  FROM vec)
+SELECT l.doc_id AS doc_id, rank_lex, rank_vec,
        {sql_round_half_up(f"1.0 / ({RRF_K} + rank_lex) + 1.0 / ({RRF_K} + rank_vec)", 6)} AS rrf_score
-FROM ranked
+FROM lex_ranked l JOIN vec_ranked v ON l.doc_id = v.doc_id
 ORDER BY rrf_score DESC, doc_id ASC
 LIMIT {RRF_TOP}
 """

@@ -797,3 +797,23 @@ def test_containment_pairs_bounds_and_asymmetry(spark, sf_dir):
         assert 0.0 < a <= 1.0 and 0.0 < b <= 1.0
         # admission rule: the smaller side is >=80% contained in the other
         assert max(a, b) >= 0.8 - 1e-4
+
+
+def test_conversion_lift_ztest_consistency(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import olap
+
+    rows = olap.conversion_lift_by_nation(spark, sf_dir).collect()
+    assert rows, "non-degenerate split expected at test SF"
+    tv = sum(r["n_views"] for r in rows)
+    tp = sum(r["n_converted"] for r in rows)
+    assert 0 < tp < tv
+    for r in rows:
+        assert 0 <= r["n_converted"] <= r["n_views"]
+        assert 0.0 <= r["cvr"] <= 1.0
+        assert abs(r["cvr"] - r["n_converted"] / r["n_views"]) < 1e-3
+        # z sign agrees with lift sign; both finite
+        import math
+
+        assert math.isfinite(r["z_score"]) and math.isfinite(r["lift_vs_rest"])
+        if abs(r["lift_vs_rest"]) > 1e-9:
+            assert (r["z_score"] > 0) == (r["lift_vs_rest"] > 0)
