@@ -149,12 +149,103 @@ FROM (
 """
 
 
+def value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov test: does the `value`
+    distribution of purchase events match that of view events? The
+    nonparametric companion to the binned PSI gate — KS needs no bin
+    choice and is sensitive to any CDF divergence, at the cost of an
+    ordered pass over the distinct-value cells.
+
+    Exactness: with sample sizes n_a, n_b and per-value counts, the
+    statistic is D = max |cdf_a − cdf_b| = max |cum_a·n_b − cum_b·n_a| /
+    (n_a·n_b) — the numerator is a pure int64 max over cells, so D is
+    exact; the scaled statistic √(n_a·n_b/(n_a+n_b))·D (compared against
+    the Kolmogorov critical value, 1.358 for α=0.05) is the single float
+    expression, mirrored verbatim.
+
+    Scale shape: one scan to (value, cnt_a, cnt_b) cells (domain-bounded
+    like `value_percentiles`), one ordered window over CELLS for the two
+    running counts, one max-aggregate. The ordered window is a single
+    partition over the cell frame only — never the fact table
+    (SCALE.md, exact-quantiles section).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    cells = (
+        ev.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("value")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("ca"),
+            F.sum((F.col("event_type") == "view").cast("long")).alias("cb"),
+        )
+    )
+    run = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = cells.select(
+        F.sum("ca").over(run).alias("cum_a"),
+        F.sum("cb").over(run).alias("cum_b"),
+    )
+    top = cum.agg(
+        F.max(F.col("cum_a")).alias("n_a"),
+        F.max(F.col("cum_b")).alias("n_b"),
+    )
+    d_num = (
+        cum.crossJoin(F.broadcast(top))
+        .agg(
+            F.max(
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+            ).alias("d_num"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
+    )
+    d = F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b")).cast("double")
+    stat = F.sqrt(
+        (F.col("n_a") * F.col("n_b")).cast("double")
+        / (F.col("n_a") + F.col("n_b")).cast("double")
+    ) * d
+    return d_num.select(
+        "n_a",
+        "n_b",
+        round_half_up(d, 6).alias("ks_d"),
+        round_half_up(stat, 4).alias("ks_stat"),
+        (stat > F.lit(1.358)).alias("reject_at_5pct"),
+    )
+
+
+_KS_SQL = f"""
+WITH cells AS (
+  SELECT value,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM events
+  WHERE event_type IN ('purchase', 'view')
+  GROUP BY value),
+cum AS (
+  SELECT CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER w AS BIGINT) AS cum_b
+  FROM cells
+  WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+top AS (SELECT MAX(cum_a) AS n_a, MAX(cum_b) AS n_b FROM cum),
+dmax AS (
+  SELECT MAX(ABS(cum_a * n_b - cum_b * n_a)) AS d_num, MAX(n_a) AS n_a, MAX(n_b) AS n_b
+  FROM cum CROSS JOIN top)
+SELECT n_a, n_b,
+       {sql_round_half_up("CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)", 6)} AS ks_d,
+       {sql_round_half_up("sqrt(CAST(n_a * n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))", 4)} AS ks_stat,
+       sqrt(CAST(n_a * n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)) > 1.358 AS reject_at_5pct
+FROM dmax
+"""
+
+
 QUERIES = {
     "value_drift_psi": value_drift_psi,
     "drift_psi_total": drift_psi_total,
+    "value_ks_test": value_ks_test,
 }
 
 ORACLES = {
     "value_drift_psi": _sql_psi(),
     "drift_psi_total": _sql_psi_total(),
+    "value_ks_test": _KS_SQL,
 }

@@ -817,3 +817,30 @@ def test_conversion_lift_ztest_consistency(spark, sf_dir):
         assert math.isfinite(r["z_score"]) and math.isfinite(r["lift_vs_rest"])
         if abs(r["lift_vs_rest"]) > 1e-9:
             assert (r["z_score"] > 0) == (r["lift_vs_rest"] > 0)
+
+
+def test_ks_test_matches_scipy_free_bruteforce(spark, sf_dir):
+    """KS D statistic must equal the brute-force empirical-CDF sup gap."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import drift
+
+    r = drift.value_ks_test(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        "event_type", "value"
+    ).collect()
+    a = sorted(v["value"] for v in vals if v["event_type"] == "purchase")
+    b = sorted(v["value"] for v in vals if v["event_type"] == "view")
+    import bisect
+
+    grid = sorted(set(a) | set(b))
+    d = max(
+        abs(bisect.bisect_right(a, x) / len(a) - bisect.bisect_right(b, x) / len(b))
+        for x in grid
+    )
+    assert r["n_a"] == len(a) and r["n_b"] == len(b)
+    assert abs(r["ks_d"] - d) < 1e-5
+    import math
+
+    stat = math.sqrt(len(a) * len(b) / (len(a) + len(b))) * d
+    assert abs(r["ks_stat"] - stat) < 1e-3
+    assert r["reject_at_5pct"] == (stat > 1.358)
