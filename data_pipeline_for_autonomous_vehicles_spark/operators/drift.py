@@ -238,14 +238,101 @@ FROM dmax
 """
 
 
+def value_mannwhitney_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test on `value`, purchases vs
+    views — the location-shift companion to `value_ks_test` (KS sees any
+    CDF divergence; U asks specifically "does one sample stochastically
+    dominate?").
+
+    Integer-exact construction on the shared distinct-value cell frame:
+        2U = Σ_cells ca·(2·cum_b − cb)        (ties count ½ each)
+    and the tie-corrected variance uses Σ(t³−t) over cell total counts —
+    every moment is an int64 sum, so U and the variance numerators are
+    exact on any partitioning; z = (U − n_a·n_b/2)/σ is the single float
+    expression, mirrored verbatim. Same scale shape as the KS test: one
+    scan to cells, one ordered window over CELLS, one aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    cells = (
+        ev.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("value")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("ca"),
+            F.sum((F.col("event_type") == "view").cast("long")).alias("cb"),
+        )
+    )
+    run = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = cells.select(
+        "ca",
+        "cb",
+        F.sum("cb").over(run).alias("cum_b"),
+    )
+    agg = cum.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(F.col("ca") * (F.lit(2) * F.col("cum_b") - F.col("cb"))).alias("u2"),
+        F.sum(
+            (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            - (F.col("ca") + F.col("cb"))
+        ).alias("tie3"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    u = F.col("u2").cast("double") / F.lit(2.0)
+    mean_u = (F.col("n_a") * F.col("n_b")).cast("double") / F.lit(2.0)
+    var_u = (F.col("n_a") * F.col("n_b")).cast("double") / F.lit(12.0) * (
+        (n + 1).cast("double")
+        - F.col("tie3").cast("double") / (n * (n - 1)).cast("double")
+    )
+    z = (u - mean_u) / F.sqrt(var_u)
+    return agg.select(
+        "n_a",
+        "n_b",
+        round_half_up(u, 1).alias("u_stat"),
+        round_half_up(z, 4).alias("z_score"),
+        (F.abs(z) > F.lit(1.96)).alias("reject_at_5pct"),
+    )
+
+
+_MWU_SQL = f"""
+WITH cells AS (
+  SELECT value,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM events
+  WHERE event_type IN ('purchase', 'view')
+  GROUP BY value),
+cum AS (
+  SELECT ca, cb,
+         CAST(SUM(cb) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+  FROM cells),
+agg AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(cb) AS BIGINT) AS n_b,
+         CAST(SUM(ca * (2 * cum_b - cb)) AS BIGINT) AS u2,
+         CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT) AS tie3
+  FROM cum)
+SELECT n_a, n_b,
+       {sql_round_half_up("CAST(u2 AS DOUBLE) / 2.0", 1)} AS u_stat,
+       {sql_round_half_up("(CAST(u2 AS DOUBLE) / 2.0 - CAST(n_a * n_b AS DOUBLE) / 2.0) / sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0 * (CAST(n_a + n_b + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)))", 4)} AS z_score,
+       ABS((CAST(u2 AS DOUBLE) / 2.0 - CAST(n_a * n_b AS DOUBLE) / 2.0) / sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0 * (CAST(n_a + n_b + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)))) > 1.96 AS reject_at_5pct
+FROM agg
+"""
+
+
 QUERIES = {
     "value_drift_psi": value_drift_psi,
     "drift_psi_total": drift_psi_total,
     "value_ks_test": value_ks_test,
+    "value_mannwhitney_test": value_mannwhitney_test,
 }
 
 ORACLES = {
     "value_drift_psi": _sql_psi(),
     "drift_psi_total": _sql_psi_total(),
     "value_ks_test": _KS_SQL,
+    "value_mannwhitney_test": _MWU_SQL,
 }

@@ -844,3 +844,37 @@ def test_ks_test_matches_scipy_free_bruteforce(spark, sf_dir):
     stat = math.sqrt(len(a) * len(b) / (len(a) + len(b))) * d
     assert abs(r["ks_stat"] - stat) < 1e-3
     assert r["reject_at_5pct"] == (stat > 1.358)
+
+
+def test_mannwhitney_matches_bruteforce_pairs(spark, sf_dir):
+    """U must equal the literal pair count #(a>b) + 0.5*#(a==b)."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import drift
+
+    r = drift.value_mannwhitney_test(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        "event_type", "value"
+    ).collect()
+    a = sorted(v["value"] for v in vals if v["event_type"] == "purchase")
+    b = sorted(v["value"] for v in vals if v["event_type"] == "view")
+    import bisect
+
+    u2 = 0  # 2U as an exact integer
+    for x in a:
+        lt = bisect.bisect_left(b, x)
+        eq = bisect.bisect_right(b, x) - lt
+        u2 += 2 * lt + eq
+    assert r["n_a"] == len(a) and r["n_b"] == len(b)
+    assert r["u_stat"] == u2 / 2.0
+    # z consistent with normal approx against scipy-free recomputation
+    import math
+
+    n = len(a) + len(b)
+    from collections import Counter
+
+    ties = Counter(a) + Counter(b)
+    tie3 = sum(t**3 - t for t in ties.values())
+    var_u = len(a) * len(b) / 12.0 * ((n + 1) - tie3 / (n * (n - 1)))
+    z = (u2 / 2.0 - len(a) * len(b) / 2.0) / math.sqrt(var_u)
+    assert abs(r["z_score"] - z) < 1e-3
+    assert r["reject_at_5pct"] == (abs(z) > 1.96)
