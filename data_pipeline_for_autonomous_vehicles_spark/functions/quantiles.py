@@ -52,6 +52,12 @@ def quantiles_from_cells(
     """
     if len(ps) != len(names):
         raise ValueError("ps and names must pair up")
+    # F.percentile (and DuckDB quantile_cont) ignore NULL inputs; a NULL
+    # cell would instead sort first in the CDF window and shift every rank
+    # (and could itself cover a target rank, yielding a NULL quantile) —
+    # drop NULL-value cells so the bit-identity contract holds on nullable
+    # columns, not just on null-free fixtures.
+    cells = cells.filter(F.col(value_col).isNotNull())
     key_win = Window.partitionBy(*keys)
     cdf_win = (
         Window.partitionBy(*keys)

@@ -122,14 +122,13 @@ _SQL_SHINGLES = f"""
 """
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document pairs with word-3-gram Jaccard ≥ threshold.
-
-    shingle-inverted-index self-join: |common shingles| per pair, then
-    J = common / (|A| + |B| - common). Buckets capped at MAX_BUCKET docs
-    to bound the per-shingle cross product at scale.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def _common_shingle_pairs(docs: DataFrame):
+    """Shared candidate generation for the pairwise shingle family:
+    (common, sizes) where `common` holds (doc_a < doc_b, n_common) from the
+    df-capped shingle inverted-index self-join and `sizes` the per-doc
+    distinct-shingle counts. One shingle frame is built and cached; both
+    the Jaccard and containment scorers consume the same frames, so a
+    MAX_BUCKET or shingling change cannot desynchronize them."""
     sh = _shingles_df(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
@@ -144,9 +143,52 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    return common, sizes
+
+
+def _sized_pairs(common: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Attach size_a/size_b to the candidate pairs (broadcast dim joins)."""
+    return common.join(
+        F.broadcast(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_shingles", "size_a"
+            )
+        ),
+        "doc_a",
+    ).join(
+        F.broadcast(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_shingles", "size_b"
+            )
+        ),
+        "doc_b",
+    )
+
+
+# shared SQL CTE prefix for the same candidate pipeline (sh/sizes/kept/common)
+_SQL_PAIR_CTES = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+kept AS (
+  SELECT * FROM sh WHERE shingle IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_BUCKET})),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs with word-3-gram Jaccard ≥ threshold.
+
+    shingle-inverted-index self-join: |common shingles| per pair, then
+    J = common / (|A| + |B| - common). Buckets capped at MAX_BUCKET docs
+    to bound the per-shingle cross product at scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    common, sizes = _common_shingle_pairs(docs)
     return (
-        common.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a")), "doc_a")
-        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b")), "doc_b")
+        _sized_pairs(common, sizes)
         .withColumn(
             "jaccard",
             round_half_up(
@@ -162,15 +204,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NGRAM_JACCARD_SQL = f"""
-WITH sh AS ({_SQL_SHINGLES}),
-sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
-kept AS (
-  SELECT * FROM sh WHERE shingle IN (
-    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_BUCKET})),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
+{_SQL_PAIR_CTES}
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT doc_a, doc_b,
          CAST(FLOOR((CAST(n_common AS DOUBLE)
@@ -200,37 +234,9 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair aggregation.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles_df(docs).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= MAX_BUCKET
-    )
-    sh_kept = sh.join(F.broadcast(freq.select("shingle")), "shingle")
-    a = sh_kept.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh_kept.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    common, sizes = _common_shingle_pairs(docs)
     scored = (
-        common.join(
-            F.broadcast(
-                sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                    "n_shingles", "size_a"
-                )
-            ),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(
-                sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                    "n_shingles", "size_b"
-                )
-            ),
-            "doc_b",
-        )
+        _sized_pairs(common, sizes)
         .withColumn(
             "containment_a_in_b",
             round_half_up(
@@ -257,15 +263,7 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NGRAM_CONTAINMENT_SQL = f"""
-WITH sh AS ({_SQL_SHINGLES}),
-sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
-kept AS (
-  SELECT * FROM sh WHERE shingle IN (
-    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_BUCKET})),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
+{_SQL_PAIR_CTES}
 SELECT doc_a, doc_b,
        CAST(FLOOR((CAST(n_common AS DOUBLE) / CAST(sa.n_shingles AS DOUBLE))
             * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS containment_a_in_b,

@@ -149,42 +149,111 @@ FROM (
 """
 
 
-def value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact two-sample Kolmogorov–Smirnov test: does the `value`
-    distribution of purchase events match that of view events? The
-    nonparametric companion to the binned PSI gate — KS needs no bin
-    choice and is sensitive to any CDF divergence, at the cost of an
-    ordered pass over the distinct-value cells.
+# --- two-sample distribution tests on the shared value-cell frame ---------
+#
+# Both tests compare the `value` distribution of purchase events vs view
+# events from ONE (value, ca, cb) distinct-value cell frame, with prefix
+# sums (empirical CDFs) built WITHOUT an unpartitioned window: bucket =
+# floor(value) is order-aligned with value, per-bucket offsets come from a
+# bounded conditional self-join over bucket totals (the _tie_aware_running
+# offs pattern, but deterministic by construction — buckets derive from the
+# DATA, not from partition ids, so no checkpoint pinning is needed), and the
+# within-bucket running sums use a bucket-PARTITIONED window. The twin keeps
+# DuckDB's plain unpartitioned window (the oracle has no scale obligations).
+#
+# Overflow honesty (SCALE.md §5 headroom rule): the internal moments are
+# carried in 128-bit integers — Spark DECIMAL(38,0), DuckDB HUGEINT — since
+# the int64 bound is real at target scale: cum·n products overflow int64
+# once both samples exceed ~3·10⁹ rows, and the Mann-Whitney tie cube
+# (t³−t) wraps at t > ~2.09·10⁶ rows on one distinct value. DECIMAL(38,0)
+# holds t ≤ 10¹² (t³ ≤ 10³⁶); only the final display expressions drop to
+# DOUBLE, mirrored verbatim in both engines.
 
-    Exactness: with sample sizes n_a, n_b and per-value counts, the
-    statistic is D = max |cdf_a − cdf_b| = max |cum_a·n_b − cum_b·n_a| /
-    (n_a·n_b) — the numerator is a pure int64 max over cells, so D is
-    exact; the scaled statistic √(n_a·n_b/(n_a+n_b))·D (compared against
-    the Kolmogorov critical value, 1.358 for α=0.05) is the single float
-    expression, mirrored verbatim.
+_VALUE_CELLS_SQL = """
+  SELECT value,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM events
+  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+  GROUP BY value"""
 
-    Scale shape: one scan to (value, cnt_a, cnt_b) cells (domain-bounded
-    like `value_percentiles`), one ordered window over CELLS for the two
-    running counts, one max-aggregate. The ordered window is a single
-    partition over the cell frame only — never the fact table
-    (SCALE.md, exact-quantiles section).
-    """
+_VALUE_CUM_SQL = """
+  SELECT ca, cb,
+         CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER w AS BIGINT) AS cum_b
+  FROM cells
+  WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
+def _value_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(value, ca, cb) distinct-value cells for the purchase/view samples.
+    NULL values are excluded on both sides (Spark ASC sorts NULL first,
+    DuckDB last — and a NULL cell is statistically meaningless here)."""
     ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
-
-    cells = (
-        ev.filter(F.col("event_type").isin("purchase", "view"))
+    return (
+        ev.filter(
+            F.col("event_type").isin("purchase", "view")
+            & F.col("value").isNotNull()
+        )
         .groupBy("value")
         .agg(
             F.sum((F.col("event_type") == "purchase").cast("long")).alias("ca"),
             F.sum((F.col("event_type") == "view").cast("long")).alias("cb"),
         )
     )
-    run = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = cells.select(
-        F.sum("ca").over(run).alias("cum_a"),
-        F.sum("cb").over(run).alias("cum_b"),
+
+
+def _cells_with_cum(cells: DataFrame) -> DataFrame:
+    """Add exact value-ordered prefix sums cum_a/cum_b to the cell frame
+    using the two-level bucket decomposition described in the section
+    comment — every window in the result partitions by a key."""
+    from pyspark.sql import Window
+
+    b = cells.withColumn("_b", F.floor(F.col("value")).cast("long"))
+    seg = b.groupBy("_b").agg(F.sum("ca").alias("_ta"), F.sum("cb").alias("_tb"))
+    offs = (
+        seg.alias("x")
+        .join(seg.alias("y"), F.col("y._b") < F.col("x._b"), "left")
+        .groupBy(F.col("x._b").alias("_b"))
+        .agg(
+            F.coalesce(F.sum("y._ta"), F.lit(0)).alias("_offa"),
+            F.coalesce(F.sum("y._tb"), F.lit(0)).alias("_offb"),
+        )
     )
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.join(F.broadcast(offs), "_b")
+        .withColumn("cum_a", F.col("_offa") + F.sum("ca").over(w))
+        .withColumn("cum_b", F.col("_offb") + F.sum("cb").over(w))
+        .drop("_b", "_offa", "_offb")
+    )
+
+
+_D38 = "decimal(38,0)"
+
+
+def value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov test: does the `value`
+    distribution of purchase events match that of view events? The
+    nonparametric companion to the binned PSI gate — KS needs no bin
+    choice and is sensitive to any CDF divergence.
+
+    Exactness: with sample sizes n_a, n_b and per-value counts, the
+    statistic is D = max |cdf_a − cdf_b| = max |cum_a·n_b − cum_b·n_a| /
+    (n_a·n_b) — the numerator is an exact 128-bit integer max over cells
+    (see the section comment), so D is exact; the scaled statistic
+    √(n_a·n_b/(n_a+n_b))·D (vs the Kolmogorov critical value 1.358 for
+    α=0.05) is the single float expression, mirrored verbatim.
+
+    Scale shape: one scan to cells (domain-bounded like
+    `value_percentiles`), the keyed two-level CDF, one max-aggregate —
+    no unpartitioned window anywhere (pinned in tests/test_plans.py).
+    """
+    cum = _cells_with_cum(_value_cells(spark, sf_dir))
     top = cum.agg(
         F.max(F.col("cum_a")).alias("n_a"),
         F.max(F.col("cum_b")).alias("n_b"),
@@ -193,17 +262,18 @@ def value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.crossJoin(F.broadcast(top))
         .agg(
             F.max(
-                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+                F.abs(
+                    F.col("cum_a").cast(_D38) * F.col("n_b").cast(_D38)
+                    - F.col("cum_b").cast(_D38) * F.col("n_a").cast(_D38)
+                )
             ).alias("d_num"),
             F.max("n_a").alias("n_a"),
             F.max("n_b").alias("n_b"),
         )
     )
-    d = F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b")).cast("double")
-    stat = F.sqrt(
-        (F.col("n_a") * F.col("n_b")).cast("double")
-        / (F.col("n_a") + F.col("n_b")).cast("double")
-    ) * d
+    nanb = F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    d = F.col("d_num").cast("double") / nanb
+    stat = F.sqrt(nanb / (F.col("n_a") + F.col("n_b")).cast("double")) * d
     return d_num.select(
         "n_a",
         "n_b",
@@ -214,26 +284,18 @@ def value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KS_SQL = f"""
-WITH cells AS (
-  SELECT value,
-         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
-  FROM events
-  WHERE event_type IN ('purchase', 'view')
-  GROUP BY value),
-cum AS (
-  SELECT CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
-         CAST(SUM(cb) OVER w AS BIGINT) AS cum_b
-  FROM cells
-  WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+WITH cells AS ({_VALUE_CELLS_SQL}),
+cum AS ({_VALUE_CUM_SQL}),
 top AS (SELECT MAX(cum_a) AS n_a, MAX(cum_b) AS n_b FROM cum),
 dmax AS (
-  SELECT MAX(ABS(cum_a * n_b - cum_b * n_a)) AS d_num, MAX(n_a) AS n_a, MAX(n_b) AS n_b
+  SELECT MAX(ABS(CAST(cum_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+              - CAST(cum_b AS HUGEINT) * CAST(n_a AS HUGEINT))) AS d_num,
+         MAX(n_a) AS n_a, MAX(n_b) AS n_b
   FROM cum CROSS JOIN top)
 SELECT n_a, n_b,
-       {sql_round_half_up("CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)", 6)} AS ks_d,
-       {sql_round_half_up("sqrt(CAST(n_a * n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))", 4)} AS ks_stat,
-       sqrt(CAST(n_a * n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)) > 1.358 AS reject_at_5pct
+       {sql_round_half_up("CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))", 6)} AS ks_d,
+       {sql_round_half_up("sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))", 4)} AS ks_stat,
+       sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) > 1.358 AS reject_at_5pct
 FROM dmax
 """
 
@@ -244,48 +306,32 @@ def value_mannwhitney_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDF divergence; U asks specifically "does one sample stochastically
     dominate?").
 
-    Integer-exact construction on the shared distinct-value cell frame:
+    Exact construction on the shared cell frame:
         2U = Σ_cells ca·(2·cum_b − cb)        (ties count ½ each)
     and the tie-corrected variance uses Σ(t³−t) over cell total counts —
-    every moment is an int64 sum, so U and the variance numerators are
-    exact on any partitioning; z = (U − n_a·n_b/2)/σ is the single float
-    expression, mirrored verbatim. Same scale shape as the KS test: one
-    scan to cells, one ordered window over CELLS, one aggregate.
+    both carried in 128-bit integers (section comment), exact on any
+    partitioning; z = (U − n_a·n_b/2)/σ is the single float expression,
+    mirrored verbatim. Same scale shape as the KS test.
     """
-    ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
-
-    cells = (
-        ev.filter(F.col("event_type").isin("purchase", "view"))
-        .groupBy("value")
-        .agg(
-            F.sum((F.col("event_type") == "purchase").cast("long")).alias("ca"),
-            F.sum((F.col("event_type") == "view").cast("long")).alias("cb"),
-        )
-    )
-    run = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = cells.select(
-        "ca",
-        "cb",
-        F.sum("cb").over(run).alias("cum_b"),
-    )
+    cum = _cells_with_cum(_value_cells(spark, sf_dir))
+    t = (F.col("ca") + F.col("cb")).cast(_D38)
     agg = cum.agg(
         F.sum("ca").alias("n_a"),
         F.sum("cb").alias("n_b"),
-        F.sum(F.col("ca") * (F.lit(2) * F.col("cum_b") - F.col("cb"))).alias("u2"),
         F.sum(
-            (F.col("ca") + F.col("cb"))
-            * (F.col("ca") + F.col("cb"))
-            * (F.col("ca") + F.col("cb"))
-            - (F.col("ca") + F.col("cb"))
-        ).alias("tie3"),
+            F.col("ca").cast(_D38)
+            * (F.lit(2).cast(_D38) * F.col("cum_b").cast(_D38) - F.col("cb").cast(_D38))
+        ).alias("u2"),
+        F.sum(t * t * t - t).alias("tie3"),
     )
     n = F.col("n_a") + F.col("n_b")
     u = F.col("u2").cast("double") / F.lit(2.0)
-    mean_u = (F.col("n_a") * F.col("n_b")).cast("double") / F.lit(2.0)
-    var_u = (F.col("n_a") * F.col("n_b")).cast("double") / F.lit(12.0) * (
+    nanb = F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    mean_u = nanb / F.lit(2.0)
+    var_u = nanb / F.lit(12.0) * (
         (n + 1).cast("double")
-        - F.col("tie3").cast("double") / (n * (n - 1)).cast("double")
+        - F.col("tie3").cast("double")
+        / (n.cast("double") * (n - 1).cast("double"))
     )
     z = (u - mean_u) / F.sqrt(var_u)
     return agg.select(
@@ -298,27 +344,18 @@ def value_mannwhitney_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MWU_SQL = f"""
-WITH cells AS (
-  SELECT value,
-         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
-  FROM events
-  WHERE event_type IN ('purchase', 'view')
-  GROUP BY value),
-cum AS (
-  SELECT ca, cb,
-         CAST(SUM(cb) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
-  FROM cells),
+WITH cells AS ({_VALUE_CELLS_SQL}),
+cum AS ({_VALUE_CUM_SQL}),
 agg AS (
   SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
          CAST(SUM(cb) AS BIGINT) AS n_b,
-         CAST(SUM(ca * (2 * cum_b - cb)) AS BIGINT) AS u2,
-         CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT) AS tie3
+         SUM(CAST(ca AS HUGEINT) * (CAST(2 AS HUGEINT) * CAST(cum_b AS HUGEINT) - CAST(cb AS HUGEINT))) AS u2,
+         SUM(CAST(ca + cb AS HUGEINT) * CAST(ca + cb AS HUGEINT) * CAST(ca + cb AS HUGEINT) - CAST(ca + cb AS HUGEINT)) AS tie3
   FROM cum)
 SELECT n_a, n_b,
        {sql_round_half_up("CAST(u2 AS DOUBLE) / 2.0", 1)} AS u_stat,
-       {sql_round_half_up("(CAST(u2 AS DOUBLE) / 2.0 - CAST(n_a * n_b AS DOUBLE) / 2.0) / sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0 * (CAST(n_a + n_b + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)))", 4)} AS z_score,
-       ABS((CAST(u2 AS DOUBLE) / 2.0 - CAST(n_a * n_b AS DOUBLE) / 2.0) / sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0 * (CAST(n_a + n_b + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)))) > 1.96 AS reject_at_5pct
+       {sql_round_half_up("(CAST(u2 AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * (CAST(n_a + n_b + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE))))", 4)} AS z_score,
+       ABS((CAST(u2 AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * (CAST(n_a + n_b + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE))))) > 1.96 AS reject_at_5pct
 FROM agg
 """
 

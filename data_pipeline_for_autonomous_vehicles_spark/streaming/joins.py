@@ -93,12 +93,18 @@ def streaming_unconverted_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT EXISTS anti-joins (SURVEY.md §2.3 semi/anti family).
 
     Determinism at the stream tail: rows younger than the final watermark
-    minus the join horizon are still in state when a bounded run ends, so
-    both this query and its oracle restrict to views with
-    ``view_ts <= max(ts) - 3 hours`` (1h join horizon + 1h watermark delay
-    + 1h safety), a region the no-data flush batch is guaranteed to have
-    emitted. The cutoff is a broadcast 1-row scalar (J2 pattern), applied
-    AFTER the stream completes — it never parameterizes the stream itself.
+    minus the join horizon are still in state when a bounded run ends. The
+    final watermark is min over BOTH input streams of (that stream's max
+    event time − 1h delay) — deriving the bound from the global max(ts)
+    would overshoot whenever the view stream ends earlier than the
+    purchase stream (at sf0.001 the last view trails the last purchase by
+    >1h, which would eat the whole safety margin). So both this query and
+    its oracle restrict to views with
+    ``view_ts <= least(max view ts, max purchase ts) - 3 hours``
+    (1h join horizon + 1h watermark delay + 1h safety), a region the
+    no-data flush batch is guaranteed to have emitted. The cutoff is a
+    broadcast 1-row scalar (J2 pattern), applied AFTER the stream
+    completes — it never parameterizes the stream itself.
 
     Scale: left-outer keeps the same bounded per-key state as the inner
     join (each side held only until watermark - horizon passes it); the
@@ -135,7 +141,13 @@ def streaming_unconverted_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(joined, mode="append")
     cutoff = load_table(spark, sf_dir, "events").agg(
-        (F.max("ts") - F.expr("INTERVAL 3 HOUR")).alias("cutoff")
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 3 HOUR")
+        ).alias("cutoff")
     )
     return (
         out.filter(F.col("purchase_id").isNull())
@@ -148,7 +160,11 @@ def streaming_unconverted_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAMING_UNCONVERTED_SQL = """
-WITH bound AS (SELECT MAX(ts) - INTERVAL 3 HOUR AS cutoff FROM events)
+WITH bound AS (
+  SELECT LEAST(MAX(CASE WHEN event_type = 'view' THEN ts END),
+               MAX(CASE WHEN event_type = 'purchase' THEN ts END))
+         - INTERVAL 3 HOUR AS cutoff
+  FROM events)
 SELECT v.user_id,
        COUNT(*) AS n_unconverted
 FROM events v, bound b

@@ -464,11 +464,20 @@ def test_new_cell_frame_ops_have_no_unpartitioned_windows(spark, sf_dir):
         timeseries,
     )
 
+    from data_pipeline_for_autonomous_vehicles_spark.operators import drift
+
     for df, max_ex in [
         (anomaly.seasonal_residual_outliers(spark, sf_dir), 4),
         (quality.value_winsorized_stats(spark, sf_dir), 5),
         (olap.value_percentiles(spark, sf_dir), 4),
         (timeseries.hourly_event_ewma(spark, sf_dir), 5),
+        # two-level bucket CDF: prefix sums with no unpartitioned window.
+        # The decomposition trades a few extra exchanges (bucket totals,
+        # offsets self-join) for that property — every one of them carries
+        # the cell/bucket frame, never the fact table, so the higher count
+        # is cheap rows, not data volume.
+        (drift.value_ks_test(spark, sf_dir), 11),
+        (drift.value_mannwhitney_test(spark, sf_dir), 11),
     ]:
         assert plans.unpartitioned_windows(df) == []
         assert plans.exchange_count(df) <= max_ex

@@ -110,7 +110,10 @@ def test_cell_quantiles_bitmatch_spark_percentile(spark):
     ] + [
         Row(k="b", v=float(rng.randint(0, 5)))  # heavy ties
         for _ in range(100)
-    ] + [Row(k="c", v=42.5)]  # single-value group
+    ] + [Row(k="c", v=42.5)] + [
+        Row(k="a", v=None),  # F.percentile ignores NULLs; helper must too
+        Row(k="b", v=None),
+    ]
     df = spark.createDataFrame(rows)
     ps = [0.05, 0.25, 0.5, 0.9, 0.99]
     names = [f"q{i}" for i in range(len(ps))]

@@ -127,7 +127,15 @@ def test_stream_stream_left_outer_matches_batch_anti_join(spark, sf_dir):
         for r in streaming_unconverted_views(spark, sf_dir).collect()
     }
     ev = load_table(spark, sf_dir, "events")
-    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 3 HOUR")).alias("cutoff"))
+    cutoff = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 3 HOUR")
+        ).alias("cutoff")
+    )
     v = (
         ev.filter(F.col("event_type") == "view")
         .join(F.broadcast(cutoff))
