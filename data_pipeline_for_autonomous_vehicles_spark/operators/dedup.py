@@ -490,6 +490,100 @@ FROM voted ORDER BY doc_id
 """
 
 
+# --- SimHash Hamming-band near-dup join ------------------------------------
+
+# 32-bit fingerprint → 4 bands of 8 bits. Pigeonhole: Hamming distance ≤ 3
+# flips at most 3 bands, so every true pair shares at least one identical
+# band — banding has 100% recall for the threshold below.
+SIMHASH_BAND_BITS = 8
+SIMHASH_N_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
+HAMMING_MAX = 3
+
+
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ 3, found via banded
+    buckets (the Manku/Jain/Sarma web-dedup shape): split each 32-bit
+    fingerprint into 4 disjoint 8-bit bands; docs sharing any (band_id,
+    band_value) bucket are candidates; verify with
+    ``bit_count(simhash_a XOR simhash_b)``.
+
+    Scale (100 TB): the fingerprint table is one narrow int64 row per doc;
+    the self-join key is (band_id, band_value) — per-bucket cross products
+    only, never all-pairs — and buckets above MAX_BUCKET docs are dropped
+    (an 8-bit band of a near-monoculture corpus is the degenerate-bucket
+    hazard, same mitigation as `minhash_lsh_pairs`). The XOR verify is a
+    pure map over candidate rows. Complements `minhash_lsh_pairs`:
+    MinHash targets set-Jaccard, SimHash targets weighted cosine — real
+    pipelines run both and union the edge lists.
+    """
+    fps = simhash_fingerprints(spark, sf_dir).cache()
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                .alias("band_value"),
+            )
+            for b in range(SIMHASH_N_BANDS)
+        ]
+    )
+    banded = fps.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_value").alias("band_value")
+    )
+    banded = _cap_buckets(banded, ["band_id", "band_value"], MAX_BUCKET)
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_value")
+    b2 = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_value")
+    cand = (
+        a.join(b2, ["band_id", "band_value"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _sql_simhash_hamming_pairs() -> str:
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"(simhash // {1 << (b * SIMHASH_BAND_BITS)}) % {mask + 1} AS band_value FROM fps"
+        for b in range(SIMHASH_N_BANDS)
+    )
+    return f"""
+WITH fps AS ({_sql_simhash()}),
+banded AS ({band_rows}),
+kept AS (
+  SELECT banded.* FROM banded
+  JOIN (SELECT band_id, band_value FROM banded
+        GROUP BY band_id, band_value HAVING COUNT(*) <= {MAX_BUCKET}) ok
+    USING (band_id, band_value)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b
+    ON a.band_id = b.band_id AND a.band_value = b.band_value AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER) AS hamming
+FROM cand
+JOIN fps fa ON fa.doc_id = doc_a
+JOIN fps fb ON fb.doc_id = doc_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
 # --- corpus heavy hitters ----------------------------------------------------
 
 HH_TOP_K = 20
@@ -757,6 +851,7 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_fingerprints": simhash_fingerprints,
+    "simhash_hamming_pairs": simhash_hamming_pairs,
     "near_dup_clusters": near_dup_clusters,
     "frequent_shingles": frequent_shingles,
     "near_dup_cluster_sizes": near_dup_cluster_sizes,
@@ -772,6 +867,7 @@ ORACLES = {
     "minhash_signatures": _MINHASH_SIG_SQL,
     "minhash_lsh_pairs": _sql_lsh_pairs(),
     "simhash_fingerprints": _sql_simhash(),
+    "simhash_hamming_pairs": _sql_simhash_hamming_pairs(),
     "near_dup_clusters": _sql_near_dup_clusters(),
     "frequent_shingles": _FREQ_SHINGLES_SQL,
     "near_dup_cluster_sizes": _sql_near_dup_cluster_sizes(),

@@ -631,9 +631,106 @@ ORDER BY doc_id
 """
 
 
+# --- BPE vocab induction: first merge round --------------------------------
+
+BPE_MERGE_TOP_K = 20
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-character-pair frequencies across the corpus — the
+    statistic the first BPE merge iteration (Sennrich et al. 2016) is
+    chosen from. Each whitespace word contributes one count per adjacent
+    char pair per occurrence (corpus-frequency weighting, the standard BPE
+    objective).
+
+    Scale (100 TB): per-row generate (word → len-1 pairs, bounded by text
+    length), then one hash-agg on a 2-char key whose cardinality is tiny
+    (≤ alphabet²) — partial aggregation absorbs nearly everything map-side;
+    the top-k is TakeOrderedAndProject. Full BPE training iterates this
+    with the winning pair merged — each round is this same one-agg plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(_tokens()).alias("word")).filter(F.length("word") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_MERGE_TOP_K)
+    )
+
+
+_BPE_MERGE_SQL = f"""
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT substring(word, CAST(i AS INTEGER), 2) AS pair
+  FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents) w,
+       LATERAL unnest(range(1, length(word))) AS t(i)
+  WHERE length(word) >= 2)
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {BPE_MERGE_TOP_K}
+"""
+
+
+# --- deterministic training shards ------------------------------------------
+
+N_SHARDS = 16
+
+
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment + balance report: shard = portable
+    hash of doc_id mod N_SHARDS; per shard, doc / whitespace-token / char
+    totals. This is the writer-side contract of a training run — shards
+    must be reproducible across engines and stable per doc (a re-run or a
+    late-arriving partition lands every doc in the same shard), which
+    rand() round-robin cannot give.
+
+    Scale (100 TB): shard id is a pure per-row expression; the report is
+    one hash-agg on a 16-value key (fully map-side-combined). The actual
+    shard write is `df.repartition(N_SHARDS, shard).write...` — same key,
+    one shuffle, and the report here is the skew check you run FIRST to
+    see whether any shard would hot-spot an executor.
+    """
+    from ..functions.scalars import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (portable_hash(F.col("doc_id").cast("string")) % N_SHARDS).alias("shard")
+    n_tok = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(F.size(_tokens()))
+    return (
+        docs.select(shard, n_tok.alias("n_tok"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SHARDS_SQL = f"""
+SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {N_SHARDS}
+         AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQL_TOKENS}) END) AS BIGINT)
+         AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+ORDER BY shard
+"""
+
+
 QUERIES = {
     "token_counts": token_counts,
     "bpe_token_estimate": bpe_token_estimate,
+    "bpe_merge_candidates": bpe_merge_candidates,
+    "training_shards": training_shards,
     "doc_chunks": doc_chunks,
     "quality_scores": quality_scores,
     "lang_id": lang_id,
@@ -650,6 +747,8 @@ QUERIES = {
 ORACLES = {
     "token_counts": _TOKEN_COUNTS_SQL,
     "bpe_token_estimate": _BPE_SQL,
+    "bpe_merge_candidates": _BPE_MERGE_SQL,
+    "training_shards": _SHARDS_SQL,
     "doc_chunks": _CHUNKS_SQL,
     "quality_scores": _QUALITY_SQL,
     "lang_id": _sql_lang_id(),

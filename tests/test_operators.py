@@ -878,3 +878,65 @@ def test_mannwhitney_matches_bruteforce_pairs(spark, sf_dir):
     z = (u2 / 2.0 - len(a) * len(b) / 2.0) / math.sqrt(var_u)
     assert abs(r["z_score"] - z) < 1e-3
     assert r["reject_at_5pct"] == (abs(z) > 1.96)
+
+
+def test_simhash_hamming_pairs_verified_and_recall(spark, sf_dir):
+    """Every returned pair is verified ≤ HAMMING_MAX, ordered, and — the
+    pigeonhole recall guarantee — every fingerprint pair within the
+    threshold whose four 8-bit bands all sit in un-capped buckets appears
+    in the output."""
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(spark, sf_dir).collect()}
+    out = dedup.simhash_hamming_pairs(spark, sf_dir).collect()
+    got = set()
+    for r in out:
+        assert r["doc_a"] < r["doc_b"]
+        assert bin(fps[r["doc_a"]] ^ fps[r["doc_b"]]).count("1") == r["hamming"]
+        assert r["hamming"] <= dedup.HAMMING_MAX
+        got.add((r["doc_a"], r["doc_b"]))
+    # recall check on a brute-force subsample (full O(n²) is fine at sf0.001)
+    from collections import Counter
+
+    bucket_sizes = Counter()
+    for d, fp in fps.items():
+        for b in range(dedup.SIMHASH_N_BANDS):
+            bucket_sizes[(b, (fp >> (8 * b)) & 255)] += 1
+    ids = sorted(fps)
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            if bin(fps[da] ^ fps[db]).count("1") <= dedup.HAMMING_MAX:
+                bands_ok = any(
+                    ((fps[da] >> (8 * b)) & 255) == ((fps[db] >> (8 * b)) & 255)
+                    and bucket_sizes[(b, (fps[da] >> (8 * b)) & 255)] <= dedup.MAX_BUCKET
+                    for b in range(dedup.SIMHASH_N_BANDS)
+                )
+                if bands_ok:
+                    assert (da, db) in got
+
+
+def test_bpe_merge_candidates_counts_and_order(spark, sf_dir):
+    """Top pair count equals a literal Python recount of the corpus, and
+    the report is (n desc, pair asc) ordered."""
+    out = text.bpe_merge_candidates(spark, sf_dir).collect()
+    assert out == sorted(out, key=lambda r: (-r["n"], r["pair"]))
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    from collections import Counter
+
+    c = Counter()
+    for row in docs:
+        for w in row["text"].strip().lower().split():
+            for i in range(len(w) - 1):
+                c[w[i : i + 2]] += 1
+    top = out[0]
+    assert c[top["pair"]] == top["n"] == max(c.values())
+
+
+def test_training_shards_partition_and_determinism(spark, sf_dir):
+    """Shards partition the corpus exactly (doc/token/char totals are
+    conserved) and assignment is stable across runs."""
+    out = text.training_shards(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    assert sum(r["sum_chars"] for r in out) == docs.agg(F.sum("n_chars")).first()[0]
+    assert all(0 <= r["shard"] < text.N_SHARDS for r in out)
+    again = text.training_shards(spark, sf_dir).collect()
+    assert out == again
