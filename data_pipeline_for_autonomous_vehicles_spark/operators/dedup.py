@@ -333,19 +333,11 @@ def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
     return df.join(ok, keys, "left_semi")
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs via banded LSH: b bands of r signature rows;
-    docs sharing any full band collide. Estimated Jaccard = fraction of
-    equal signature components. The self-join key is (band_id, band_hash) —
-    per-bucket cross products only, never all-pairs — and buckets larger
-    than MAX_BUCKET docs are dropped before the join (degenerate band
-    hashes carry no near-dup signal; an uncapped one is quadratic at
-    scale). The oracle mirrors the cap.
-    """
-    # signatures are one narrow row per doc; cache so the band explode and
-    # the two signature re-joins below read one materialization instead of
-    # re-running the shingle shuffle up to 7× (bench: 3.1s → ~1s at sf0.1)
-    sigs = _minhash_signatures(spark, sf_dir).cache()
+def _lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) from the banded signature
+    equi-join, with the MAX_BUCKET degenerate-bucket cap applied. Shared by
+    `minhash_lsh_pairs` and `minhash_estimate_audit` so the candidate set
+    cannot desynchronize between the pair report and its quality audit."""
     band_structs = F.array(
         *[
             F.struct(
@@ -375,12 +367,28 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = _cap_buckets(banded, ["band_id", "band_hash"], MAX_BUCKET)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
     b2 = banded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash")
-    cand = (
+    return (
         a.join(b2, ["band_id", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: b bands of r signature rows;
+    docs sharing any full band collide. Estimated Jaccard = fraction of
+    equal signature components. The self-join key is (band_id, band_hash) —
+    per-bucket cross products only, never all-pairs — and buckets larger
+    than MAX_BUCKET docs are dropped before the join (degenerate band
+    hashes carry no near-dup signal; an uncapped one is quadratic at
+    scale). The oracle mirrors the cap.
+    """
+    # signatures are one narrow row per doc; cache so the band explode and
+    # the two signature re-joins below read one materialization instead of
+    # re-running the shingle shuffle up to 7× (bench: 3.1s → ~1s at sf0.1)
+    sigs = _minhash_signatures(spark, sf_dir).cache()
+    cand = _lsh_candidates(sigs)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(MINHASH_K)])
     sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(MINHASH_K)])
     matches = sum(
@@ -398,7 +406,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_lsh_pairs() -> str:
+def _sql_lsh_cand_ctes() -> str:
+    """banded/kept/cand CTE block (assumes a preceding `sigs` CTE) — the SQL
+    twin of `_lsh_candidates`, shared by the pair report and the audit."""
     band_selects = []
     for b in range(LSH_BANDS):
         concat = " || '_' || ".join(
@@ -408,11 +418,7 @@ def _sql_lsh_pairs() -> str:
             f"SELECT doc_id, {b} AS band_id, md5({concat}) AS band_hash FROM sigs"
         )
     banded = " UNION ALL ".join(band_selects)
-    match_sum = " + ".join(
-        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K)
-    )
     return f"""
-WITH {_sql_minhash_cte()},
 banded AS ({banded}),
 kept AS (
   SELECT banded.* FROM banded
@@ -422,12 +428,136 @@ kept AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM kept a JOIN kept b
-    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)"""
+
+
+def _sql_lsh_pairs() -> str:
+    match_sum = " + ".join(
+        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K)
+    )
+    return f"""
+WITH {_sql_minhash_cte()},
+{_sql_lsh_cand_ctes()}
 SELECT doc_a, doc_b,
        CAST(FLOOR((CAST(({match_sum}) AS DOUBLE) / {float(MINHASH_K)}) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS est_jaccard
 FROM cand
 JOIN sigs sa ON sa.doc_id = doc_a
 JOIN sigs sb ON sb.doc_id = doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- MinHash estimator-quality audit ---------------------------------------
+
+# 10000 / MINHASH_K is integral (625), so the estimate in 1e-4 units is an
+# exact integer — the audit's error column is integer arithmetic end to end.
+_EST_UNIT = 10000 // MINHASH_K
+
+
+def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate pair, the MinHash
+    Jaccard estimate (matching components / k) next to the TRUE Jaccard
+    over the full distinct-shingle sets, with the absolute error. This is
+    the report that sizes MINHASH_K: if the observed error at k=16 is too
+    wide for the dedup threshold, you raise k before trusting the sketch
+    on the real corpus.
+
+    Exactness: both jaccards are computed in 1e-4 fixed-point integer
+    arithmetic (est = matches·625; exact = (2·10000·inter + union) intdiv
+    2·union — round-half-up without touching binary floats), so the twins
+    agree bit-for-bit.
+
+    Scale (100 TB): candidates come from the capped banded join (shared
+    `_lsh_candidates`, never all-pairs); the exact-intersection verify
+    joins shingles only for candidate docs — per-pair cost ∝ document
+    length, the standard verify stage of an LSH dedup pipeline. True
+    Jaccard is deliberately UNcapped (the estimator targets the full
+    shingle set), which is safe here because the fan-out is per candidate
+    pair, not per shingle bucket.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _minhash_signatures(spark, sf_dir).cache()
+    cand = _lsh_candidates(sigs)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(MINHASH_K)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(MINHASH_K)])
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(MINHASH_K)
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", matches.cast("int").alias("est_matches"))
+    )
+    sh = _shingles_df(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a")), "doc_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b")), "doc_b")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .withColumn("n_union", F.col("size_a") + F.col("size_b") - F.col("n_inter"))
+        .withColumn("est4", F.col("est_matches").cast("long") * _EST_UNIT)
+        .withColumn(
+            "ex4",
+            F.expr("(n_inter * 20000 + n_union) div (2 * n_union)"),
+        )
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "est_matches",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_union").cast("long").alias("n_union"),
+        (F.col("est4").cast("double") / 10000.0).alias("est_jaccard"),
+        (F.col("ex4").cast("double") / 10000.0).alias("exact_jaccard"),
+        (F.abs(F.col("est4") - F.col("ex4")).cast("double") / 10000.0).alias("abs_err"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def _sql_minhash_audit() -> str:
+    match_sum = " + ".join(
+        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K)
+    )
+    return f"""
+WITH {_sql_minhash_cte()},
+{_sql_lsh_cand_ctes()},
+est AS (
+  SELECT doc_a, doc_b, CAST(({match_sum}) AS INTEGER) AS est_matches
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = doc_a
+  JOIN sigs sb ON sb.doc_id = doc_b),
+sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b),
+j AS (
+  SELECT e.doc_a, e.doc_b, e.est_matches,
+         COALESCE(i.n_inter, 0) AS n_inter,
+         za.n_shingles + zb.n_shingles - COALESCE(i.n_inter, 0) AS n_union,
+         CAST(e.est_matches AS BIGINT) * {_EST_UNIT} AS est4
+  FROM est e
+  LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+  JOIN sizes za ON za.doc_id = e.doc_a
+  JOIN sizes zb ON zb.doc_id = e.doc_b)
+SELECT doc_a, doc_b, est_matches,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(n_union AS BIGINT) AS n_union,
+       CAST(est4 AS DOUBLE) / 10000.0 AS est_jaccard,
+       CAST((n_inter * 20000 + n_union) // (2 * n_union) AS DOUBLE) / 10000.0
+         AS exact_jaccard,
+       CAST(abs(est4 - (n_inter * 20000 + n_union) // (2 * n_union)) AS DOUBLE) / 10000.0
+         AS abs_err
+FROM j
 ORDER BY doc_a, doc_b
 """
 
@@ -850,6 +980,7 @@ QUERIES = {
     "ngram_containment_pairs": ngram_containment_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "minhash_estimate_audit": minhash_estimate_audit,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_hamming_pairs": simhash_hamming_pairs,
     "near_dup_clusters": near_dup_clusters,
@@ -866,6 +997,7 @@ ORACLES = {
     "ngram_containment_pairs": _NGRAM_CONTAINMENT_SQL,
     "minhash_signatures": _MINHASH_SIG_SQL,
     "minhash_lsh_pairs": _sql_lsh_pairs(),
+    "minhash_estimate_audit": _sql_minhash_audit(),
     "simhash_fingerprints": _sql_simhash(),
     "simhash_hamming_pairs": _sql_simhash_hamming_pairs(),
     "near_dup_clusters": _sql_near_dup_clusters(),

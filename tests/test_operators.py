@@ -940,3 +940,27 @@ def test_training_shards_partition_and_determinism(spark, sf_dir):
     assert all(0 <= r["shard"] < text.N_SHARDS for r in out)
     again = text.training_shards(spark, sf_dir).collect()
     assert out == again
+
+
+def test_minhash_audit_exactness_and_candidate_parity(spark, sf_dir):
+    """Audit rows cover exactly the LSH candidate set; est = matches/k in
+    fixed point; exact Jaccard matches a literal Python shingle recount."""
+    audit = dedup.minhash_estimate_audit(spark, sf_dir).collect()
+    pairs_q = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()}
+    assert {(r["doc_a"], r["doc_b"]) for r in audit} == pairs_q
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+    def shingles(t):
+        w = t.strip().lower().split()
+        return {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 0))}
+
+    for r in audit:
+        assert 0 <= r["est_matches"] <= dedup.MINHASH_K
+        assert abs(r["est_jaccard"] - r["est_matches"] / dedup.MINHASH_K) < 1e-9
+        sa, sb = shingles(docs[r["doc_a"]]), shingles(docs[r["doc_b"]])
+        assert r["n_inter"] == len(sa & sb)
+        assert r["n_union"] == len(sa | sb)
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 1.01e-4
