@@ -85,5 +85,120 @@ LIMIT {TOP_K}
 """
 
 
-QUERIES = {"hot_keys_report": hot_keys_report}
-ORACLES = {"hot_keys_report": _sql_hot_keys()}
+# --- count-min sketch audit -------------------------------------------------
+
+# CMS geometry: D independent hash rows × W counters. Overestimate bound:
+# err ≤ e·N/W with prob ≥ 1 − e^-D (Cormode & Muthukrishnan 2005).
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOP_K = 20
+
+
+def _doc_tokens() -> F.Column:
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+def _cms_bucket(token_col: F.Column, d: int) -> F.Column:
+    from ..functions.scalars import portable_hash
+
+    return portable_hash(F.concat(F.lit(f"cms{d}:"), token_col)) % CMS_WIDTH
+
+
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of corpus term frequencies, audited against exact
+    counts: build a D×W counter grid over every token occurrence, then for
+    the top-K exact tokens report the CMS estimate (min over rows of the
+    hashed counter) next to the truth. `overestimate` is ≥ 0 by
+    construction — the one-sided CMS guarantee — and its observed size is
+    the number that validates W before pointing the sketch at the real
+    corpus (expected ≤ e·N/W per row).
+
+    Scale (100 TB): the sketch is FIXED-SIZE — the (row, bucket) group key
+    has D·W = 2048 cells no matter the corpus, so the shuffle after
+    map-side partial aggregation is constant-width, and two daily sketches
+    merge by cell-wise addition (the same mergeability story as
+    `hll_mergeable_distinct`, but for frequencies). The exact counts here
+    exist only to audit; at deployment scale only the sketch is kept.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_doc_tokens()).alias("token")).filter(
+        F.length("token") >= 1
+    ).cache()
+    grid = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), _cms_bucket(F.col("token"), d).alias("bucket"))
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    counters = (
+        toks.select(F.explode(grid).alias("g"))
+        .select(F.col("g.d").alias("d"), F.col("g.bucket").alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "token")
+        .limit(CMS_TOP_K)
+    )
+    probes = top.select(
+        "token",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), _cms_bucket(F.col("token"), d).alias("bucket"))
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("g"),
+    ).select("token", "exact_n", F.col("g.d").alias("d"), F.col("g.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cell_n").alias("cms_n"))
+        .withColumn("overestimate", F.col("cms_n") - F.col("exact_n"))
+        .orderBy(F.desc("exact_n"), "token")
+    )
+
+
+def _sql_cms() -> str:
+    from ..functions.scalars import sql_portable_hash
+
+    def bucket(expr: str, d: int) -> str:
+        salted = f"'cms{d}:' || {expr}"
+        return f"{sql_portable_hash(salted)} % {CMS_WIDTH}"
+
+    grid = " UNION ALL ".join(
+        f"SELECT {d} AS d, {bucket('token', d)} AS bucket FROM tk"
+        for d in range(CMS_DEPTH)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT token, exact_n, {d} AS d, {bucket('token', d)} AS bucket FROM top"
+        for d in range(CMS_DEPTH)
+    )
+    return f"""
+WITH tk AS (
+  SELECT token FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+    FROM documents) t
+  WHERE length(token) >= 1),
+grid AS ({grid}),
+counters AS (SELECT d, bucket, COUNT(*) AS cell_n FROM grid GROUP BY 1, 2),
+top AS (
+  SELECT token, COUNT(*) AS exact_n FROM tk GROUP BY token
+  ORDER BY exact_n DESC, token LIMIT {CMS_TOP_K}),
+probes AS ({probes})
+SELECT p.token,
+       CAST(p.exact_n AS BIGINT) AS exact_n,
+       CAST(MIN(c.cell_n) AS BIGINT) AS cms_n,
+       CAST(MIN(c.cell_n) - p.exact_n AS BIGINT) AS overestimate
+FROM probes p JOIN counters c USING (d, bucket)
+GROUP BY p.token, p.exact_n
+ORDER BY exact_n DESC, token
+"""
+
+
+QUERIES = {"hot_keys_report": hot_keys_report, "cms_token_counts": cms_token_counts}
+ORACLES = {"hot_keys_report": _sql_hot_keys(), "cms_token_counts": _sql_cms()}

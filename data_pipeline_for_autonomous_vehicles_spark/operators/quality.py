@@ -381,11 +381,154 @@ ORDER BY event_type
 """
 
 
+# --- median/MAD robust outlier gate ----------------------------------------
+
+# 3σ-equivalent MAD threshold: |x − med| > 3 · 1.4826 · MAD. 1.4826 is the
+# normal-consistency constant; kept in integer arithmetic as ×14826 / ×10⁴.
+MAD_K_E4 = 3 * 14826
+
+
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type median/MAD robust outlier report — the detector that stays
+    calibrated when the mean/σ gate (`value_outliers`) is itself dragged by
+    the outliers it is hunting. Flags rows with |value − median| >
+    3·1.4826·MAD (the normal-consistent 3σ analogue).
+
+    Exact order statistics with NO per-group buffering, twice: pass 1
+    collapses events to (type, cent-value) cells and picks the median by
+    running-count CDF (`value_winsorized_stats`' pattern); pass 2
+    re-aggregates the same cells into (type, |deviation|) cells —
+    cardinality again domain-bounded, not row-bounded — and picks the MAD
+    the same way. The outlier test cross-multiplies integers
+    (|dev|·10⁴ > 3·14826·MAD) so no float enters any comparison.
+
+    Scale (100 TB): two cell-sized window passes (cells ≈ |value domain| ·
+    |types|, independent of row count) + one broadcast join back to cells.
+    MAD = 0 (over half the group at one value) degenerates to flagging
+    every deviating row — the documented MAD failure mode, surfaced by the
+    mad_value column being 0 rather than hidden.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    cells = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("v_e2"),
+        )
+        .groupBy("event_type", "v_e2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
+    per_type = Window.partitionBy("event_type")
+
+    def _median_of(cdf_cells: DataFrame, val_col: str) -> DataFrame:
+        run = (
+            Window.partitionBy("event_type")
+            .orderBy(val_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        with_cdf = (
+            cdf_cells.withColumn("n", F.sum("cnt").over(per_type))
+            .withColumn("running", F.sum("cnt").over(run))
+            .withColumn("k", F.expr("(50 * n + 99) div 100"))
+        )
+        return with_cdf.groupBy("event_type").agg(
+            F.min(F.when(F.col("running") >= F.col("k"), F.col(val_col))).alias("med"),
+            F.min("n").alias("n"),
+        )
+
+    med = _median_of(cells, "v_e2").withColumnRenamed("med", "med_e2")
+    dev_cells = (
+        cells.join(F.broadcast(med.select("event_type", "med_e2")), "event_type")
+        .select("event_type", F.abs(F.col("v_e2") - F.col("med_e2")).alias("dev_e2"), "cnt")
+        .groupBy("event_type", "dev_e2")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = (
+        _median_of(dev_cells, "dev_e2")
+        .withColumnRenamed("med", "mad_e2")
+        .drop("n")
+    )
+    flagged = (
+        cells.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .withColumn(
+            "is_out",
+            (F.abs(F.col("v_e2") - F.col("med_e2")) * F.lit(10000) > F.lit(MAD_K_E4) * F.col("mad_e2")).cast("long"),
+        )
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.min("n").alias("n"),
+            (F.min("med_e2").cast("double") / F.lit(100.0)).alias("median_value"),
+            (F.min("mad_e2").cast("double") / F.lit(100.0)).alias("mad_value"),
+            F.sum(F.col("cnt") * F.col("is_out")).alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_share",
+            F.expr("(n_outliers * 20000 + n) div (2 * n)").cast("double") / F.lit(10000.0),
+        )
+        .orderBy("event_type")
+    )
+
+
+_MAD_SQL = f"""
+WITH cells AS (
+  SELECT event_type, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_e2,
+         COUNT(*) AS cnt
+  FROM events
+  GROUP BY 1, 2),
+cdf1 AS (
+  SELECT *,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY v_e2
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+  FROM cells),
+med AS (
+  SELECT event_type,
+         MIN(CASE WHEN running >= (50 * n + 99) // 100 THEN v_e2 END) AS med_e2,
+         MIN(n) AS n
+  FROM cdf1 GROUP BY event_type),
+dev_cells AS (
+  SELECT c.event_type, abs(c.v_e2 - m.med_e2) AS dev_e2, SUM(c.cnt) AS cnt
+  FROM cells c JOIN med m USING (event_type)
+  GROUP BY 1, 2),
+cdf2 AS (
+  SELECT *,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS dn,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev_e2
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+  FROM dev_cells),
+mad AS (
+  SELECT event_type,
+         MIN(CASE WHEN running >= (50 * dn + 99) // 100 THEN dev_e2 END) AS mad_e2
+  FROM cdf2 GROUP BY event_type),
+flagged AS (
+  SELECT c.event_type, c.cnt, m.n, m.med_e2, d.mad_e2,
+         CASE WHEN abs(c.v_e2 - m.med_e2) * 10000 > {MAD_K_E4} * d.mad_e2
+              THEN 1 ELSE 0 END AS is_out
+  FROM cells c JOIN med m USING (event_type) JOIN mad d USING (event_type))
+SELECT event_type,
+       CAST(MIN(n) AS BIGINT) AS n,
+       CAST(MIN(med_e2) AS DOUBLE) / 100.0 AS median_value,
+       CAST(MIN(mad_e2) AS DOUBLE) / 100.0 AS mad_value,
+       CAST(SUM(cnt * is_out) AS BIGINT) AS n_outliers,
+       CAST((SUM(cnt * is_out) * 20000 + MIN(n)) // (2 * MIN(n)) AS DOUBLE) / 10000.0
+         AS outlier_share
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "table_profile": table_profile,
     "dq_checks": dq_checks,
     "benford_audit": benford_audit,
     "value_winsorized_stats": value_winsorized_stats,
+    "value_mad_outliers": value_mad_outliers,
 }
 
 ORACLES = {
@@ -393,4 +536,5 @@ ORACLES = {
     "dq_checks": _sql_dq(),
     "benford_audit": _sql_benford(),
     "value_winsorized_stats": _WINSOR_SQL,
+    "value_mad_outliers": _MAD_SQL,
 }

@@ -964,3 +964,76 @@ def test_minhash_audit_exactness_and_candidate_parity(spark, sf_dir):
         assert r["n_inter"] == len(sa & sb)
         assert r["n_union"] == len(sa | sb)
         assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 1.01e-4
+
+
+def test_mad_outliers_match_bruteforce(spark, sf_dir):
+    """Median, MAD, and outlier count match a literal Python recomputation
+    (percentile_disc lower-bound semantics on cent-rounded values)."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import quality
+
+    out = {r["event_type"]: r for r in quality.value_mad_outliers(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    import math
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r["event_type"]].append(int(math.floor(r["value"] * 100.0 + 0.5)))
+
+    def disc_median(vals):
+        vals = sorted(vals)
+        k = (50 * len(vals) + 99) // 100
+        return vals[k - 1]
+
+    for t, vals in groups.items():
+        med = disc_median(vals)
+        mad = disc_median([abs(v - med) for v in vals])
+        n_out = sum(1 for v in vals if abs(v - med) * 10000 > quality.MAD_K_E4 * mad)
+        r = out[t]
+        assert r["n"] == len(vals)
+        assert r["median_value"] == med / 100.0
+        assert r["mad_value"] == mad / 100.0
+        assert r["n_outliers"] == n_out
+
+
+def test_cms_overestimates_and_merges(spark, sf_dir):
+    """CMS estimates are one-sided (est ≥ exact), and cell-wise addition of
+    two half-corpus sketches equals the full-corpus sketch (mergeability —
+    the property that lets per-day sketches roll up)."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import frequency
+
+    out = frequency.cms_token_counts(spark, sf_dir).collect()
+    assert len(out) == frequency.CMS_TOP_K
+    for r in out:
+        assert r["cms_n"] >= r["exact_n"]
+        assert r["overestimate"] == r["cms_n"] - r["exact_n"]
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(frequency._doc_tokens()).alias("token")).filter(
+        F.length("token") >= 1
+    )
+    grid = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), frequency._cms_bucket(F.col("token"), d).alias("bucket"))
+            for d in range(frequency.CMS_DEPTH)
+        ]
+    )
+
+    def sketch(df):
+        rows = (
+            df.select(F.explode(grid).alias("g"))
+            .groupBy(F.col("g.d").alias("d"), F.col("g.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return {(r["d"], r["bucket"]): r["n"] for r in rows}
+
+    full = sketch(toks)
+    docs_a = docs.filter(F.col("doc_id") % 2 == 0)
+    docs_b = docs.filter(F.col("doc_id") % 2 == 1)
+    half_a = sketch(docs_a.select(F.explode(frequency._doc_tokens()).alias("token")).filter(F.length("token") >= 1))
+    half_b = sketch(docs_b.select(F.explode(frequency._doc_tokens()).alias("token")).filter(F.length("token") >= 1))
+    merged = dict(half_a)
+    for k, v in half_b.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == full
