@@ -97,6 +97,66 @@ ORDER BY keeper_doc_id
 """
 
 
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row business case for dedup: corpus size before/after keeping one
+    representative (min doc_id) per fingerprint group — doc and char totals,
+    the chars the dedup pass deletes, and the savings share. This is the
+    number that decides whether the near-dup pass is worth its compute at
+    100 TB (storage AND training-epoch token budget both scale with it).
+
+    Scale: one digest hash-agg (16-byte key, body never shuffles) with
+    min_by picking the representative's size in the same pass, then a
+    broadcast-sized rollup. Savings share is integer round-half-up — no
+    float enters the comparison path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(_tokens())), " "))
+    groups = (
+        docs.select("doc_id", "n_chars", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sum("n_chars").alias("chars_all"),
+            F.min_by("n_chars", "doc_id").alias("chars_rep"),
+        )
+    )
+    return groups.agg(
+        F.sum("n_copies").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_groups"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_dup_docs"),
+        F.sum("chars_all").alias("chars_total"),
+        F.sum("chars_rep").alias("chars_kept"),
+        (F.sum("chars_all") - F.sum("chars_rep")).alias("chars_saved"),
+    ).withColumn(
+        "savings_share",
+        F.expr("(chars_saved * 20000 + chars_total) div (2 * chars_total)").cast("double")
+        / F.lit(10000.0),
+    )
+
+
+_DEDUP_SAVINGS_SQL = f"""
+WITH groups AS (
+  SELECT fingerprint,
+         COUNT(*) AS n_copies,
+         SUM(n_chars) AS chars_all,
+         MIN_BY(n_chars, doc_id) AS chars_rep
+  FROM (
+    SELECT doc_id, n_chars,
+           md5(array_to_string(list_sort(list_distinct({_SQL_TOKENS})), ' ')) AS fingerprint
+    FROM documents) t
+  GROUP BY fingerprint)
+SELECT CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(chars_all) AS BIGINT) AS chars_total,
+       CAST(SUM(chars_rep) AS BIGINT) AS chars_kept,
+       CAST(SUM(chars_all) - SUM(chars_rep) AS BIGINT) AS chars_saved,
+       CAST(((SUM(chars_all) - SUM(chars_rep)) * 20000 + SUM(chars_all))
+            // (2 * SUM(chars_all)) AS DOUBLE) / 10000.0 AS savings_share
+FROM groups
+"""
+
+
 # --- word-shingle n-gram Jaccard near-dup ----------------------------------
 
 
@@ -976,6 +1036,7 @@ ORDER BY doc_id
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
+    "dedup_token_savings": dedup_token_savings,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_containment_pairs": ngram_containment_pairs,
     "minhash_signatures": minhash_signatures,
@@ -993,6 +1054,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_fingerprint": _DEDUP_FP_SQL,
+    "dedup_token_savings": _DEDUP_SAVINGS_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     "ngram_containment_pairs": _NGRAM_CONTAINMENT_SQL,
     "minhash_signatures": _MINHASH_SIG_SQL,

@@ -1127,6 +1127,104 @@ LIMIT {PQ_TOP}
 """
 
 
+# --- per-source centroid similarity ----------------------------------------
+
+
+def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-source mean embeddings — the
+    domain-closeness matrix a data-mixing decision reads (two sources with
+    cosine ≈ 1 are redundant; a distant one adds diversity). Embeddings
+    attach to documents by the shared id space (vec_id = doc_id).
+
+    Exactness: vectors go to 1e6 fixed point; per-(source, dim) means use
+    the same integer round-half-up as k-means' centroid update; dot and
+    norm accumulate in int64. The only floats are the final sqrt/divide,
+    identical IEEE ops on identical integers in both engines, then
+    round-half-up display.
+
+    Scale (100 TB): corpus collapses to |sources|·dim cells in one
+    partial-aggregated shuffle; the pairwise stage is |sources|² · dim on
+    cells — a broadcast-scale relation, never the corpus. Same
+    cells-not-corpus re-aggregation story as `lang_source_chi2`.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    vecs = emb.join(docs, "vec_id").select(
+        "source", _scaled_vec(F.col("embedding")).alias("sx")
+    )
+    cells = (
+        vecs.select("source", F.posexplode("sx").alias("pos", "v"))
+        .groupBy("source", "pos")
+        .agg(
+            F.floor(
+                F.sum("v").cast("double") / F.count(F.lit(1)).cast("double") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("m")
+        )
+        .cache()
+    )
+    norms = cells.groupBy("source").agg(F.sum(F.col("m") * F.col("m")).alias("n2"))
+    a = cells.select(F.col("source").alias("source_a"), "pos", F.col("m").alias("ma"))
+    b = cells.select(F.col("source").alias("source_b"), "pos", F.col("m").alias("mb"))
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("dot"))
+    )
+    return (
+        dots.join(
+            F.broadcast(norms.withColumnRenamed("source", "source_a").withColumnRenamed("n2", "n2_a")),
+            "source_a",
+        )
+        .join(
+            F.broadcast(norms.withColumnRenamed("source", "source_b").withColumnRenamed("n2", "n2_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            round_half_up(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double"))),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_CENTROID_SIM_SQL = f"""
+WITH vecs AS (
+  SELECT d.source,
+         list_transform(CAST(e.embedding AS DOUBLE[]),
+                        x -> CAST(FLOOR(x * {_KM_SCALE} + 0.5) AS BIGINT)) AS sx
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+cells AS (
+  SELECT source, pos,
+         CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS m
+  FROM (SELECT source, unnest(sx) AS v,
+               unnest(range(1, len(sx) + 1)) AS pos
+        FROM vecs) t
+  GROUP BY source, pos),
+norms AS (SELECT source, SUM(m * m) AS n2 FROM cells GROUP BY source),
+dots AS (
+  SELECT a.source AS source_a, b.source AS source_b, SUM(a.m * b.m) AS dot
+  FROM cells a JOIN cells b ON a.pos = b.pos AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b,
+       {sql_round_half_up("CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))", 6)}
+         AS cosine
+FROM dots
+JOIN norms na ON na.source = source_a
+JOIN norms nb ON nb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -1138,6 +1236,7 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "source_centroid_similarity": source_centroid_similarity,
 }
 
 ORACLES = {
@@ -1151,4 +1250,5 @@ ORACLES = {
     "ann_pq_topk": _sql_pq(),
     "ann_ivfpq_topk": _sql_ivfpq(),
     "hybrid_search_rrf": _sql_hybrid(),
+    "source_centroid_similarity": _CENTROID_SIM_SQL,
 }

@@ -1037,3 +1037,38 @@ def test_cms_overestimates_and_merges(spark, sf_dir):
     for k, v in half_b.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == full
+
+
+def test_dedup_savings_consistent_with_fingerprint_groups(spark, sf_dir):
+    """The savings rollup must agree with the fingerprint group report and
+    conserve the corpus char total."""
+    r = dedup.dedup_token_savings(spark, sf_dir).collect()[0]
+    groups = dedup.dedup_fingerprint(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert r["n_groups"] == len(groups)
+    assert r["n_docs"] == docs.count()
+    assert r["n_dup_docs"] == r["n_docs"] - r["n_groups"]
+    assert r["chars_total"] == docs.agg(F.sum("n_chars")).first()[0]
+    assert r["chars_total"] == r["chars_kept"] + r["chars_saved"]
+    assert 0.0 <= r["savings_share"] <= 1.0
+
+
+def test_source_centroid_similarity_bounds_and_symmetry_base(spark, sf_dir):
+    """Cosines live in [-1, 1]; every unordered source pair appears exactly
+    once; identical sources would give cosine 1 (self-pairs excluded)."""
+    out = similarity.source_centroid_similarity(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_sources = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(out) == n_sources * (n_sources - 1) // 2
+    seen = set()
+    for r in out:
+        assert r["source_a"] < r["source_b"]
+        assert -1.0 <= r["cosine"] <= 1.0
+        seen.add((r["source_a"], r["source_b"]))
+    assert len(seen) == len(out)

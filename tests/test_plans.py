@@ -492,3 +492,42 @@ def test_value_percentiles_no_buffering_percentile_aggregate(spark, sf_dir):
     txt = plans.plan_text(olap.value_percentiles(spark, sf_dir))
     assert "percentile" not in txt.lower()
     assert "Window" in txt  # cell CDF running count
+
+
+def test_session2_dedup_ops_bucketed_not_allpairs(spark, sf_dir):
+    # simhash_hamming_pairs / minhash_estimate_audit: candidates must come
+    # from equi-joins (band buckets), never a cartesian product, and no
+    # unpartitioned window may appear anywhere
+    from data_pipeline_for_autonomous_vehicles_spark.operators import dedup
+
+    for fn in (dedup.simhash_hamming_pairs, dedup.minhash_estimate_audit):
+        df = fn(spark, sf_dir)
+        assert not plans.uses_cartesian_product(df), fn.__name__
+        assert plans.unpartitioned_windows(df) == [], fn.__name__
+
+
+def test_session2_fixed_width_aggregates(spark, sf_dir):
+    # cms_token_counts / training_shards / bpe_merge_candidates aggregate
+    # on bounded keys (2048 cells / 16 shards / alphabet² pairs): no join in
+    # shards, no cartesian anywhere, and the pair/top-k reports end in
+    # TakeOrderedAndProject rather than a global sort
+    from data_pipeline_for_autonomous_vehicles_spark.operators import frequency, text
+
+    shards = text.training_shards(spark, sf_dir)
+    assert "Join" not in plans.plan_text(shards)
+    assert plans.exchange_count(shards) <= 2
+
+    for fn in (text.bpe_merge_candidates, frequency.cms_token_counts):
+        df = fn(spark, sf_dir)
+        assert not plans.uses_cartesian_product(df), fn.__name__
+    assert "TakeOrderedAndProject" in plans.plan_text(text.bpe_merge_candidates(spark, sf_dir))
+
+
+def test_mad_outliers_windows_partitioned_by_type(spark, sf_dir):
+    # both cell-CDF passes must window over (event_type)-partitioned cells —
+    # an orderless global window here would single-task the fact table
+    from data_pipeline_for_autonomous_vehicles_spark.operators import quality
+
+    df = quality.value_mad_outliers(spark, sf_dir)
+    assert plans.unpartitioned_windows(df) == []
+    assert not plans.uses_cartesian_product(df)
