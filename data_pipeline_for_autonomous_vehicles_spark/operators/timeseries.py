@@ -702,7 +702,60 @@ ORDER BY c.event_type, c.hour
 """
 
 
+# --- recursive-CTE month spine ----------------------------------------------
+
+
+def monthly_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free monthly order counts via Spark 4's WITH RECURSIVE — the
+    SQL-surface twin of the `sequence+explode` spine in `user_missing_days`.
+    The recursive CTE generates every month between the corpus min and max
+    (zero-order months included, which a plain GROUP BY silently drops),
+    then left-joins the per-month counts.
+
+    Scale: recursion depth = number of months (calendar-bounded, ~tens),
+    each step a one-row frame; the fact table contributes one
+    partial-aggregated GROUP BY on a calendar-bounded key. The recursion is
+    driver-plan-bounded, never data-sized — the safe recursive-CTE shape
+    (contrast `near_dup_clusters`, where data-sized recursion is done with
+    an explicit iterative loop + localCheckpoint instead).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__spine_orders")
+    # the anchor row carries the upper bound so each recursive step is a
+    # one-row select — a per-step scalar subquery would re-scan orders
+    # every iteration (measured ~3× slower at sf0.01)
+    return spark.sql("""
+WITH RECURSIVE months(m, hi) AS (
+  SELECT MIN(trunc(o_orderdate, 'MM')), MAX(trunc(o_orderdate, 'MM'))
+  FROM __spine_orders
+  UNION ALL
+  SELECT add_months(m, 1), hi FROM months WHERE m < hi
+)
+SELECT m AS month, COALESCE(c.n, CAST(0 AS BIGINT)) AS n_orders
+FROM months
+LEFT JOIN (SELECT trunc(o_orderdate, 'MM') AS mm, COUNT(*) AS n
+           FROM __spine_orders GROUP BY 1) c ON c.mm = m
+ORDER BY month
+""")
+
+
+_MONTH_SPINE_SQL = """
+WITH RECURSIVE months(m, hi) AS (
+  SELECT CAST(MIN(date_trunc('month', o_orderdate)) AS DATE),
+         CAST(MAX(date_trunc('month', o_orderdate)) AS DATE)
+  FROM orders
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM months WHERE m < hi
+)
+SELECT m AS month, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
+FROM months
+LEFT JOIN (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mm, COUNT(*) AS n
+           FROM orders GROUP BY 1) c ON c.mm = m
+ORDER BY month
+"""
+
+
 QUERIES = {
+    "monthly_order_spine": monthly_order_spine,
     "hourly_event_ewma": hourly_event_ewma,
     "event_seasonality": event_seasonality,
     "inter_purchase_gaps": inter_purchase_gaps,
@@ -718,6 +771,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "monthly_order_spine": _MONTH_SPINE_SQL,
     "hourly_event_ewma": _EWMA_SQL,
     "event_seasonality": _SEASONALITY_SQL,
     "inter_purchase_gaps": _INTER_PURCHASE_SQL,

@@ -126,3 +126,20 @@ def test_hourly_ewma_matches_bruteforce(spark, sf_dir):
 
             expect[(et, hour)] = (n, math.floor(num / den * 10_000 + 0.5) / 10_000.0)
     assert out == expect
+
+
+def test_monthly_spine_is_gapfree_and_conserves_orders(spark, sf_dir):
+    """Spine covers every month from min to max with no gaps; per-month
+    counts sum to the table total."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import timeseries
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    out = timeseries.monthly_order_spine(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    assert sum(r["n_orders"] for r in out) == orders.count()
+    months = [r["month"] for r in out]
+    assert months == sorted(months)
+    for a, b in zip(months, months[1:]):
+        assert (b.year - a.year) * 12 + (b.month - a.month) == 1
+        assert b.day == 1
