@@ -258,13 +258,125 @@ ORDER BY event_type, hour
 """
 
 
+# --- Theil–Sen robust trend --------------------------------------------------
+
+
+def daily_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Theil–Sen trend of daily spend: the MEDIAN of all pairwise
+    day-to-day slopes — the robust companion to `daily_value_trend`'s
+    least-squares slope (one outlier day can drag LS arbitrarily; the
+    slope median has a 29% breakdown point).
+
+    Exactness: each pairwise slope is an integer in 1e-4-cents/day units
+    ((Δsum_cents · 10⁴) intdiv Δdays — truncation-toward-zero division,
+    verified identical in Spark `div` and DuckDB `//`); the median comes
+    from the cell-CDF order-statistic pattern over (type, slope) counts.
+    No float enters until the final display division.
+
+    Scale (100 TB): the fact table collapses to |types|·|days| daily cells
+    first, so the pairwise stage is O(days²) per type — CALENDAR-bounded
+    (a year is ~66 k pairs), independent of row count. The same shape
+    holds for any cells-first robust estimator.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("v_e2"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v_e2").alias("s_e2"))
+    )
+    per_type = Window.partitionBy("event_type")
+    pts = daily.withColumn(
+        "x", F.datediff(F.col("day"), F.min("day").over(per_type)).cast("long")
+    ).select("event_type", "x", "s_e2")
+    a = pts.select("event_type", F.col("x").alias("xa"), F.col("s_e2").alias("ya"))
+    b = pts.select("event_type", F.col("x").alias("xb"), F.col("s_e2").alias("yb"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            F.expr("((yb - ya) * 10000) div (xb - xa)").alias("slope_e4"),
+        )
+        .groupBy("event_type", "slope_e4")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("slope_e4")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cdf = (
+        slopes.withColumn("n_pairs", F.sum("cnt").over(per_type))
+        .withColumn("running", F.sum("cnt").over(run))
+        .withColumn("k", F.expr("(50 * n_pairs + 99) div 100"))
+    )
+    med = with_cdf.groupBy("event_type").agg(
+        F.min(F.when(F.col("running") >= F.col("k"), F.col("slope_e4"))).alias("med_e4"),
+        F.min("n_pairs").alias("n_pairs"),
+    )
+    n_days = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        med.join(n_days, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            (F.col("med_e4").cast("double") / F.lit(1e6)).alias("theilsen_slope_per_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_THEILSEN_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS s_e2
+  FROM events
+  GROUP BY event_type, CAST(ts AS DATE)),
+pts AS (
+  SELECT event_type,
+         CAST(datediff('day', MIN(day) OVER (PARTITION BY event_type), day) AS BIGINT) AS x,
+         s_e2
+  FROM daily),
+slopes AS (
+  SELECT a.event_type, ((b.s_e2 - a.s_e2) * 10000) // (b.x - a.x) AS slope_e4,
+         COUNT(*) AS cnt
+  FROM pts a JOIN pts b ON a.event_type = b.event_type AND a.x < b.x
+  GROUP BY 1, 2),
+cdf AS (
+  SELECT *,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY slope_e4
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+  FROM slopes),
+med AS (
+  SELECT event_type,
+         MIN(CASE WHEN running >= (50 * n_pairs + 99) // 100 THEN slope_e4 END) AS med_e4,
+         MIN(n_pairs) AS n_pairs
+  FROM cdf GROUP BY event_type),
+nd AS (SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY event_type)
+SELECT m.event_type,
+       CAST(nd.n_days AS BIGINT) AS n_days,
+       CAST(m.n_pairs AS BIGINT) AS n_pairs,
+       CAST(m.med_e4 AS DOUBLE) / 1000000.0 AS theilsen_slope_per_day
+FROM med m JOIN nd USING (event_type)
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "cusum_alerts": cusum_alerts,
     "daily_value_trend": daily_value_trend,
+    "daily_trend_theilsen": daily_trend_theilsen,
     "seasonal_residual_outliers": seasonal_residual_outliers,
 }
 ORACLES = {
     "cusum_alerts": _CUSUM_SQL,
     "daily_value_trend": _TREND_SQL,
+    "daily_trend_theilsen": _THEILSEN_SQL,
     "seasonal_residual_outliers": _SEASONAL_OUTLIER_SQL,
 }

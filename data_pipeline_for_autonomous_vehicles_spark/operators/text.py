@@ -677,6 +677,73 @@ LIMIT {BPE_MERGE_TOP_K}
 """
 
 
+# --- vocabulary coverage (OOV rate) ------------------------------------------
+
+VOCAB_K = 1000
+
+
+def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus' own top-1000
+    token vocabulary — the tokenizer-coverage audit: a source whose OOV
+    share is high will fragment into subword soup (high fertility) under a
+    vocab trained on this corpus, which inflates its real token bill.
+
+    Determinism: the vocab cutoff orders by (count DESC, token ASC), so the
+    boundary is unambiguous in both engines. OOV share is integer
+    round-half-up.
+
+    Scale (100 TB): pass 1 is one token hash-agg (partial-aggregated);
+    the vocab is top-k — TakeOrderedAndProject, broadcast back (1000 rows);
+    pass 2 is a per-row map + broadcast hash lookup + per-source agg. No
+    data-sized shuffle carries token strings twice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(_tokens()).alias("token")
+    ).filter(F.length("token") >= 1)
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(VOCAB_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_share",
+            F.expr("(n_oov * 20000 + n_tokens) div (2 * n_tokens)").cast("double")
+            / F.lit(10000.0),
+        )
+        .orderBy("source")
+    )
+
+
+_OOV_SQL = f"""
+WITH toks AS (
+  SELECT source, token FROM (
+    SELECT source, unnest({_SQL_TOKENS}) AS token FROM documents) t
+  WHERE length(token) >= 1),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+    ORDER BY n DESC, token LIMIT {VOCAB_K}) v)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST((SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 20000 + COUNT(*))
+            // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS oov_share
+FROM toks t LEFT JOIN vocab v ON v.token = t.token
+GROUP BY source
+ORDER BY source
+"""
+
+
 # --- deterministic training shards ------------------------------------------
 
 N_SHARDS = 16
@@ -731,6 +798,7 @@ QUERIES = {
     "bpe_token_estimate": bpe_token_estimate,
     "bpe_merge_candidates": bpe_merge_candidates,
     "training_shards": training_shards,
+    "oov_rate_report": oov_rate_report,
     "doc_chunks": doc_chunks,
     "quality_scores": quality_scores,
     "lang_id": lang_id,
@@ -749,6 +817,7 @@ ORACLES = {
     "bpe_token_estimate": _BPE_SQL,
     "bpe_merge_candidates": _BPE_MERGE_SQL,
     "training_shards": _SHARDS_SQL,
+    "oov_rate_report": _OOV_SQL,
     "doc_chunks": _CHUNKS_SQL,
     "quality_scores": _QUALITY_SQL,
     "lang_id": _sql_lang_id(),

@@ -399,6 +399,76 @@ ORDER BY quartile
 """
 
 
+# --- native session_window stats ---------------------------------------------
+
+
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats via Spark's NATIVE `session_window` operator —
+    the engine-surface twin of the lag/cumsum islands in `user_sessions`
+    (same 30-min gap rule; this one exercises the built-in merging
+    aggregation, which is also the streaming sessionization primitive).
+    Emits per-user session count, the busiest session's event count, and
+    the longest session's span in seconds (exact ints).
+
+    Semantics note: `session_window(ts, g)` closes a session when the next
+    event is ≥ g after the previous (half-open [start, last+g)), so the
+    islands twin flags a new session at gap ≥ g — one `=` different from
+    `user_sessions`' strictly-greater rule, both pinned by their oracles.
+
+    Scale: one shuffle on user_id with merging session aggregation —
+    Spark's own implementation of the gaps-and-islands pass; state per
+    user is O(open sessions), which the gap bound keeps at 1.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_session = ev.groupBy(
+        "user_id", F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("span_s"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.max("span_s").alias("max_session_seconds"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SESSION_WINDOW_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR (FLOOR(epoch(ts)) - FLOOR(epoch(prev_ts))) >= {SESSION_GAP_MINUTES * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered),
+sids AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT) AS span_s
+  FROM sids GROUP BY user_id, session_id)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+       CAST(MAX(span_s) AS BIGINT) AS max_session_seconds
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 # --- event transition matrix (lag) ------------------------------------------
 
 
@@ -547,6 +617,7 @@ QUERIES = {
     "top_orders_per_priority": top_orders_per_priority,
     "supplier_weekly_revenue_ma": supplier_weekly_revenue_ma,
     "user_sessions": user_sessions,
+    "session_window_stats": session_window_stats,
     "user_value_running": user_value_running,
     "order_price_position": order_price_position,
 }
@@ -559,6 +630,7 @@ ORACLES = {
     "top_orders_per_priority": _TOP_ORDERS_SQL,
     "supplier_weekly_revenue_ma": _SUPPLIER_MA_SQL,
     "user_sessions": _SESSIONS_SQL,
+    "session_window_stats": _SESSION_WINDOW_SQL,
     "user_value_running": _RUNNING_SQL,
     "order_price_position": _PRICE_POSITION_SQL,
 }

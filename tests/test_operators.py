@@ -1072,3 +1072,86 @@ def test_source_centroid_similarity_bounds_and_symmetry_base(spark, sf_dir):
         assert -1.0 <= r["cosine"] <= 1.0
         seen.add((r["source_a"], r["source_b"]))
     assert len(seen) == len(out)
+
+
+def test_theilsen_matches_bruteforce(spark, sf_dir):
+    """Median-of-slopes matches a literal Python recomputation with the
+    same fixed-point truncation and lower-bound median."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import anomaly
+
+    out = {r["event_type"]: r for r in anomaly.daily_trend_theilsen(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
+    import math
+    from collections import defaultdict
+
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        daily[r["event_type"]][r["ts"].date()] += int(math.floor(r["value"] * 100.0 + 0.5))
+    for t, by_day in daily.items():
+        days = sorted(by_day)
+        x0 = days[0]
+        pts = [((d - x0).days, by_day[d]) for d in days]
+        slopes = []
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                dy = (pts[j][1] - pts[i][1]) * 10000
+                dx = pts[j][0] - pts[i][0]
+                q = abs(dy) // dx if dy >= 0 else -(abs(dy) // dx)  # trunc toward 0
+                slopes.append(q)
+        slopes.sort()
+        k = (50 * len(slopes) + 99) // 100
+        med = slopes[k - 1]
+        r = out[t]
+        assert r["n_days"] == len(days)
+        assert r["n_pairs"] == len(slopes)
+        assert abs(r["theilsen_slope_per_day"] - med / 1e6) < 1e-12
+
+
+def test_session_window_native_equals_islands(spark, sf_dir):
+    """The native session_window operator and a lag/cumsum islands
+    recomputation (gap ≥ 30 min starts a session) agree exactly."""
+    out = {r["user_id"]: r for r in windows.session_window_stats(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id").collect()
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"]))
+    gap = windows.SESSION_GAP_MINUTES * 60
+    for u, rows in by_user.items():
+        rows.sort()
+        sessions = []
+        for ts, _ in rows:
+            if sessions and (ts - sessions[-1][-1]).total_seconds() < gap:
+                sessions[-1].append(ts)
+            else:
+                sessions.append([ts])
+        r = out[u]
+        assert r["n_sessions"] == len(sessions)
+        assert r["max_session_events"] == max(len(s) for s in sessions)
+        # the operator spans floor-to-second timestamps (unix_timestamp)
+        assert r["max_session_seconds"] == max(
+            int(
+                (
+                    s[-1].replace(microsecond=0) - s[0].replace(microsecond=0)
+                ).total_seconds()
+            )
+            for s in sessions
+        )
+
+
+def test_oov_share_consistent(spark, sf_dir):
+    """OOV counts are bounded by totals; the corpus-wide vocab covers the
+    most frequent tokens (top token is never OOV anywhere)."""
+    out = text.oov_rate_report(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert 0.0 <= r["oov_share"] <= 1.0
+    docs = load_table(spark, sf_dir, "documents")
+    total_tokens = (
+        docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"))
+        .filter(F.length("t") >= 1)
+        .count()
+    )
+    assert sum(r["n_tokens"] for r in out) == total_tokens
