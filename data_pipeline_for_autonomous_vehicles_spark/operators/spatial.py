@@ -174,12 +174,94 @@ ORDER BY n_nearby
 """
 
 
+# --- density clustering (grid-DBSCAN, eps-connectivity) ---------------------
+
+
+def spatial_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size report of eps-connectivity clusters over the vehicle
+    positions: vehicles within 3 km are density-connected; clusters are the
+    connected components of that graph (DBSCAN with minPts ≤ 2 — every
+    in-range point is core, so border/noise distinctions vanish and the
+    result is exact single-linkage at radius eps). Cluster id = min
+    vehicle_id in the component.
+
+    Scale (100 TB trajectory stores): edge generation is the SAME 3×3
+    grid-cell equi-join as `nearby_vehicle_pairs` — O(n·density), never
+    O(n²) — and the component pass is the shared min-label-propagation
+    loop (`dedup.connected_components`: one join + agg per round, lineage
+    truncated per iteration). The oracle twin is brute-force O(n²) +
+    recursive CTE, so the check proves bucketed+iterative == naive.
+    """
+    from .dedup import connected_components
+
+    pos = vehicle_positions(spark, sf_dir).cache()
+    cell_x = F.floor(F.col("lat") / F.lit(CELL_LAT_DEG)).cast("long")
+    cell_y = F.floor(F.col("lon") / F.lit(CELL_LON_DEG)).cast("long")
+    right = pos.select(
+        F.col("vehicle_id").alias("other_id"),
+        F.col("lat").alias("other_lat"),
+        F.col("lon").alias("other_lon"),
+        cell_x.alias("cx"),
+        cell_y.alias("cy"),
+    )
+    left = (
+        pos.withColumn("cx0", cell_x)
+        .withColumn("cy0", cell_y)
+        .withColumn("dx", F.expr("explode(sequence(-1, 1))"))
+        .withColumn("dy", F.expr("explode(sequence(-1, 1))"))
+        .select(
+            "vehicle_id",
+            "lat",
+            "lon",
+            (F.col("cx0") + F.col("dx")).alias("cx"),
+            (F.col("cy0") + F.col("dy")).alias("cy"),
+        )
+    )
+    dist = _dist_m(F.col("lat"), F.col("lon"), F.col("other_lat"), F.col("other_lon"))
+    edges = (
+        left.join(right, ["cx", "cy"])
+        .filter(F.col("vehicle_id") < F.col("other_id"))
+        .filter(dist <= F.lit(RADIUS_M))
+        .select(F.col("vehicle_id").alias("a"), F.col("other_id").alias("b"))
+        .distinct()
+    )
+    nodes = pos.select(F.col("vehicle_id").alias("node"))
+    labels = connected_components(edges, nodes)
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("cluster_id")
+    )
+
+
+_SPATIAL_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+pos AS ({_POSITIONS_SQL}),
+edges AS (
+  SELECT a.vehicle_id AS a, b.vehicle_id AS b
+  FROM pos a JOIN pos b ON a.vehicle_id < b.vehicle_id
+  WHERE SQRT(POW((a.lat - b.lat) * {M_PER_DEG_LAT}, 2)
+           + POW((a.lon - b.lon) * {M_PER_DEG_LAT} * {LON_SCALE}, 2)) <= {RADIUS_M}),
+reach(node, root) AS (
+  SELECT vehicle_id, vehicle_id FROM pos
+  UNION
+  SELECT CASE WHEN r.node = e.a THEN e.b ELSE e.a END, r.root
+  FROM reach r JOIN edges e ON r.node = e.a OR r.node = e.b)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_points
+FROM (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node) labels
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
 QUERIES = {
     "nearby_vehicle_pairs": nearby_vehicle_pairs,
     "nearby_pair_counts": nearby_pair_counts,
+    "spatial_clusters": spatial_clusters,
 }
 
 ORACLES = {
     "nearby_vehicle_pairs": _NEARBY_SQL,
     "nearby_pair_counts": _NEARBY_COUNTS_SQL,
+    "spatial_clusters": _SPATIAL_CLUSTERS_SQL,
 }

@@ -531,3 +531,28 @@ def test_mad_outliers_windows_partitioned_by_type(spark, sf_dir):
     df = quality.value_mad_outliers(spark, sf_dir)
     assert plans.unpartitioned_windows(df) == []
     assert not plans.uses_cartesian_product(df)
+
+
+def test_session3b_ops_scale_shapes(spark, sf_dir):
+    # theilsen: pairwise stage joins daily CELLS (equi-join on type), never
+    # the fact table, and its windows are type-partitioned; session_window:
+    # native merging agg, no join at all; oov: broadcast vocab lookup, no
+    # cartesian; spine: recursion is calendar-bounded, no cartesian
+    from data_pipeline_for_autonomous_vehicles_spark.operators import (
+        anomaly,
+        text,
+        timeseries,
+        windows as win_ops,
+    )
+
+    ts_df = anomaly.daily_trend_theilsen(spark, sf_dir)
+    assert not plans.uses_cartesian_product(ts_df)
+    assert plans.unpartitioned_windows(ts_df) == []
+
+    sw = win_ops.session_window_stats(spark, sf_dir)
+    assert "Join" not in plans.plan_text(sw)
+    assert plans.unpartitioned_windows(sw) == []
+
+    for fn in (text.oov_rate_report, timeseries.monthly_order_spine):
+        df = fn(spark, sf_dir)
+        assert not plans.uses_cartesian_product(df), fn.__name__

@@ -77,3 +77,36 @@ def test_positions_one_row_per_vehicle(spark, sf_dir):
     for r in pos.collect():
         assert 37.0 <= r["lat"] <= 37.5
         assert -122.5 <= r["lon"] <= -121.8
+
+
+def test_spatial_clusters_partition_and_edge_consistency(spark, sf_dir):
+    """Clusters partition the fleet; any two vehicles within eps share a
+    cluster; cluster ids are member minima."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import spatial
+    import math
+
+    out = spatial.spatial_clusters(spark, sf_dir).collect()
+    pos = {r["vehicle_id"]: (r["lat"], r["lon"]) for r in spatial.vehicle_positions(spark, sf_dir).collect()}
+    assert sum(r["n_points"] for r in out) == len(pos)
+    # brute-force union-find recomputation
+    parent = {v: v for v in pos}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(pos)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            dlat = (pos[a][0] - pos[b][0]) * spatial.M_PER_DEG_LAT
+            dlon = (pos[a][1] - pos[b][1]) * spatial.M_PER_DEG_LAT * spatial.LON_SCALE
+            if math.sqrt(dlat * dlat + dlon * dlon) <= spatial.RADIUS_M:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    from collections import Counter
+
+    sizes = Counter(find(v) for v in pos)
+    assert {(r["cluster_id"], r["n_points"]) for r in out} == set(sizes.items())
