@@ -702,6 +702,134 @@ ORDER BY c.event_type, c.hour
 """
 
 
+# --- interval concurrency (sweep line over bounded cells) --------------------
+
+_CONC_GAP_MIN = 30
+
+
+def daily_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of simultaneously-active user sessions per day, with the
+    earliest second (offset into the day) the peak is reached — the
+    capacity-planning readout (max concurrent connections / vehicles /
+    streams) computed as an exact sweep line.
+
+    Sessions come from the native session_window (30-min gap, floor-to-
+    second bounds, inclusive [start, end]); each session splits into ≤
+    (days spanned) day segments; every segment contributes +1 at its start
+    second and −1 after its end. The sweep is a running sum — but over
+    (day, second) DELTA CELLS, not raw boundaries: cells are capped at
+    86 401 per day no matter how many sessions the day holds, so the
+    per-day ordered window never sees a data-sized partition (same
+    cell-frame trick as `value_winsorized_stats` / `cusum_alerts`).
+
+    Tie semantics: a session ending at second t and another starting at t
+    overlap (inclusive end), matching the intuitive "both were active at
+    t". All arithmetic is integer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy("user_id", F.session_window("ts", f"{_CONC_GAP_MIN} minutes")).agg(
+        F.unix_timestamp(F.min("ts")).alias("start_s"),
+        F.unix_timestamp(F.max("ts")).alias("end_s"),
+    )
+    # day arithmetic stays on epoch integers (day = epoch div 86400) — no
+    # timestamp/timezone round-trip to diverge between engines
+    seg = (
+        sess.withColumn(
+            "di",
+            F.explode(
+                F.sequence(
+                    F.expr("start_s div 86400"), F.expr("end_s div 86400")
+                )
+            ),
+        )
+        .withColumn("day", F.date_add(F.to_date(F.lit("1970-01-01")), F.col("di").cast("int")))
+        .withColumn("day_start", F.col("di") * F.lit(86400))
+    )
+    starts = seg.select(
+        "day",
+        (F.greatest(F.col("start_s"), F.col("day_start")) - F.col("day_start")).alias("sec"),
+        F.lit(1).alias("delta"),
+    )
+    ends = seg.select(
+        "day",
+        (
+            F.least(F.col("end_s"), F.col("day_start") + F.lit(86399))
+            - F.col("day_start")
+            + F.lit(1)
+        ).alias("sec"),
+        F.lit(-1).alias("delta"),
+    )
+    cells = starts.unionByName(ends).groupBy("day", "sec").agg(
+        F.sum("delta").alias("net")
+    )
+    per_day = Window.partitionBy("day")
+    run = (
+        Window.partitionBy("day")
+        .orderBy("sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = cells.withColumn("conc", F.sum("net").over(run)).withColumn(
+        "peak", F.max("conc").over(per_day)
+    )
+    return (
+        swept.filter(F.col("conc") == F.col("peak"))
+        .groupBy("day")
+        .agg(
+            F.min("peak").cast("long").alias("peak_concurrent"),
+            F.min("sec").cast("long").alias("at_second"),
+        )
+        .orderBy("day")
+    )
+
+
+_PEAK_CONC_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR (FLOOR(epoch(ts)) - FLOOR(epoch(prev_ts))) >= {_CONC_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered),
+sids AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged),
+sess AS (
+  SELECT user_id, session_id,
+         CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_s,
+         CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS end_s
+  FROM sids GROUP BY user_id, session_id),
+seg AS (
+  SELECT DATE '1970-01-01' + CAST(di AS INTEGER) AS day,
+         di * 86400 AS day_start,
+         start_s, end_s
+  FROM sess,
+       LATERAL unnest(range(start_s // 86400, end_s // 86400 + 1)) AS t(di)),
+deltas AS (
+  SELECT day, GREATEST(start_s, day_start) - day_start AS sec, 1 AS delta FROM seg
+  UNION ALL
+  SELECT day, LEAST(end_s, day_start + 86399) - day_start + 1 AS sec, -1 AS delta FROM seg),
+cells AS (SELECT day, sec, SUM(delta) AS net FROM deltas GROUP BY day, sec),
+swept AS (
+  SELECT day, sec,
+         SUM(net) OVER (PARTITION BY day ORDER BY sec
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM cells),
+peaks AS (
+  SELECT day, sec, conc, MAX(conc) OVER (PARTITION BY day) AS peak FROM swept)
+SELECT day,
+       CAST(MIN(peak) AS BIGINT) AS peak_concurrent,
+       CAST(MIN(sec) AS BIGINT) AS at_second
+FROM peaks WHERE conc = peak
+GROUP BY day
+ORDER BY day
+"""
+
+
 # --- recursive-CTE month spine ----------------------------------------------
 
 
@@ -755,6 +883,7 @@ ORDER BY month
 
 
 QUERIES = {
+    "daily_peak_concurrency": daily_peak_concurrency,
     "monthly_order_spine": monthly_order_spine,
     "hourly_event_ewma": hourly_event_ewma,
     "event_seasonality": event_seasonality,
@@ -771,6 +900,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "daily_peak_concurrency": _PEAK_CONC_SQL,
     "monthly_order_spine": _MONTH_SPINE_SQL,
     "hourly_event_ewma": _EWMA_SQL,
     "event_seasonality": _SEASONALITY_SQL,

@@ -143,3 +143,49 @@ def test_monthly_spine_is_gapfree_and_conserves_orders(spark, sf_dir):
     for a, b in zip(months, months[1:]):
         assert (b.year - a.year) * 12 + (b.month - a.month) == 1
         assert b.day == 1
+
+
+def test_peak_concurrency_matches_bruteforce(spark, sf_dir):
+    """Per-day peak equals a literal per-second recount of overlapping
+    sessions (inclusive ends, 30-min gap sessions, floor-to-second)."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import timeseries
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from collections import defaultdict
+
+    out = {r["day"]: r for r in timeseries.daily_peak_concurrency(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"].replace(microsecond=0), r["event_id"]))
+    gap = timeseries._CONC_GAP_MIN * 60
+    sessions = []
+    for u, rows in by_user.items():
+        rows.sort()
+        cur = [rows[0][0], rows[0][0]]
+        for ts, _ in rows[1:]:
+            if (ts - cur[1]).total_seconds() < gap:
+                cur[1] = ts
+            else:
+                sessions.append(tuple(cur))
+                cur = [ts, ts]
+        sessions.append(tuple(cur))
+    import datetime as dt
+
+    epoch = dt.datetime(1970, 1, 1)
+    deltas = defaultdict(lambda: defaultdict(int))
+    for s, e in sessions:
+        ss, es = int((s - epoch).total_seconds()), int((e - epoch).total_seconds())
+        for di in range(ss // 86400, es // 86400 + 1):
+            d0 = di * 86400
+            deltas[di][max(ss, d0) - d0] += 1
+            deltas[di][min(es, d0 + 86399) - d0 + 1] -= 1
+    for di, cells in deltas.items():
+        run, best, best_sec = 0, -1, None
+        for sec in sorted(cells):
+            run += cells[sec]
+            if run > best:
+                best, best_sec = run, sec
+        day = (epoch + dt.timedelta(days=di)).date()
+        assert out[day]["peak_concurrent"] == best
+        assert out[day]["at_second"] == best_sec
+    assert set(out) == {(epoch + dt.timedelta(days=di)).date() for di in deltas}
