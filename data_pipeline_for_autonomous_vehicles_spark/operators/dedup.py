@@ -816,9 +816,12 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
 
     The loop is DRIVER CONTROL FLOW ONLY — per round one join + one
     aggregate, all data-parallel; the driver sees a single `changed` count.
-    Each round's result is cached and the previous round unpersisted, so
-    lineage stays O(1) per round instead of O(rounds) (iterative-algorithm
-    hygiene; at larger scale swap cache for localCheckpoint).
+    Each round's labels are `localCheckpoint`ed (eager), which truncates
+    BOTH lineage and the logical plan: with plain cache() the plan tree
+    still nests one join level per round, and a large-diameter graph
+    (found: the sf0.1 spatial proximity graph, ~30 rounds) blows the
+    driver heap just *printing* the plan. Same hygiene as PageRank's
+    per-iteration checkpoint (graph.py).
 
     edges: (a, b) undirected; nodes: (node) — superset of edge endpoints
     (isolated nodes become singleton clusters).
@@ -826,7 +829,7 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    labels = nodes.select("node", F.col("node").alias("label")).cache()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
     for _ in range(CC_MAX_ITER):
         nbr_min = (
             sym.join(labels, sym.src == labels.node)
@@ -834,15 +837,29 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
             .groupBy("node")
             .agg(F.min("label").alias("nbr_label"))
         )
+        propagated = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping (path compression): each node also adopts its
+        # label's label. Plain 1-hop propagation needs diameter rounds — a
+        # 1500-node proximity graph at sf0.1 has diameter > 25 and silently
+        # hit CC_MAX_ITER unconverged (caught by the sf0.1 oracle sweep);
+        # with the jump, chains halve every round → O(log diameter).
+        lookup = propagated.select(
+            F.col("node").alias("label"), F.col("label").alias("label2")
+        )
         new_labels = (
-            labels.join(nbr_min, "node", "left")
+            propagated.join(lookup, "label", "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("label2"), F.col("label"))
                 ).alias("label"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -850,7 +867,6 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

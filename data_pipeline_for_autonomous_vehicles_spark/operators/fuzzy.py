@@ -121,12 +121,93 @@ ORDER BY canonical
 """
 
 
+# --- blocking-key quality audit ----------------------------------------------
+
+# recall audit runs brute-force O(n²) on a 10%-of-names deterministic
+# sample (hash bucket < 10 of 100) — n²/100 comparisons, bounded enough to
+# run at any tested SF while still estimating recall tightly
+RECALL_SAMPLE_PCT = 10
+
+
+def fuzzy_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit of the last-token blocking key: on a deterministic 10%
+    sample of the distinct-name dictionary, compare ALL true fuzzy pairs
+    (levenshtein ≤ 4, brute force) against the pairs the blocking key would
+    generate (same last token). `recall_share` is the fraction of true
+    matches blocking keeps — the number that justifies (or indicts) the
+    blocking key before trusting `fuzzy_name_pairs` at scale. Same
+    estimator-audit pattern as `minhash_estimate_audit` / `cms_token_counts`.
+
+    Scale: the quadratic stage is sample²/10⁴ of the dictionary (itself
+    vocabulary-bounded); the audit's cost knob is RECALL_SAMPLE_PCT, and
+    membership is hash-deterministic so reruns are comparable.
+    """
+    from ..functions.scalars import portable_hash
+
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.select("p_name")
+        .distinct()
+        .filter(portable_hash(F.col("p_name")) % 100 < RECALL_SAMPLE_PCT)
+        .withColumn("block", F.element_at(F.split(F.col("p_name"), " "), -1))
+        .cache()
+    )
+    a = names.select(F.col("p_name").alias("name_a"), F.col("block").alias("block_a"))
+    b = names.select(F.col("p_name").alias("name_b"), F.col("block").alias("block_b"))
+    true_pairs = (
+        a.crossJoin(b)
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= MAX_EDIT_DISTANCE)
+        .select((F.col("block_a") == F.col("block_b")).cast("long").alias("same_block"))
+    )
+    n_names = names.count()
+    return (
+        true_pairs.agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum("same_block").alias("n_found_by_blocking"),
+        )
+        .withColumn("n_names_sampled", F.lit(n_names).cast("long"))
+        .withColumn(
+            "recall_share",
+            F.expr(
+                "(n_found_by_blocking * 20000 + n_true_pairs) div (2 * n_true_pairs)"
+            ).cast("double")
+            / F.lit(10000.0),
+        )
+        .select("n_names_sampled", "n_true_pairs", "n_found_by_blocking", "recall_share")
+    )
+
+
+def _sql_blocking_recall() -> str:
+    from ..functions.scalars import sql_portable_hash
+
+    h = sql_portable_hash("p_name")
+    return f"""
+WITH names AS (
+  SELECT p_name, string_split(p_name, ' ')[-1] AS block
+  FROM (SELECT DISTINCT p_name FROM part) d
+  WHERE {h} % 100 < {RECALL_SAMPLE_PCT}),
+true_pairs AS (
+  SELECT CASE WHEN a.block = b.block THEN 1 ELSE 0 END AS same_block
+  FROM names a JOIN names b ON a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= {MAX_EDIT_DISTANCE})
+SELECT CAST((SELECT COUNT(*) FROM names) AS BIGINT) AS n_names_sampled,
+       CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(SUM(same_block) AS BIGINT) AS n_found_by_blocking,
+       CAST((SUM(same_block) * 20000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000.0
+         AS recall_share
+FROM true_pairs
+"""
+
+
 QUERIES = {
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "fuzzy_match_groups": fuzzy_match_groups,
+    "fuzzy_blocking_recall": fuzzy_blocking_recall,
 }
 
 ORACLES = {
     "fuzzy_name_pairs": _FUZZY_PAIRS_SQL,
     "fuzzy_match_groups": _FUZZY_GROUPS_SQL,
+    "fuzzy_blocking_recall": _sql_blocking_recall(),
 }

@@ -16,7 +16,7 @@ sketches) are engine-specific by design → rows-only checks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1077,7 +1077,128 @@ ORDER BY c_nationkey
 """
 
 
+# --- revenue concentration (Pareto 80/20) ------------------------------------
+
+PARETO_PCT = 80
+# $100 spend buckets: the concentration curve is computed on bounded cells
+# (max spend / $100), never on per-customer rows — a per-region window over
+# raw spends would be the single-partition-window anti-pattern at scale
+PARETO_BUCKET_E2 = 10_000
+
+
+def region_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region revenue concentration: how many top customers (counted at
+    $100 spend-bucket granularity) cover ≥80% of the region's order
+    revenue, with the spend threshold that cut achieves — the 80/20 report
+    behind key-account planning and the skew early-warning for
+    customer-keyed joins.
+
+    Exactness: spends are int64 cents; the descending CDF runs over
+    (region, $100-bucket) cells; the 80% test cross-multiplies integers
+    (running·10 ≥ 8·total). Bucket granularity is part of the contract
+    (documented, identical in the oracle): all customers in the boundary
+    bucket are included, so `top80_share` ≥ 0.80 exactly.
+
+    Scale: cells per region ≤ max_spend/$100 — domain-bounded, not
+    row-bounded; everything else is broadcast dims and one fact shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    with_region = (
+        spend.join(F.broadcast(customer), spend.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("r_name").alias("region"), "cents")
+    )
+    cells = (
+        with_region.withColumn("b", F.expr(f"cents div {PARETO_BUCKET_E2}"))
+        .groupBy("region", "b")
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("sum_cents"))
+    )
+    per_region = Window.partitionBy("region")
+    run = (
+        Window.partitionBy("region")
+        .orderBy(F.desc("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = (
+        cells.withColumn("total_cents", F.sum("sum_cents").over(per_region))
+        .withColumn("total_cust", F.sum("n_cust").over(per_region))
+        .withColumn("run_cents", F.sum("sum_cents").over(run))
+        .withColumn("run_cust", F.sum("n_cust").over(run))
+        .withColumn(
+            "qual", F.col("run_cents") * F.lit(10) >= F.lit(PARETO_PCT // 10) * F.col("total_cents")
+        )
+    )
+    return (
+        cdf.groupBy("region")
+        .agg(
+            F.min("total_cust").alias("n_customers"),
+            (F.min("total_cents").cast("double") / F.lit(100.0)).alias("revenue_total"),
+            F.min(F.when(F.col("qual"), F.col("run_cust"))).alias("n_top80"),
+            (
+                F.max(F.when(F.col("qual"), F.col("b"))) * F.lit(PARETO_BUCKET_E2 // 100)
+            ).cast("double").alias("threshold_spend"),
+            (
+                F.expr(
+                    "(min(CASE WHEN qual THEN run_cents END) * 20000 + min(total_cents))"
+                    " div (2 * min(total_cents))"
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("top80_share"),
+        )
+        .orderBy("region")
+    )
+
+
+_PARETO_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey),
+with_region AS (
+  SELECT r.r_name AS region, s.cents
+  FROM spend s
+  JOIN customer c ON c.c_custkey = s.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey),
+cells AS (
+  SELECT region, cents // {PARETO_BUCKET_E2} AS b,
+         COUNT(*) AS n_cust, SUM(cents) AS sum_cents
+  FROM with_region GROUP BY 1, 2),
+cdf AS (
+  SELECT *,
+         SUM(sum_cents) OVER (PARTITION BY region) AS total_cents,
+         SUM(n_cust) OVER (PARTITION BY region) AS total_cust,
+         SUM(sum_cents) OVER (PARTITION BY region ORDER BY b DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents,
+         SUM(n_cust) OVER (PARTITION BY region ORDER BY b DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cust
+  FROM cells),
+q AS (SELECT *, run_cents * 10 >= {PARETO_PCT // 10} * total_cents AS qual FROM cdf)
+SELECT region,
+       CAST(MIN(total_cust) AS BIGINT) AS n_customers,
+       CAST(MIN(total_cents) AS DOUBLE) / 100.0 AS revenue_total,
+       CAST(MIN(CASE WHEN qual THEN run_cust END) AS BIGINT) AS n_top80,
+       CAST(MAX(CASE WHEN qual THEN b END) * {PARETO_BUCKET_E2 // 100} AS DOUBLE)
+         AS threshold_spend,
+       CAST((MIN(CASE WHEN qual THEN run_cents END) * 20000 + MIN(total_cents))
+            // (2 * MIN(total_cents)) AS DOUBLE) / 10000.0 AS top80_share
+FROM q
+GROUP BY region
+ORDER BY region
+"""
+
+
 QUERIES = {
+    "region_revenue_pareto": region_revenue_pareto,
     "value_outliers": value_outliers,
     "conversion_lift_by_nation": conversion_lift_by_nation,
     "event_cooccurrence": event_cooccurrence,
@@ -1104,6 +1225,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "region_revenue_pareto": _PARETO_SQL,
     "value_outliers": _OUTLIERS_SQL,
     "conversion_lift_by_nation": _CONVERSION_LIFT_SQL,
     "event_cooccurrence": _COOCCUR_SQL,

@@ -830,6 +830,63 @@ ORDER BY day
 """
 
 
+# --- year-over-year growth ---------------------------------------------------
+
+
+def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with the same-month-last-year comparison and growth
+    ratio — the standard BI YoY readout. Computed as a self-join of the
+    monthly cells on (month = month+12) rather than a lag window: the cell
+    frame is calendar-bounded, the join is a broadcast-sized equi-join, and
+    no global ordering is ever materialized.
+
+    Revenue sums are exact int64 cents; the growth ratio divides two exact
+    integers (one IEEE division + rounding, identical both engines).
+    Months with no prior-year counterpart report NULLs — visible, not
+    dropped.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.trunc("o_orderdate", "MM").alias("month")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    prev = monthly.select(
+        F.add_months("month", 12).alias("month"), F.col("cents").alias("prev_cents")
+    )
+    growth = round_half_up(
+        F.col("cents").cast("double") / F.col("prev_cents").cast("double") - F.lit(1.0),
+        4,
+    )
+    return (
+        monthly.join(prev, "month", "left")
+        .select(
+            "month",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+            (F.col("prev_cents").cast("double") / F.lit(100.0)).alias("revenue_prev_year"),
+            F.when(F.col("prev_cents").isNotNull(), growth).alias("yoy_growth"),
+        )
+        .orderBy("month")
+    )
+
+
+_YOY_SQL = f"""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1)
+SELECT m.month,
+       CAST(m.cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(p.cents AS DOUBLE) / 100.0 AS revenue_prev_year,
+       CASE WHEN p.cents IS NOT NULL THEN
+         {sql_round_half_up("CAST(m.cents AS DOUBLE) / CAST(p.cents AS DOUBLE) - 1.0", 4)}
+       END AS yoy_growth
+FROM monthly m
+LEFT JOIN monthly p ON CAST(p.month + INTERVAL 12 MONTH AS DATE) = m.month
+ORDER BY m.month
+"""
+
+
 # --- recursive-CTE month spine ----------------------------------------------
 
 
@@ -885,6 +942,7 @@ ORDER BY month
 QUERIES = {
     "daily_peak_concurrency": daily_peak_concurrency,
     "monthly_order_spine": monthly_order_spine,
+    "orders_monthly_yoy": orders_monthly_yoy,
     "hourly_event_ewma": hourly_event_ewma,
     "event_seasonality": event_seasonality,
     "inter_purchase_gaps": inter_purchase_gaps,
@@ -902,6 +960,7 @@ QUERIES = {
 ORACLES = {
     "daily_peak_concurrency": _PEAK_CONC_SQL,
     "monthly_order_spine": _MONTH_SPINE_SQL,
+    "orders_monthly_yoy": _YOY_SQL,
     "hourly_event_ewma": _EWMA_SQL,
     "event_seasonality": _SEASONALITY_SQL,
     "inter_purchase_gaps": _INTER_PURCHASE_SQL,

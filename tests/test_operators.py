@@ -1155,3 +1155,48 @@ def test_oov_share_consistent(spark, sf_dir):
         .count()
     )
     assert sum(r["n_tokens"] for r in out) == total_tokens
+
+
+def test_blocking_recall_bounds(spark, sf_dir):
+    """Blocking can only lose pairs (found ≤ true) and the share is the
+    integer-rounded ratio."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import fuzzy
+
+    r = fuzzy.fuzzy_blocking_recall(spark, sf_dir).collect()[0]
+    assert 0 < r["n_names_sampled"]
+    assert 0 <= r["n_found_by_blocking"] <= r["n_true_pairs"]
+    assert 0.0 <= r["recall_share"] <= 1.0
+
+
+def test_pareto_invariants(spark, sf_dir):
+    """Concentration report: top set is non-empty, bounded by the customer
+    count, achieves ≥ the target share, and revenue matches the orders
+    table exactly."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import olap
+    import math
+
+    out = olap.region_revenue_pareto(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice").collect()
+    total_cents = sum(int(math.floor(r["o_totalprice"] * 100.0 + 0.5)) for r in orders)
+    assert abs(sum(r["revenue_total"] for r in out) * 100 - total_cents) < 0.5 * len(out) + 1
+    for r in out:
+        assert 1 <= r["n_top80"] <= r["n_customers"]
+        assert r["top80_share"] >= 0.80
+        assert r["threshold_spend"] >= 0.0
+
+
+def test_yoy_growth_consistent(spark, sf_dir):
+    """Growth column equals the ratio of the two reported revenues; months
+    without a prior year are NULL, not dropped."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import timeseries
+
+    out = timeseries.orders_monthly_yoy(spark, sf_dir).collect()
+    months = {r["month"] for r in out}
+    for r in out:
+        prev_m = r["month"].replace(year=r["month"].year - 1)
+        if prev_m in months:
+            assert r["revenue_prev_year"] is not None
+            expect = r["revenue"] / r["revenue_prev_year"] - 1.0
+            assert abs(r["yoy_growth"] - expect) < 1.01e-4
+        else:
+            assert r["revenue_prev_year"] is None and r["yoy_growth"] is None
