@@ -556,3 +556,21 @@ def test_session3b_ops_scale_shapes(spark, sf_dir):
     for fn in (text.oov_rate_report, timeseries.monthly_order_spine):
         df = fn(spark, sf_dir)
         assert not plans.uses_cartesian_product(df), fn.__name__
+
+
+def test_registry_wide_no_cartesian_no_unpartitioned_windows(spark, sf_dir):
+    """Every registered query — the full driver surface — must compile
+    without a CartesianProduct and without any unpartitioned (global-sort)
+    window. This is the blanket version of the targeted assertions above:
+    a new operator that reintroduces either scale cliff fails here without
+    needing its own plan test."""
+    import __spark_entry__ as entrymod
+
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        if plans.uses_cartesian_product(df):
+            offenders.append((name, "cartesian"))
+        if plans.unpartitioned_windows(df):
+            offenders.append((name, "unpartitioned window"))
+    assert offenders == []
