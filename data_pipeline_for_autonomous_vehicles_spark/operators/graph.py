@@ -171,7 +171,8 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the part co-purchase graph: nodes = parts, an edge
     joins two parts bought in the same order, a triangle = three mutually
     co-purchased parts (the motif behind "frequently bought together"
-    bundles). Exact count via the id-oriented 3-way edge join — every edge
+    bundles; `copurchase_degree_distribution` is the shared edge list's
+    degree histogram). Exact count via the id-oriented 3-way edge join — every edge
     stored once as (p1 < p2), every triangle (a < b < c) counted once.
 
     Scale notes: the per-order pair expansion is O(k²) in basket size k —
@@ -276,7 +277,75 @@ SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
 """
 
 
+# --- degree distribution ------------------------------------------------------
+
+
+def copurchase_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-binned degree histogram of the part co-purchase graph — the
+    first thing a graph engineer checks: a heavy power-law tail means hub
+    vertices will dominate any wedge/join step (it is the measurement that
+    justifies `copurchase_triangle_count`'s degree orientation and the
+    salting/cap machinery). Bin = floor(log₂ deg) computed in pure integer
+    arithmetic (bit length via repeated comparison is overkill — deg div
+    2^k tests over ≤ 40 bins), reported with exact min/max/total degree.
+
+    Scale: the edge list collapses to (node, degree) in one agg; the
+    histogram key is ≤ log₂(max-degree) bins. Everything after the
+    per-order pair expansion is sub-linear.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+    )
+    nodes = edges.select(F.col("p1").alias("p")).unionByName(
+        edges.select(F.col("p2").alias("p"))
+    )
+    deg = nodes.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
+    # floor(log2) as integer bit-length — IEEE log2 can sit 1 ulp either
+    # side of an exact power of two and flip the floor between engines
+    bin_col = (F.length(F.bin(F.col("deg"))) - F.lit(1)).cast("long")
+    return (
+        deg.select("deg", bin_col.alias("deg_bin"))
+        .groupBy("deg_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+            F.sum("deg").alias("sum_deg"),
+        )
+        .orderBy("deg_bin")
+    )
+
+
+_DEGREE_DIST_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+nodes AS (SELECT p1 AS p FROM edges UNION ALL SELECT p2 FROM edges),
+deg AS (SELECT p, COUNT(*) AS deg FROM nodes GROUP BY p)
+SELECT CAST(length(printf('%b', deg)) - 1 AS BIGINT) AS deg_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(deg) AS BIGINT) AS min_deg,
+       CAST(MAX(deg) AS BIGINT) AS max_deg,
+       CAST(SUM(deg) AS BIGINT) AS sum_deg
+FROM deg
+GROUP BY 1
+ORDER BY deg_bin
+"""
+
+
 QUERIES = {
+    "copurchase_degree_distribution": copurchase_degree_distribution,
     "pagerank_top_nodes": pagerank_top_nodes,
     "copurchase_triangle_count": copurchase_triangle_count,
 }
@@ -284,4 +353,5 @@ QUERIES = {
 ORACLES = {
     "pagerank_top_nodes": _sql_pagerank(),
     "copurchase_triangle_count": _TRIANGLE_SQL,
+    "copurchase_degree_distribution": _DEGREE_DIST_SQL,
 }

@@ -1077,6 +1077,110 @@ ORDER BY c_nationkey
 """
 
 
+# --- RFM segmentation --------------------------------------------------------
+
+_RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation rollup: every
+    customer scored 1–5 on each axis by quintile boundaries over the
+    per-customer aggregates (5 = most recent / most orders / most spend),
+    then counted per (r, f, m) cell — the classic CRM segmentation, ≤125
+    output cells.
+
+    Scale shape: same two-pass boundary/broadcast pattern as
+    `customer_spend_deciles` — per-customer aggregate (one fact shuffle),
+    12 quantile scalars on that aggregate, broadcast compare to assign
+    scores, bounded-key rollup. No window anywhere. The as-of date is the
+    corpus max order date, computed in-plan as a broadcast scalar
+    (fleet_summary's J2 pattern), so the query stays deterministic with no
+    wall-clock dependence.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    asof = orders.agg(F.max("o_orderdate").alias("asof"))
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+            ).alias("cents"),
+        )
+        .crossJoin(F.broadcast(asof))
+        .withColumn("rec", F.datediff(F.col("asof"), F.col("last_d")).cast("long"))
+    )
+    bounds = rfm.agg(
+        *[F.percentile(F.col("rec"), F.lit(q)).alias(f"br{int(q * 10)}") for q in _RFM_QS],
+        *[F.percentile(F.col("freq"), F.lit(q)).alias(f"bf{int(q * 10)}") for q in _RFM_QS],
+        *[F.percentile(F.col("cents"), F.lit(q)).alias(f"bm{int(q * 10)}") for q in _RFM_QS],
+    )
+    r_raw = F.lit(1) + sum(
+        F.when(F.col("rec").cast("double") > F.col(f"br{int(q * 10)}"), 1).otherwise(0)
+        for q in _RFM_QS
+    )
+    f_sc = F.lit(1) + sum(
+        F.when(F.col("freq").cast("double") > F.col(f"bf{int(q * 10)}"), 1).otherwise(0)
+        for q in _RFM_QS
+    )
+    m_sc = F.lit(1) + sum(
+        F.when(F.col("cents").cast("double") > F.col(f"bm{int(q * 10)}"), 1).otherwise(0)
+        for q in _RFM_QS
+    )
+    return (
+        rfm.crossJoin(F.broadcast(bounds))
+        .select(
+            (F.lit(6) - r_raw).cast("long").alias("r_score"),
+            f_sc.cast("long").alias("f_score"),
+            m_sc.cast("long").alias("m_score"),
+            "cents",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("monetary_total"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def _sql_rfm() -> str:
+    br = ", ".join(f"quantile_cont(rec, {q}) AS br{int(q * 10)}" for q in _RFM_QS)
+    bf = ", ".join(f"quantile_cont(freq, {q}) AS bf{int(q * 10)}" for q in _RFM_QS)
+    bm = ", ".join(f"quantile_cont(cents, {q}) AS bm{int(q * 10)}" for q in _RFM_QS)
+    r_raw = " + ".join(
+        f"CASE WHEN CAST(rec AS DOUBLE) > br{int(q * 10)} THEN 1 ELSE 0 END" for q in _RFM_QS
+    )
+    f_sc = " + ".join(
+        f"CASE WHEN CAST(freq AS DOUBLE) > bf{int(q * 10)} THEN 1 ELSE 0 END" for q in _RFM_QS
+    )
+    m_sc = " + ".join(
+        f"CASE WHEN CAST(cents AS DOUBLE) > bm{int(q * 10)} THEN 1 ELSE 0 END" for q in _RFM_QS
+    )
+    return f"""
+WITH rfm AS (
+  SELECT o_custkey,
+         datediff('day', MAX(o_orderdate), (SELECT MAX(o_orderdate) FROM orders)) AS rec,
+         COUNT(*) AS freq,
+         SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey),
+bounds AS (SELECT {br}, {bf}, {bm} FROM rfm),
+scored AS (
+  SELECT CAST(6 - (1 + {r_raw}) AS BIGINT) AS r_score,
+         CAST(1 + {f_sc} AS BIGINT) AS f_score,
+         CAST(1 + {m_sc} AS BIGINT) AS m_score,
+         cents
+  FROM rfm CROSS JOIN bounds)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS monetary_total
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
 # --- revenue concentration (Pareto 80/20) ------------------------------------
 
 PARETO_PCT = 80
@@ -1198,6 +1302,7 @@ ORDER BY region
 
 
 QUERIES = {
+    "customer_rfm_segments": customer_rfm_segments,
     "region_revenue_pareto": region_revenue_pareto,
     "value_outliers": value_outliers,
     "conversion_lift_by_nation": conversion_lift_by_nation,
@@ -1225,6 +1330,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "customer_rfm_segments": _sql_rfm(),
     "region_revenue_pareto": _PARETO_SQL,
     "value_outliers": _OUTLIERS_SQL,
     "conversion_lift_by_nation": _CONVERSION_LIFT_SQL,

@@ -1200,3 +1200,46 @@ def test_yoy_growth_consistent(spark, sf_dir):
             assert abs(r["yoy_growth"] - expect) < 1.01e-4
         else:
             assert r["revenue_prev_year"] is None and r["yoy_growth"] is None
+
+
+def test_rfm_segments_partition_customers(spark, sf_dir):
+    """Every customer lands in exactly one (r,f,m) cell; scores are 1–5;
+    monetary total matches the orders table."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import olap
+    import math
+
+    out = olap.customer_rfm_segments(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in out) == n_cust
+    total_cents = sum(
+        int(math.floor(r["o_totalprice"] * 100.0 + 0.5))
+        for r in orders.select("o_totalprice").collect()
+    )
+    assert abs(sum(r["monetary_total"] for r in out) - total_cents / 100.0) < 1e-6 * total_cents
+    for r in out:
+        assert 1 <= r["r_score"] <= 5 and 1 <= r["f_score"] <= 5 and 1 <= r["m_score"] <= 5
+
+
+def test_degree_distribution_conserves_nodes_and_edges(spark, sf_dir):
+    """Σ n_nodes = |V|, Σ sum_deg = 2|E| (handshake), bins are log2-exact."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import graph
+
+    out = graph.copurchase_degree_distribution(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+    )
+    n_edges = edges.count()
+    n_nodes = edges.select(F.col("p1").alias("p")).union(edges.select("p2")).distinct().count()
+    assert sum(r["n_nodes"] for r in out) == n_nodes
+    assert sum(r["sum_deg"] for r in out) == 2 * n_edges
+    for r in out:
+        assert (1 << r["deg_bin"]) <= r["min_deg"] <= r["max_deg"] < (1 << (r["deg_bin"] + 1))
