@@ -507,6 +507,39 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --- incremental signature-index maintenance ---------------------------------
+
+
+def incremental_minhash_update(existing_sigs: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """Append-only maintenance of the MinHash signature index: signatures
+    for a NEW batch of documents are computed from that batch alone and
+    unioned with the stored index — no recompute of the existing corpus.
+    Valid because a document's signature depends only on its own shingles
+    (per-doc min over fixed hash permutations), so the index is
+    embarrassingly incremental; the nightly dedup run then re-runs only
+    the banded join, whose cost is driven by the (unchanged) bucket sizes.
+
+    Contract: `new_docs` must not contain doc_ids already in the index
+    (enforced with a left-anti guard so replays are idempotent — the
+    exactly-once batch-sink discipline applied to index maintenance).
+    Equivalence with a from-scratch rebuild is pinned in
+    `tests/test_operators.py::test_incremental_minhash_equals_rebuild`.
+    """
+    from ..functions.scalars import portable_hash
+
+    sh = _shingles_df(new_docs)
+    h = portable_hash("shingle")
+    aggs = [
+        F.min((F.lit(_A[i]) * h + F.lit(_B[i])) % F.lit(_MERSENNE)).alias(f"sig_{i}")
+        for i in range(MINHASH_K)
+    ]
+    fresh = sh.groupBy("doc_id").agg(*aggs)
+    fresh = fresh.join(
+        existing_sigs.select("doc_id"), "doc_id", "left_anti"
+    )
+    return existing_sigs.unionByName(fresh)
+
+
 # --- MinHash estimator-quality audit ---------------------------------------
 
 # 10000 / MINHASH_K is integral (625), so the estimate in 1e-4 units is an

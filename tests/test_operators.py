@@ -1243,3 +1243,30 @@ def test_degree_distribution_conserves_nodes_and_edges(spark, sf_dir):
     assert sum(r["sum_deg"] for r in out) == 2 * n_edges
     for r in out:
         assert (1 << r["deg_bin"]) <= r["min_deg"] <= r["max_deg"] < (1 << (r["deg_bin"] + 1))
+
+
+def test_incremental_minhash_equals_rebuild(spark, sf_dir):
+    """Index maintenance: computing signatures for only the new batch and
+    unioning equals a from-scratch rebuild over the full corpus; replaying
+    the same batch is a no-op (idempotent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    old_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 3 == 0)
+
+    def sigs_of(d):
+        from data_pipeline_for_autonomous_vehicles_spark.functions.scalars import portable_hash
+
+        sh = dedup._shingles_df(d)
+        h = portable_hash("shingle")
+        aggs = [
+            F.min((F.lit(dedup._A[i]) * h + F.lit(dedup._B[i])) % F.lit(dedup._MERSENNE)).alias(f"sig_{i}")
+            for i in range(dedup.MINHASH_K)
+        ]
+        return sh.groupBy("doc_id").agg(*aggs)
+
+    existing = sigs_of(old_docs)
+    updated = dedup.incremental_minhash_update(existing, new_docs)
+    rebuilt = sigs_of(docs)
+    assert sorted(map(tuple, updated.collect())) == sorted(map(tuple, rebuilt.collect()))
+    replayed = dedup.incremental_minhash_update(updated, new_docs)
+    assert replayed.count() == updated.count()
