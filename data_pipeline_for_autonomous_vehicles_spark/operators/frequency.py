@@ -200,5 +200,118 @@ ORDER BY exact_n DESC, token
 """
 
 
-QUERIES = {"hot_keys_report": hot_keys_report, "cms_token_counts": cms_token_counts}
-ORACLES = {"hot_keys_report": _sql_hot_keys(), "cms_token_counts": _sql_cms()}
+# --- Bloom filter audit -------------------------------------------------------
+
+# m bits, k hashes over the member set; theoretical FPR ≈ (1 − e^{−kn/m})^k.
+BLOOM_M = 1 << 15
+BLOOM_K = 4
+
+
+def _bloom_pos(key_col: F.Column, j: int) -> F.Column:
+    from ..functions.scalars import portable_hash
+
+    return portable_hash(F.concat(F.lit(f"bf{j}:"), key_col)) % BLOOM_M
+
+
+N_BLOOM_PROBES = 2000
+
+
+def bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row Bloom-filter quality audit: build an m=32768-bit / k=4
+    filter over the distinct order customer keys, probe it with 2000
+    synthetic keys that are absent by construction ('probe:<i>' cannot
+    collide with numeric keys), and report the observed false-positive
+    rate next to the bit occupancy. This is the structure behind Spark's
+    own runtime bloom-join pruning (asserted in `tests/test_plans.py`)
+    built explicitly, so its FPR is measurable before trusting m/k choices
+    on real key volumes.
+
+    Exactness: the filter is the DISTINCT set of set bit positions (≤ m
+    rows); a probe is positive iff all k of its positions are present —
+    counted by joining the probe's exploded positions against the set and
+    requiring k hits. Pure integer/hash arithmetic; identical both engines.
+
+    Scale: build = one distinct over (k·n) ints capped at m distinct rows;
+    the bit set is broadcast-sized by construction (≤ m rows ≈ 32 k), so
+    probing any number of keys is a broadcast lookup, no shuffle of the
+    probe side.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    members = orders.select(F.col("o_custkey").cast("string").alias("key")).distinct()
+    negatives = spark.range(N_BLOOM_PROBES).select(
+        F.concat(F.lit("probe:"), F.col("id").cast("string")).alias("key")
+    )
+    pos_array = lambda: F.array(*[_bloom_pos(F.col("key"), j) for j in range(BLOOM_K)])
+    bits = members.select(F.explode(pos_array()).alias("pos")).distinct()
+    probe_hits = (
+        negatives.select("key", F.explode(pos_array()).alias("pos"))
+        .join(F.broadcast(bits), "pos")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == BLOOM_K)
+    )
+    n_members = members.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_members")
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n")).select(F.col("n").alias("n_bits_set"))
+    n_neg = negatives.agg(F.count(F.lit(1)).alias("n")).select(F.col("n").alias("n_negatives"))
+    n_fp = probe_hits.agg(F.count(F.lit(1)).alias("n")).select(F.col("n").alias("n_false_positives"))
+    return (
+        n_members.crossJoin(n_bits)
+        .crossJoin(n_neg)
+        .crossJoin(n_fp)
+        .withColumn(
+            "observed_fpr",
+            F.expr("(n_false_positives * 20000 + n_negatives) div (2 * n_negatives)").cast(
+                "double"
+            )
+            / F.lit(10000.0),
+        )
+    )
+
+
+def _sql_bloom() -> str:
+    from ..functions.scalars import sql_portable_hash
+
+    def pos(expr: str, j: int) -> str:
+        salted = f"'bf{j}:' || {expr}"
+        return f"{sql_portable_hash(salted)} % {BLOOM_M}"
+
+    member_pos = " UNION ALL ".join(
+        f"SELECT {pos('key', j)} AS pos FROM members" for j in range(BLOOM_K)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT key, {pos('key', j)} AS pos FROM negatives" for j in range(BLOOM_K)
+    )
+    return f"""
+WITH members AS (
+  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders),
+negatives AS (
+  SELECT 'probe:' || CAST(i AS VARCHAR) AS key
+  FROM (SELECT unnest(range({N_BLOOM_PROBES})) AS i) t),
+bits AS (SELECT DISTINCT pos FROM ({member_pos}) mp),
+probe_hits AS (
+  SELECT key FROM ({probe_pos}) pp JOIN bits USING (pos)
+  GROUP BY key HAVING COUNT(*) = {BLOOM_K}),
+s AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM negatives) AS n_negatives,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM probe_hits) AS n_false_positives)
+SELECT n_members, n_bits_set, n_negatives, n_false_positives,
+       CAST((n_false_positives * 20000 + n_negatives) // (2 * n_negatives) AS DOUBLE)
+         / 10000.0 AS observed_fpr
+FROM s
+"""
+
+
+QUERIES = {
+    "hot_keys_report": hot_keys_report,
+    "cms_token_counts": cms_token_counts,
+    "bloom_filter_audit": bloom_filter_audit,
+}
+ORACLES = {
+    "hot_keys_report": _sql_hot_keys(),
+    "cms_token_counts": _sql_cms(),
+    "bloom_filter_audit": _sql_bloom(),
+}

@@ -1270,3 +1270,33 @@ def test_incremental_minhash_equals_rebuild(spark, sf_dir):
     assert sorted(map(tuple, updated.collect())) == sorted(map(tuple, rebuilt.collect()))
     replayed = dedup.incremental_minhash_update(updated, new_docs)
     assert replayed.count() == updated.count()
+
+
+def test_bloom_audit_no_false_negatives_and_fpr_sane(spark, sf_dir):
+    """Every member key must test positive (zero false negatives — the
+    Bloom guarantee), and the observed FPR on absent keys is within a loose
+    factor of the theoretical (1 − e^{−kn/m})^k."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import frequency
+    import math
+
+    r = frequency.bloom_filter_audit(spark, sf_dir).collect()[0]
+    assert 0 < r["n_bits_set"] <= min(frequency.BLOOM_M, frequency.BLOOM_K * r["n_members"])
+    assert 0 <= r["n_false_positives"] <= r["n_negatives"] == frequency.N_BLOOM_PROBES
+    theo = (1 - math.exp(-frequency.BLOOM_K * r["n_members"] / frequency.BLOOM_M)) ** frequency.BLOOM_K
+    assert r["observed_fpr"] <= max(5 * theo, 0.02)
+    # no false negatives: probe the members themselves
+    orders = load_table(spark, sf_dir, "orders")
+    members = orders.select(F.col("o_custkey").cast("string").alias("key")).distinct()
+    pos_array = F.array(
+        *[frequency._bloom_pos(F.col("key"), j) for j in range(frequency.BLOOM_K)]
+    )
+    bits = members.select(F.explode(pos_array).alias("pos")).distinct()
+    hits = (
+        members.select("key", F.explode(pos_array).alias("pos"))
+        .join(bits, "pos")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("h"))
+        .filter(F.col("h") == frequency.BLOOM_K)
+        .count()
+    )
+    assert hits == members.count()

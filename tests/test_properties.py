@@ -122,3 +122,72 @@ def test_tie_aware_running_matches_global_window(spark, vals, parts):
     for v, (rnk, drnk) in got.items():
         assert rnk == row_rank[v], f"rank mismatch at v={v}"
         assert drnk == expected[v][1], f"dense_rank mismatch at v={v}"
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_portable_hash_cross_engine(spark, texts):
+    """The md5-based portable hash — the primitive every dedup/sampling/
+    sketch twin leans on — agrees bit-for-bit between Spark and DuckDB for
+    arbitrary printable strings."""
+    import duckdb
+
+    from data_pipeline_for_autonomous_vehicles_spark.functions.scalars import (
+        portable_hash,
+        sql_portable_hash,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got_spark = {
+        r["s"]: r["h"] for r in df.select("s", portable_hash("s").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])
+    got_duck = dict(con.execute(f"SELECT s, {sql_portable_hash('s')} FROM t").fetchall())
+    assert got_spark == got_duck
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-10**9, max_value=10**9).map(lambda c: c / 10_000.0),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    ),
+    scale=st.integers(min_value=0, max_value=6),
+)
+def test_round_half_up_cross_engine(spark, vals, scale):
+    """round_half_up (the display-rounding primitive) agrees bit-for-bit
+    between Spark and DuckDB for arbitrary 1e-4-grid doubles and scales."""
+    import duckdb
+
+    from data_pipeline_for_autonomous_vehicles_spark.functions.scalars import (
+        round_half_up,
+        sql_round_half_up,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got_spark = {
+        r["v"]: r["r"]
+        for r in df.select("v", round_half_up(F.col("v"), scale).alias("r")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    got_duck = dict(
+        con.execute(f"SELECT v, {sql_round_half_up('v', scale)} FROM t").fetchall()
+    )
+    assert got_spark == got_duck
