@@ -788,9 +788,11 @@ WITH ordered AS (
          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events),
 flagged AS (
+  -- microsecond-precision gap test, matching session_window's raw-ts
+  -- semantics (see session_window_stats' oracle note)
   SELECT user_id, ts, event_id,
          CASE WHEN prev_ts IS NULL
-                   OR (FLOOR(epoch(ts)) - FLOOR(epoch(prev_ts))) >= {_CONC_GAP_MIN * 60}
+                   OR (epoch_us(ts) - epoch_us(prev_ts)) >= {_CONC_GAP_MIN * 60} * 1000000
               THEN 1 ELSE 0 END AS new_session
   FROM ordered),
 sids AS (

@@ -445,9 +445,12 @@ WITH ordered AS (
          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events),
 flagged AS (
+  -- gap test at MICROSECOND precision: session_window merges iff
+  -- ts − prev < gap on raw timestamps; flooring first misclassifies gaps
+  -- in [gap−1s, gap) (caught by the sf0.1 oracle sweep)
   SELECT user_id, ts, event_id,
          CASE WHEN prev_ts IS NULL
-                   OR (FLOOR(epoch(ts)) - FLOOR(epoch(prev_ts))) >= {SESSION_GAP_MINUTES * 60}
+                   OR (epoch_us(ts) - epoch_us(prev_ts)) >= {SESSION_GAP_MINUTES * 60} * 1000000
               THEN 1 ELSE 0 END AS new_session
   FROM ordered),
 sids AS (

@@ -156,9 +156,9 @@ def test_peak_concurrency_matches_bruteforce(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id").collect()
     by_user = defaultdict(list)
     for r in ev:
-        by_user[r["user_id"]].append((r["ts"].replace(microsecond=0), r["event_id"]))
+        by_user[r["user_id"]].append((r["ts"], r["event_id"]))
     gap = timeseries._CONC_GAP_MIN * 60
-    sessions = []
+    sessions = []  # (floored_start, floored_end); assignment on RAW ts
     for u, rows in by_user.items():
         rows.sort()
         cur = [rows[0][0], rows[0][0]]
@@ -166,9 +166,9 @@ def test_peak_concurrency_matches_bruteforce(spark, sf_dir):
             if (ts - cur[1]).total_seconds() < gap:
                 cur[1] = ts
             else:
-                sessions.append(tuple(cur))
+                sessions.append((cur[0].replace(microsecond=0), cur[1].replace(microsecond=0)))
                 cur = [ts, ts]
-        sessions.append(tuple(cur))
+        sessions.append((cur[0].replace(microsecond=0), cur[1].replace(microsecond=0)))
     import datetime as dt
 
     epoch = dt.datetime(1970, 1, 1)
