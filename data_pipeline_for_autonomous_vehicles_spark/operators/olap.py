@@ -588,6 +588,73 @@ def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA — the capability HLL lacks: per event-type pair,
+    Datasketches Theta sketches of the user sets support estimated
+    intersection and difference, the audience-overlap / retargeting
+    primitive ("how many viewers also purchased?") computable from stored
+    kilobyte sketches with NO re-scan of either side. Every pair row
+    carries the exact counts alongside the estimates, so the audit is
+    in-row (same pattern as `hll_mergeable_distinct` / `cms_token_counts`).
+
+    Rows-only check by design: sketch binaries/estimates are
+    engine-specific. The exactness of the exact columns and the estimate
+    error bounds are pinned by pytest instead.
+
+    Scale: one sketch per (type) — mergeable across partitions/days; the
+    pairwise algebra runs on |types|² kilobyte sketches at the driver-side
+    of the plan (broadcast scale), never on user rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_n"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"), F.col("exact_n").alias("exact_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"), F.col("exact_n").alias("exact_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    exact_inter = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .alias("x")
+        .join(
+            ev.select(
+                F.col("event_type").alias("type_b"), F.col("user_id").alias("ub")
+            ).distinct().alias("y"),
+            (F.col("x.user_id") == F.col("y.ub")) & (F.col("x.event_type") < F.col("y.type_b")),
+        )
+        .groupBy(F.col("x.event_type").alias("type_a"), "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        pairs.withColumn(
+            "est_overlap",
+            F.round(F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b"))).cast("long"),
+        )
+        .withColumn(
+            "est_only_a",
+            F.round(F.theta_sketch_estimate(F.theta_difference("sk_a", "sk_b"))).cast("long"),
+        )
+        .join(exact_inter, ["type_a", "type_b"], "left")
+        .withColumn("exact_overlap", F.coalesce(F.col("exact_overlap"), F.lit(0)))
+        .select(
+            "type_a",
+            "type_b",
+            "exact_a",
+            "exact_b",
+            "exact_overlap",
+            "est_overlap",
+            "est_only_a",
+            (F.col("exact_a") - F.col("exact_overlap")).alias("exact_only_a"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 def distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DISTINCT-aggregate twin (expand + two-phase agg in Spark)."""
     ev = load_table(spark, sf_dir, "events")
@@ -1322,6 +1389,7 @@ QUERIES = {
     "approx_value_percentiles": approx_value_percentiles,
     "customer_spend_deciles": customer_spend_deciles,
     "hll_mergeable_distinct": hll_mergeable_distinct,
+    "theta_audience_overlap": theta_audience_overlap,
     "distinct_users_exact": distinct_users_exact,
     "status_priority_grouping_sets": status_priority_grouping_sets,
     "user_metric_unpivot": user_metric_unpivot,

@@ -1300,3 +1300,29 @@ def test_bloom_audit_no_false_negatives_and_fpr_sane(spark, sf_dir):
         .count()
     )
     assert hits == members.count()
+
+
+def test_theta_overlap_exact_columns_and_estimate_bounds(spark, sf_dir):
+    """Exact overlap columns match a brute-force set recount; theta
+    estimates sit within a loose relative band of the exact values
+    (lgK default gives ~3% at these cardinalities; we allow 10%)."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import olap
+    from collections import defaultdict
+
+    out = olap.theta_audience_overlap(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").collect()
+    sets = defaultdict(set)
+    for r in ev:
+        sets[r["event_type"]].add(r["user_id"])
+    types = sorted(sets)
+    expected_pairs = {(a, b) for i, a in enumerate(types) for b in types[i + 1 :]}
+    assert {(r["type_a"], r["type_b"]) for r in out} == expected_pairs
+    for r in out:
+        sa, sb = sets[r["type_a"]], sets[r["type_b"]]
+        assert r["exact_a"] == len(sa) and r["exact_b"] == len(sb)
+        assert r["exact_overlap"] == len(sa & sb)
+        assert r["exact_only_a"] == len(sa - sb)
+        if r["exact_overlap"] >= 50:
+            assert abs(r["est_overlap"] - r["exact_overlap"]) <= 0.10 * r["exact_overlap"]
+        if r["exact_only_a"] >= 50:
+            assert abs(r["est_only_a"] - r["exact_only_a"]) <= 0.10 * r["exact_only_a"]
