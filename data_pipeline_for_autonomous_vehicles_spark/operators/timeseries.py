@@ -832,6 +832,117 @@ ORDER BY day
 """
 
 
+# --- weekly growth accounting -------------------------------------------------
+
+
+def weekly_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard growth-accounting decomposition per ISO week: every active
+    user is exactly one of NEW (first-ever week), RETAINED (also active
+    the previous week), or RESURRECTED (active before, but not last week);
+    CHURNED counts last week's actives who went silent. The invariant
+    active = new + retained + resurrected (and churn reconciles
+    active_{w-1} = retained_w + churned_w) is the report's self-check —
+    pinned in pytest.
+
+    Scale: the fact table collapses to distinct (user, week) in one
+    shuffle; first-week is a per-user min over that relation; the
+    prev-week membership test is a self-equi-join on (user, week−1).
+    Output is |weeks| rows. Weeks are integer epoch-day div 7 (no
+    locale/timezone surface; epoch-aligned, so boundaries fall on
+    Thursdays) displayed as the week's start day — identical arithmetic
+    both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uw = (
+        ev.select(
+            "user_id",
+            F.expr("CAST(to_unix_timestamp(CAST(ts AS DATE)) div 86400 AS BIGINT) div 7").alias("week"),
+        )
+        .distinct()
+        .cache()
+    )
+    first = uw.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    prev = uw.select("user_id", (F.col("week") + 1).alias("week"), F.lit(1).alias("active_prev"))
+    classified = (
+        uw.join(F.broadcast(first), "user_id")
+        .join(prev, ["user_id", "week"], "left")
+        .select(
+            "week",
+            F.when(F.col("week") == F.col("first_week"), "new")
+            .when(F.col("active_prev").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("stage"),
+        )
+    )
+    counts = (
+        classified.groupBy("week")
+        .pivot("stage", ["new", "retained", "resurrected"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["new", "retained", "resurrected"])
+    )
+    active = uw.groupBy("week").agg(F.count(F.lit(1)).alias("n_active"))
+    churn = (
+        active.select((F.col("week") + 1).alias("week"), F.col("n_active").alias("prev_active"))
+        .join(counts.select("week", "retained"), "week", "left")
+        .select(
+            "week",
+            (F.col("prev_active") - F.coalesce(F.col("retained"), F.lit(0))).alias("n_churned"),
+        )
+    )
+    return (
+        active.join(counts, "week", "left")
+        .join(churn, "week", "left")
+        .select(
+            F.date_add(F.to_date(F.lit("1970-01-01")), (F.col("week") * 7).cast("int")).alias(
+                "week_start"
+            ),
+            "n_active",
+            F.col("new").cast("long").alias("n_new"),
+            F.col("retained").cast("long").alias("n_retained"),
+            F.col("resurrected").cast("long").alias("n_resurrected"),
+            F.coalesce(F.col("n_churned"), F.lit(0)).cast("long").alias("n_churned"),
+        )
+        .orderBy("week_start")
+    )
+
+
+_GROWTH_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400000000) // 7 AS week
+  FROM events),
+first AS (SELECT user_id, MIN(week) AS first_week FROM uw GROUP BY user_id),
+classified AS (
+  SELECT u.week,
+         CASE WHEN u.week = f.first_week THEN 'new'
+              WHEN p.user_id IS NOT NULL THEN 'retained'
+              ELSE 'resurrected' END AS stage
+  FROM uw u
+  JOIN first f USING (user_id)
+  LEFT JOIN uw p ON p.user_id = u.user_id AND p.week = u.week - 1),
+counts AS (
+  SELECT week,
+         SUM(CASE WHEN stage = 'new' THEN 1 ELSE 0 END) AS n_new,
+         SUM(CASE WHEN stage = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+         SUM(CASE WHEN stage = 'resurrected' THEN 1 ELSE 0 END) AS n_resurrected
+  FROM classified GROUP BY week),
+active AS (SELECT week, COUNT(*) AS n_active FROM uw GROUP BY week),
+churn AS (
+  SELECT a.week + 1 AS week, a.n_active - COALESCE(c.n_retained, 0) AS n_churned
+  FROM active a LEFT JOIN counts c ON c.week = a.week + 1)
+SELECT DATE '1970-01-01' + CAST(a.week * 7 AS INTEGER) AS week_start,
+       CAST(a.n_active AS BIGINT) AS n_active,
+       CAST(c.n_new AS BIGINT) AS n_new,
+       CAST(c.n_retained AS BIGINT) AS n_retained,
+       CAST(c.n_resurrected AS BIGINT) AS n_resurrected,
+       CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned
+FROM active a
+LEFT JOIN counts c USING (week)
+LEFT JOIN churn ch ON ch.week = a.week
+ORDER BY week_start
+"""
+
+
 # --- year-over-year growth ---------------------------------------------------
 
 
@@ -945,6 +1056,7 @@ QUERIES = {
     "daily_peak_concurrency": daily_peak_concurrency,
     "monthly_order_spine": monthly_order_spine,
     "orders_monthly_yoy": orders_monthly_yoy,
+    "weekly_growth_accounting": weekly_growth_accounting,
     "hourly_event_ewma": hourly_event_ewma,
     "event_seasonality": event_seasonality,
     "inter_purchase_gaps": inter_purchase_gaps,
@@ -963,6 +1075,7 @@ ORACLES = {
     "daily_peak_concurrency": _PEAK_CONC_SQL,
     "monthly_order_spine": _MONTH_SPINE_SQL,
     "orders_monthly_yoy": _YOY_SQL,
+    "weekly_growth_accounting": _GROWTH_SQL,
     "hourly_event_ewma": _EWMA_SQL,
     "event_seasonality": _SEASONALITY_SQL,
     "inter_purchase_gaps": _INTER_PURCHASE_SQL,

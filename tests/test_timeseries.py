@@ -189,3 +189,35 @@ def test_peak_concurrency_matches_bruteforce(spark, sf_dir):
         assert out[day]["peak_concurrent"] == best
         assert out[day]["at_second"] == best_sec
     assert set(out) == {(epoch + dt.timedelta(days=di)).date() for di in deltas}
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    """active = new + retained + resurrected each week; churn reconciles
+    with the previous week's actives; totals match a brute recount."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import timeseries
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from collections import defaultdict
+    import datetime as dt
+
+    out = timeseries.weekly_growth_accounting(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    epoch = dt.date(1970, 1, 1)
+    weeks = defaultdict(set)
+    for r in ev:
+        w = (r["ts"].date() - epoch).days // 7
+        weeks[w].add(r["user_id"])
+    first = {}
+    for w in sorted(weeks):
+        for u in weeks[w]:
+            first.setdefault(u, w)
+    by_week = {(epoch + dt.timedelta(days=w * 7)): w for w in weeks}
+    assert {r["week_start"] for r in out} == set(by_week)
+    for r in out:
+        w = by_week[r["week_start"]]
+        act, prev = weeks[w], weeks.get(w - 1, set())
+        assert r["n_active"] == len(act)
+        assert r["n_new"] == sum(1 for u in act if first[u] == w)
+        assert r["n_retained"] == len(act & prev)
+        assert r["n_resurrected"] == r["n_active"] - r["n_new"] - r["n_retained"]
+        assert r["n_churned"] == len(prev - act)
+        assert r["n_active"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
