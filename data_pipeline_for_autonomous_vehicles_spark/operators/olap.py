@@ -141,6 +141,73 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON schema-drift profiler for the open-schema `props` column: every
+    top-level key with its row coverage and a numeric-vs-string type vote —
+    the report that catches a producer silently adding keys or changing a
+    field's type (the operational failure mode of schemaless columns).
+    Key discovery is `json_object_keys` (JVM-side), typed votes use
+    `get_json_object` re-extraction per discovered key occurrence.
+
+    Scale: explode is bounded by keys-per-row (small by construction of any
+    sane event schema); aggregation key = key name (tiny); one fact scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.explode(F.json_object_keys(F.col("props"))).alias("key"), "props"
+    )
+    val = F.expr("get_json_object(props, concat('$.', key))")
+    typed = keyed.select(
+        "key",
+        val.alias("v"),
+    ).select(
+        "key",
+        F.when(F.col("v").rlike(r"^-?[0-9]+(\.[0-9]+)?$"), 1).otherwise(0).alias("numeric"),
+    )
+    n_rows = ev.select(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        typed.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum("numeric").alias("n_numeric"),
+        )
+        .crossJoin(F.broadcast(n_rows))
+        .select(
+            "key",
+            "n_present",
+            "n_numeric",
+            (F.col("n_present") - F.col("n_numeric")).alias("n_non_numeric"),
+            F.expr("(n_present * 20000 + n_rows) div (2 * n_rows)").cast("double")
+            .alias("coverage_e4"),
+        )
+        .withColumn("coverage", F.col("coverage_e4") / F.lit(10000.0))
+        .drop("coverage_e4")
+        .orderBy("key")
+    )
+
+
+_PROPS_KEYS_SQL = """
+WITH keyed AS (
+  SELECT unnest(json_keys(props)) AS key, props FROM events),
+typed AS (
+  SELECT key,
+         CASE WHEN regexp_matches(json_extract_string(props, '$.' || key),
+                                  '^-?[0-9]+(\\.[0-9]+)?$')
+              THEN 1 ELSE 0 END AS numeric
+  FROM keyed),
+n AS (SELECT COUNT(*) AS n_rows FROM events)
+SELECT key,
+       CAST(COUNT(*) AS BIGINT) AS n_present,
+       CAST(SUM(numeric) AS BIGINT) AS n_numeric,
+       CAST(COUNT(*) - SUM(numeric) AS BIGINT) AS n_non_numeric,
+       CAST((COUNT(*) * 20000 + MIN(n_rows)) // (2 * MIN(n_rows)) AS DOUBLE) / 10000.0
+         AS coverage
+FROM typed CROSS JOIN n
+GROUP BY key
+ORDER BY key
+"""
+
+
 def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark 4 VariantType path over the same JSONB-surrogate column:
     `parse_json` shreds props to a binary variant ONCE, `try_variant_get`
@@ -1378,6 +1445,7 @@ QUERIES = {
     "orders_rollup": orders_rollup,
     "orders_cube": orders_cube,
     "props_json_stats": props_json_stats,
+    "props_key_profile": props_key_profile,
     "props_variant_stats": props_variant_stats,
     "value_histogram": value_histogram,
     "value_k_correlation": value_k_correlation,
@@ -1408,6 +1476,7 @@ ORACLES = {
     "orders_cube": _CUBE_SQL,
     "lang_source_chi2": _CHI2_SQL,
     "props_json_stats": _PROPS_JSON_SQL,
+    "props_key_profile": _PROPS_KEYS_SQL,
     "props_variant_stats": _PROPS_VARIANT_SQL,
     "value_histogram": _HISTOGRAM_SQL,
     "value_k_correlation": _CORR_SQL,

@@ -1127,6 +1127,67 @@ LIMIT {PQ_TOP}
 """
 
 
+# --- embedding norm QA --------------------------------------------------------
+
+# healthy band for unit-normalized embeddings: ‖x‖ ∈ [0.9, 1.1]
+_NORM2_LO = int(0.81 * 1e12)
+_NORM2_HI = int(1.21 * 1e12)
+
+
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row vector-store QA gate: counts of zero vectors and vectors
+    whose L2 norm falls outside the unit band [0.9, 1.1] — the two classes
+    of broken embeddings (failed encoder call → zeros; missed
+    normalization → off-unit norms) that silently poison cosine ANN. Run
+    before building any index.
+
+    Exactness: norms are computed in the 1e6 fixed-point grid
+    (`_scaled_vec`), so norm² is an exact int64 in 1e12 units and every
+    band compare is integer — no sqrt, no float anywhere.
+
+    Scale: pure per-row map + one global 4-counter aggregation; nothing
+    shuffles but four partial sums.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n2 = F.aggregate(
+        F.transform(_scaled_vec(F.col("embedding")), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    flags = emb.select(
+        (n2 == 0).cast("long").alias("is_zero"),
+        ((n2 > 0) & (n2 < F.lit(_NORM2_LO))).cast("long").alias("is_low"),
+        (n2 > F.lit(_NORM2_HI)).cast("long").alias("is_high"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("is_zero").alias("n_zero"),
+        F.sum("is_low").alias("n_low_norm"),
+        F.sum("is_high").alias("n_high_norm"),
+        (
+            F.count(F.lit(1)) - F.sum("is_zero") - F.sum("is_low") - F.sum("is_high")
+        ).alias("n_ok"),
+    )
+
+
+_NORM_AUDIT_SQL = f"""
+WITH n2t AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)
+                    * CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT))),
+           (acc, x) -> acc + x) AS n2
+  FROM embeddings)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(SUM(CASE WHEN n2 > 0 AND n2 < {_NORM2_LO} THEN 1 ELSE 0 END) AS BIGINT) AS n_low_norm,
+       CAST(SUM(CASE WHEN n2 > {_NORM2_HI} THEN 1 ELSE 0 END) AS BIGINT) AS n_high_norm,
+       CAST(SUM(CASE WHEN n2 > 0 AND n2 >= {_NORM2_LO} AND n2 <= {_NORM2_HI} THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+FROM n2t
+"""
+
+
 # --- per-source centroid similarity ----------------------------------------
 
 
@@ -1237,6 +1298,7 @@ QUERIES = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "hybrid_search_rrf": hybrid_search_rrf,
     "source_centroid_similarity": source_centroid_similarity,
+    "embedding_norm_audit": embedding_norm_audit,
 }
 
 ORACLES = {
@@ -1251,4 +1313,5 @@ ORACLES = {
     "ann_ivfpq_topk": _sql_ivfpq(),
     "hybrid_search_rrf": _sql_hybrid(),
     "source_centroid_similarity": _CENTROID_SIM_SQL,
+    "embedding_norm_audit": _NORM_AUDIT_SQL,
 }

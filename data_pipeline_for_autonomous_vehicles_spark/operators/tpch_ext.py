@@ -677,7 +677,84 @@ ORDER BY nationkey
 """
 
 
+# --- fulfillment lead-time percentiles ---------------------------------------
+
+
+def supplier_lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier order-to-ship lead time (l_shipdate − o_orderdate, in
+    days): exact p50/p90 plus max and shipment count — the fulfillment-SLA
+    readout that complements Q12's late-line counts with a full latency
+    distribution per supplier.
+
+    Exact order statistics with no per-group buffering: lead times are
+    small integers (days), so after one orderkey equi-join the fact table
+    collapses to (supplier, days) cells — cardinality ≤ |suppliers|·|day
+    domain| — and the percentile_disc lower bound comes off a running
+    count per supplier, the same cell-CDF pattern as
+    `value_winsorized_stats`.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cells = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_suppkey",
+            F.datediff("l_shipdate", "o_orderdate").cast("long").alias("days"),
+        )
+        .groupBy("l_suppkey", "days")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_supp = Window.partitionBy("l_suppkey")
+    run = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = (
+        cells.withColumn("n", F.sum("cnt").over(per_supp))
+        .withColumn("running", F.sum("cnt").over(run))
+        .withColumn("k50", F.expr("(50 * n + 99) div 100"))
+        .withColumn("k90", F.expr("(90 * n + 99) div 100"))
+    )
+    return (
+        cdf.groupBy("l_suppkey")
+        .agg(
+            F.min("n").alias("n_shipments"),
+            F.min(F.when(F.col("running") >= F.col("k50"), F.col("days"))).alias("p50_days"),
+            F.min(F.when(F.col("running") >= F.col("k90"), F.col("days"))).alias("p90_days"),
+            F.max("days").alias("max_days"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+_LEAD_TIME_SQL = """
+WITH cells AS (
+  SELECT l_suppkey,
+         CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS days,
+         COUNT(*) AS cnt
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1, 2),
+cdf AS (
+  SELECT *,
+         CAST(SUM(cnt) OVER (PARTITION BY l_suppkey) AS BIGINT) AS n,
+         CAST(SUM(cnt) OVER (PARTITION BY l_suppkey ORDER BY days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+  FROM cells)
+SELECT l_suppkey,
+       CAST(MIN(n) AS BIGINT) AS n_shipments,
+       MIN(CASE WHEN running >= (50 * n + 99) // 100 THEN days END) AS p50_days,
+       MIN(CASE WHEN running >= (90 * n + 99) // 100 THEN days END) AS p90_days,
+       MAX(days) AS max_days
+FROM cdf
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+"""
+
+
 QUERIES = {
+    "supplier_lead_time_percentiles": supplier_lead_time_percentiles,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
@@ -694,6 +771,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "supplier_lead_time_percentiles": _LEAD_TIME_SQL,
     "q2_min_cost_supplier": _Q2_SQL,
     "q8_market_share": _Q8_SQL,
     "q9_product_profit": _Q9_SQL,

@@ -1326,3 +1326,51 @@ def test_theta_overlap_exact_columns_and_estimate_bounds(spark, sf_dir):
             assert abs(r["est_overlap"] - r["exact_overlap"]) <= 0.10 * r["exact_overlap"]
         if r["exact_only_a"] >= 50:
             assert abs(r["est_only_a"] - r["exact_only_a"]) <= 0.10 * r["exact_only_a"]
+
+
+def test_props_key_profile_consistent(spark, sf_dir):
+    """Key coverage and type votes agree with a literal JSON recount."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import olap
+    import json, re
+    from collections import Counter
+
+    out = {r["key"]: r for r in olap.props_key_profile(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "events").select("props").collect()
+    present, numeric = Counter(), Counter()
+    num_re = re.compile(r"^-?[0-9]+(\.[0-9]+)?$")
+    for r in rows:
+        d = json.loads(r["props"])
+        for k, v in d.items():
+            present[k] += 1
+            sv = json.dumps(v) if not isinstance(v, str) else v
+            if num_re.match(sv):
+                numeric[k] += 1
+    assert set(out) == set(present)
+    for k in present:
+        assert out[k]["n_present"] == present[k]
+        assert out[k]["n_numeric"] == numeric[k]
+        assert out[k]["n_non_numeric"] == present[k] - numeric[k]
+        assert 0.0 <= out[k]["coverage"] <= 1.0
+
+
+def test_embedding_norm_audit_partitions_vectors(spark, sf_dir):
+    """Zero/low/high/ok partition the vector count; flags match a numpy
+    recount in the same fixed-point grid."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import similarity as sim
+    import math
+
+    r = sim.embedding_norm_audit(spark, sf_dir).collect()[0]
+    assert r["n_vectors"] == r["n_zero"] + r["n_low_norm"] + r["n_high_norm"] + r["n_ok"]
+    rows = load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    zero = low = high = 0
+    for row in rows:
+        n2 = sum(
+            int(math.floor(x * 1e6 + 0.5)) ** 2 for x in row["embedding"]
+        )
+        if n2 == 0:
+            zero += 1
+        elif n2 < sim._NORM2_LO:
+            low += 1
+        elif n2 > sim._NORM2_HI:
+            high += 1
+    assert (r["n_zero"], r["n_low_norm"], r["n_high_norm"]) == (zero, low, high)

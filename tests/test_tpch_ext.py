@@ -83,3 +83,29 @@ def test_q22_excludes_recent_buyers(spark, sf_dir):
 def test_scalar_queries_return_single_row(spark, sf_dir):
     for fn in (tpch_ext.q17_small_quantity_revenue, tpch_ext.q19_disjunctive_revenue):
         assert fn(spark, sf_dir).count() == 1
+
+
+def test_lead_time_percentiles_match_bruteforce(spark, sf_dir):
+    """p50/p90 equal percentile_disc lower-bound on a literal recount."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import tpch_ext
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from collections import defaultdict
+
+    out = {r["l_suppkey"]: r for r in tpch_ext.supplier_lead_time_percentiles(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate").collect()
+    od = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate").collect()
+    }
+    lead = defaultdict(list)
+    for r in li:
+        lead[r["l_suppkey"]].append((r["l_shipdate"] - od[r["l_orderkey"]]).days)
+    assert set(out) == set(lead)
+    for s, days in lead.items():
+        days.sort()
+        n = len(days)
+        r = out[s]
+        assert r["n_shipments"] == n
+        assert r["p50_days"] == days[(50 * n + 99) // 100 - 1]
+        assert r["p90_days"] == days[(90 * n + 99) // 100 - 1]
+        assert r["max_days"] == days[-1]
