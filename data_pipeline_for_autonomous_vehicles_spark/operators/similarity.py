@@ -691,6 +691,20 @@ def _km_update(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _km_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final (vec_id, sx, cid, sqdist) after the two fixed Lloyd rounds —
+    shared by `kmeans_cluster_stats` and `kmeans_label_purity`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _scaled_vec(F.col("embedding")).alias("sx"))
+    cents = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("sx").alias("c")
+    )
+    for _ in range(2):
+        assigned = _km_assign(vecs, cents)
+        cents = _km_update(assigned)
+    return _km_assign(vecs, cents)
+
+
 def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two fixed Lloyd iterations of k-means over the embeddings, seeded from
     the first K vectors; per-cluster membership and inertia.
@@ -702,15 +716,7 @@ def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixed-point int64 vectors make every distance and centroid exactly
     reproducible in the ANSI twin (no float-accumulation drift).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", _scaled_vec(F.col("embedding")).alias("sx"))
-    cents = vecs.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("sx").alias("c")
-    )
-    for _ in range(2):
-        assigned = _km_assign(vecs, cents)
-        cents = _km_update(assigned)
-    final = _km_assign(vecs, cents)
+    final = _km_final_assignment(spark, sf_dir)
     return (
         final.groupBy("cid")
         .agg(
@@ -725,7 +731,9 @@ def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_kmeans() -> str:
+def _sql_km_chain() -> str:
+    """CTE chain 'vecs … a3' (final assignment) — shared by the cluster
+    stats twin and the label-purity twin."""
     sx = (
         "list_transform(CAST(embedding AS DOUBLE[]), "
         f"x -> CAST(FLOOR(x * {_KM_SCALE} + 0.5) AS BIGINT))"
@@ -753,14 +761,18 @@ def _sql_kmeans() -> str:
     GROUP BY cid, i) cells
   GROUP BY cid"""
 
-    return f"""
-WITH vecs AS (SELECT vec_id, {sx} AS sx FROM embeddings),
+    return f"""vecs AS (SELECT vec_id, {sx} AS sx FROM embeddings),
 c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, sx AS c FROM vecs WHERE vec_id < {KMEANS_K}),
 a1 AS ({assign('vecs', 'c0')}),
 c1 AS ({update.format(src='a1')}),
 a2 AS ({assign('vecs', 'c1')}),
 c2 AS ({update.format(src='a2')}),
-a3 AS ({assign('vecs', 'c2')})
+a3 AS ({assign('vecs', 'c2')})"""
+
+
+def _sql_kmeans() -> str:
+    return f"""
+WITH {_sql_km_chain()}
 SELECT cid, COUNT(*) AS n_members,
        {sql_round_half_up(f"(CAST(SUM(sqdist) AS DOUBLE) / {_KM_SCALE * _KM_SCALE}) / CAST(COUNT(*) AS DOUBLE)", 6)} AS mean_sqdist
 FROM a3
@@ -1127,6 +1139,74 @@ LIMIT {PQ_TOP}
 """
 
 
+# --- clustering quality vs ground-truth labels --------------------------------
+
+
+def kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering-quality report: per k-means cluster, the
+    majority ground-truth `label`, its share (purity), and the label
+    entropy denominator inputs — the evaluation a clustering-based
+    curation step (SemDeDup-style) runs against labeled eval data before
+    trusting cluster-level decisions on the unlabeled corpus.
+
+    Determinism: majority = highest count, ties to the smallest label
+    (struct-max on (count, −label), identical in the twin). Purity is
+    integer round-half-up. Assignment is the shared fixed-point Lloyd
+    final pass (`_km_final_assignment`), bit-identical to
+    `kmeans_cluster_stats`.
+
+    Scale: (cluster, label) cells — k·|labels|, tiny — after the same
+    broadcast-assign corpus scan as the stats query.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    final = _km_final_assignment(spark, sf_dir)
+    cells = (
+        final.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = cells.groupBy("cid").agg(
+        F.sum("cnt").alias("n_members"),
+        F.count(F.lit(1)).alias("n_labels"),
+        F.max(F.struct(F.col("cnt").alias("cnt"), (-F.col("label")).alias("neg_label"))).alias("t"),
+    )
+    return top.select(
+        "cid",
+        "n_members",
+        "n_labels",
+        (-F.col("t.neg_label")).cast("long").alias("majority_label"),
+        F.col("t.cnt").alias("majority_n"),
+        (
+            F.expr("(t.cnt * 20000 + n_members) div (2 * n_members)").cast("double")
+            / F.lit(10000.0)
+        ).alias("purity"),
+    ).orderBy("cid")
+
+
+def _sql_km_purity() -> str:
+    return f"""
+WITH {_sql_km_chain()},
+cells AS (
+  SELECT a3.cid, e.label, COUNT(*) AS cnt
+  FROM a3 JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2),
+top AS (
+  SELECT cid,
+         SUM(cnt) AS n_members,
+         COUNT(*) AS n_labels,
+         MAX(struct_pack(cnt := cnt, neg_label := -label)) AS t
+  FROM cells GROUP BY cid)
+SELECT cid,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_labels AS BIGINT) AS n_labels,
+       CAST(-t.neg_label AS BIGINT) AS majority_label,
+       CAST(t.cnt AS BIGINT) AS majority_n,
+       CAST((t.cnt * 20000 + n_members) // (2 * n_members) AS DOUBLE) / 10000.0 AS purity
+FROM top
+ORDER BY cid
+"""
+
+
 # --- embedding norm QA --------------------------------------------------------
 
 # healthy band for unit-normalized embeddings: ‖x‖ ∈ [0.9, 1.1]
@@ -1294,6 +1374,7 @@ QUERIES = {
     "embedding_near_dups": embedding_near_dups,
     "embedding_quantize_report": embedding_quantize_report,
     "kmeans_cluster_stats": kmeans_cluster_stats,
+    "kmeans_label_purity": kmeans_label_purity,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "hybrid_search_rrf": hybrid_search_rrf,
@@ -1309,6 +1390,7 @@ ORACLES = {
     "embedding_near_dups": _NEAR_DUP_SQL,
     "embedding_quantize_report": _QUANT_SQL,
     "kmeans_cluster_stats": _sql_kmeans(),
+    "kmeans_label_purity": _sql_km_purity(),
     "ann_pq_topk": _sql_pq(),
     "ann_ivfpq_topk": _sql_ivfpq(),
     "hybrid_search_rrf": _sql_hybrid(),

@@ -1374,3 +1374,28 @@ def test_embedding_norm_audit_partitions_vectors(spark, sf_dir):
         elif n2 > sim._NORM2_HI:
             high += 1
     assert (r["n_zero"], r["n_low_norm"], r["n_high_norm"]) == (zero, low, high)
+
+
+def test_kmeans_purity_consistent_with_assignment(spark, sf_dir):
+    """Purity equals a recount over the shared final assignment; members
+    per cluster match kmeans_cluster_stats; purity ≥ 1/n_labels."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import similarity as sim
+    from collections import Counter, defaultdict
+
+    out = {r["cid"]: r for r in sim.kmeans_label_purity(spark, sf_dir).collect()}
+    stats = {r["cid"]: r["n_members"] for r in sim.kmeans_cluster_stats(spark, sf_dir).collect()}
+    assert {c: r["n_members"] for c, r in out.items()} == stats
+    final = sim._km_final_assignment(spark, sf_dir).select("vec_id", "cid").collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    per = defaultdict(Counter)
+    for r in final:
+        per[r["cid"]][labels[r["vec_id"]]] += 1
+    for cid, cnt in per.items():
+        best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+        r = out[cid]
+        assert (r["majority_label"], r["majority_n"]) == best
+        assert r["n_labels"] == len(cnt)
+        assert r["purity"] >= 1.0 / r["n_labels"] - 1e-9
