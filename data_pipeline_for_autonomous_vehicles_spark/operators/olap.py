@@ -948,6 +948,96 @@ ORDER BY e.user_id, e.event_id
 """
 
 
+# association-rule thresholds, enforced by integer cross-multiplication
+RULE_MIN_SUPPORT_PCT = 1  # n_ab / n_baskets ≥ 1%
+RULE_MIN_CONF_PCT = 10  # n_ab / n_antecedent ≥ 10%
+
+
+def basket_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules over (user, day) baskets: for every
+    ordered pair antecedent → consequent passing the support and
+    confidence thresholds, the exact support, confidence, and lift — the
+    actionable form of `event_cooccurrence` (A→B and B→A differ exactly
+    when the antecedent frequencies differ, which is what a targeting rule
+    cares about).
+
+    Thresholds are integer cross-multiplied (n_ab·100 ≥ s·n_baskets,
+    n_ab·100 ≥ c·n_antecedent) so rule membership is exact; the reported
+    ratios are int-div 4dp. Plan shape is `event_cooccurrence`'s:
+    basket-dedup first, equi-self-join on the basket key, broadcast
+    singles — pair cardinality ≤ |types|², never data-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select("user_id", F.to_date("ts").alias("day"), "event_type").distinct()
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), ["user_id", "day"])
+        .filter(F.col("x.event_type") != F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("antecedent"),
+            F.col("y.event_type").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    singles = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    n_baskets = b.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                singles.select(F.col("event_type").alias("antecedent"), F.col("n").alias("n_a"))
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                singles.select(F.col("event_type").alias("consequent"), F.col("n").alias("n_b"))
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .filter(F.col("n_ab") * 100 >= F.lit(RULE_MIN_SUPPORT_PCT) * F.col("n_baskets"))
+        .filter(F.col("n_ab") * 100 >= F.lit(RULE_MIN_CONF_PCT) * F.col("n_a"))
+    )
+    support = F.expr("(n_ab * 20000 + n_baskets) div (2 * n_baskets)").cast("double") / F.lit(10000.0)
+    conf = F.expr("(n_ab * 20000 + n_a) div (2 * n_a)").cast("double") / F.lit(10000.0)
+    lift = (F.col("n_ab").cast("double") * F.col("n_baskets").cast("double")) / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return out.select(
+        "antecedent",
+        "consequent",
+        "n_ab",
+        support.alias("support"),
+        conf.alias("confidence"),
+        round_half_up(lift, 4).alias("lift"),
+    ).orderBy("antecedent", "consequent")
+
+
+_AFFINITY_SQL = f"""
+WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+pairs AS (
+  SELECT x.event_type AS antecedent, y.event_type AS consequent, COUNT(*) AS n_ab
+  FROM b x JOIN b y ON x.user_id = y.user_id AND x.day = y.day
+                    AND x.event_type <> y.event_type
+  GROUP BY 1, 2),
+singles AS (SELECT event_type, COUNT(*) AS n FROM b GROUP BY event_type),
+nb AS (SELECT COUNT(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM b) t)
+SELECT antecedent, consequent, n_ab,
+       CAST((n_ab * 20000 + n_baskets) // (2 * n_baskets) AS DOUBLE) / 10000.0 AS support,
+       CAST((n_ab * 20000 + sa.n) // (2 * sa.n) AS DOUBLE) / 10000.0 AS confidence,
+       {sql_round_half_up("CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE) / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE))", 4)} AS lift
+FROM pairs
+JOIN singles sa ON sa.event_type = antecedent
+JOIN singles sb ON sb.event_type = consequent
+CROSS JOIN nb
+WHERE n_ab * 100 >= {RULE_MIN_SUPPORT_PCT} * n_baskets
+  AND n_ab * 100 >= {RULE_MIN_CONF_PCT} * sa.n
+ORDER BY antecedent, consequent
+"""
+
+
 def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association over event types: for each unordered pair
     of event types, how many (user, day) baskets contain both, and the
@@ -1441,6 +1531,7 @@ QUERIES = {
     "value_outliers": value_outliers,
     "conversion_lift_by_nation": conversion_lift_by_nation,
     "event_cooccurrence": event_cooccurrence,
+    "basket_affinity_rules": basket_affinity_rules,
     "user_event_pivot": user_event_pivot,
     "orders_rollup": orders_rollup,
     "orders_cube": orders_cube,
@@ -1471,6 +1562,7 @@ ORACLES = {
     "value_outliers": _OUTLIERS_SQL,
     "conversion_lift_by_nation": _CONVERSION_LIFT_SQL,
     "event_cooccurrence": _COOCCUR_SQL,
+    "basket_affinity_rules": _AFFINITY_SQL,
     "user_event_pivot": _PIVOT_SQL,
     "orders_rollup": _ROLLUP_SQL,
     "orders_cube": _CUBE_SQL,

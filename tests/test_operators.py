@@ -1399,3 +1399,25 @@ def test_kmeans_purity_consistent_with_assignment(spark, sf_dir):
         assert (r["majority_label"], r["majority_n"]) == best
         assert r["n_labels"] == len(cnt)
         assert r["purity"] >= 1.0 / r["n_labels"] - 1e-9
+
+
+def test_affinity_rules_consistent_with_cooccurrence(spark, sf_dir):
+    """Every rule's n_ab equals the unordered pair count; confidence and
+    support respect the declared thresholds; lift is symmetric across the
+    two directions of a pair."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import olap
+
+    rules = olap.basket_affinity_rules(spark, sf_dir).collect()
+    co = {
+        tuple(sorted((r["item_a"], r["item_b"]))): r["n_ab"]
+        for r in olap.event_cooccurrence(spark, sf_dir).collect()
+    }
+    lifts = {}
+    for r in rules:
+        key = tuple(sorted((r["antecedent"], r["consequent"])))
+        assert co[key] == r["n_ab"]
+        assert r["support"] >= olap.RULE_MIN_SUPPORT_PCT / 100 - 1e-4
+        assert r["confidence"] >= olap.RULE_MIN_CONF_PCT / 100 - 1e-4
+        lifts.setdefault(key, set()).add(r["lift"])
+    for key, ls in lifts.items():
+        assert len(ls) == 1  # lift is direction-independent
