@@ -832,6 +832,94 @@ ORDER BY day
 """
 
 
+# --- cohort lifetime value -----------------------------------------------------
+
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue ("LTV") triangle per weekly cohort: for each
+    first-seen-week cohort and weeks-since-signup, the week's revenue, the
+    cohort's cumulative revenue, and cumulative LTV per cohort user — the
+    monetized companion of `cohort_retention` (same cohort definition, so
+    the two triangles join on (cohort_week, week_n)).
+
+    Exactness: revenue accumulates as int64 cents; the running sum windows
+    over (cohort, week_n) CELLS — ≤ weeks² rows — never the fact table;
+    LTV-per-user is int-div 4dp (cohort size from one broadcast join).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uwk = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("event_week"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    per_user_week = uwk.groupBy("user_id", "event_week").agg(
+        F.sum("cents").alias("cents")
+    )
+    cohort = F.min("event_week").over(Window.partitionBy("user_id"))
+    cw = per_user_week.withColumn("cohort_week", cohort)
+    cells = cw.groupBy(
+        "cohort_week",
+        (F.datediff("event_week", "cohort_week") / 7).cast("long").alias("week_n"),
+    ).agg(F.sum("cents").alias("rev_cents"))
+    sizes = (
+        cw.select("cohort_week", "user_id")
+        .distinct()
+        .groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).alias("n_cohort_users"))
+    )
+    run = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn("cum_cents", F.sum("rev_cents").over(run))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_n",
+            "n_cohort_users",
+            (F.col("rev_cents").cast("double") / F.lit(100.0)).alias("revenue"),
+            (F.col("cum_cents").cast("double") / F.lit(100.0)).alias("cum_revenue"),
+            (
+                F.expr("(cum_cents * 200 + n_cohort_users) div (2 * n_cohort_users)").cast("double")
+                / F.lit(100.0)
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_n")
+    )
+
+
+_COHORT_LTV_SQL = """
+WITH puw AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS event_week,
+         SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2),
+cw AS (
+  SELECT *, MIN(event_week) OVER (PARTITION BY user_id) AS cohort_week FROM puw),
+cells AS (
+  SELECT cohort_week,
+         CAST(date_diff('day', cohort_week, event_week) // 7 AS BIGINT) AS week_n,
+         SUM(cents) AS rev_cents
+  FROM cw GROUP BY 1, 2),
+sizes AS (
+  SELECT cohort_week, COUNT(DISTINCT user_id) AS n_cohort_users FROM cw GROUP BY 1),
+run AS (
+  SELECT *,
+         SUM(rev_cents) OVER (PARTITION BY cohort_week ORDER BY week_n
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+  FROM cells)
+SELECT r.cohort_week, r.week_n,
+       CAST(s.n_cohort_users AS BIGINT) AS n_cohort_users,
+       CAST(r.rev_cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(r.cum_cents AS DOUBLE) / 100.0 AS cum_revenue,
+       CAST((r.cum_cents * 200 + s.n_cohort_users) // (2 * s.n_cohort_users) AS DOUBLE)
+         / 100.0 AS cum_ltv_per_user
+FROM run r JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week, week_n
+"""
+
+
 # --- weekly growth accounting -------------------------------------------------
 
 
@@ -1057,6 +1145,7 @@ QUERIES = {
     "monthly_order_spine": monthly_order_spine,
     "orders_monthly_yoy": orders_monthly_yoy,
     "weekly_growth_accounting": weekly_growth_accounting,
+    "cohort_ltv": cohort_ltv,
     "hourly_event_ewma": hourly_event_ewma,
     "event_seasonality": event_seasonality,
     "inter_purchase_gaps": inter_purchase_gaps,
@@ -1076,6 +1165,7 @@ ORACLES = {
     "monthly_order_spine": _MONTH_SPINE_SQL,
     "orders_monthly_yoy": _YOY_SQL,
     "weekly_growth_accounting": _GROWTH_SQL,
+    "cohort_ltv": _COHORT_LTV_SQL,
     "hourly_event_ewma": _EWMA_SQL,
     "event_seasonality": _SEASONALITY_SQL,
     "inter_purchase_gaps": _INTER_PURCHASE_SQL,

@@ -221,3 +221,29 @@ def test_growth_accounting_identities(spark, sf_dir):
         assert r["n_resurrected"] == r["n_active"] - r["n_new"] - r["n_retained"]
         assert r["n_churned"] == len(prev - act)
         assert r["n_active"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+
+
+def test_cohort_ltv_reconciles_with_retention_and_totals(spark, sf_dir):
+    """LTV triangle joins 1:1 onto the retention triangle's cells; total
+    revenue across the triangle equals the events table's exact cents
+    total; cumulative column is a running sum of the weekly column."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import timeseries
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    import math
+
+    ltv = timeseries.cohort_ltv(spark, sf_dir).collect()
+    ret = {(r["cohort_week"], r["week_n"]) for r in timeseries.cohort_retention(spark, sf_dir).collect()}
+    assert {(r["cohort_week"], r["week_n"]) for r in ltv} == ret
+    ev = load_table(spark, sf_dir, "events").select("value").collect()
+    total = sum(int(math.floor(r["value"] * 100.0 + 0.5)) for r in ev) / 100.0
+    assert abs(sum(r["revenue"] for r in ltv) - total) < 1e-6 * abs(total)
+    from collections import defaultdict
+
+    by_cohort = defaultdict(list)
+    for r in sorted(ltv, key=lambda r: (r["cohort_week"], r["week_n"])):
+        by_cohort[r["cohort_week"]].append(r)
+    for rows in by_cohort.values():
+        run = 0.0
+        for r in rows:
+            run += r["revenue"]
+            assert abs(r["cum_revenue"] - run) < 1e-6
