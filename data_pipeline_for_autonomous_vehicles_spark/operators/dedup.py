@@ -836,6 +836,69 @@ LIMIT {HH_TOP_K}
 """
 
 
+# --- n-gram novelty ----------------------------------------------------------
+
+
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a doc's distinct 3-gram shingles
+    that appear in NO other document (corpus df = 1) — high novelty marks
+    genuinely fresh content, near-zero novelty marks boilerplate or
+    near-duplicates that slipped past exact dedup. The memorization-risk /
+    freshness signal a curation mix weighs alongside quality scores.
+
+    Plan: ONE shingle relation feeds both the df counts and the per-doc
+    rollup (inverted-index reuse, like `_common_shingle_pairs`); novelty
+    is an integer ratio (int-div 4dp). Docs with < 3 tokens have no
+    shingles and report NULL novelty rather than vanishing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles_df(docs).cache()
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+            F.coalesce(F.col("n_unique"), F.lit(0)).alias("n_unique"),
+            F.when(
+                F.col("n_shingles").isNotNull(),
+                F.expr("(n_unique * 20000 + n_shingles) div (2 * n_shingles)").cast("double")
+                / F.lit(10000.0),
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+dfc AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+per_doc AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_shingles,
+         SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_unique
+  FROM sh s JOIN dfc d USING (shingle)
+  GROUP BY s.doc_id)
+SELECT doc_id,
+       CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(n_unique, 0) AS BIGINT) AS n_unique,
+       CASE WHEN n_shingles IS NOT NULL THEN
+         CAST((n_unique * 20000 + n_shingles) // (2 * n_shingles) AS DOUBLE) / 10000.0
+       END AS novelty
+FROM documents LEFT JOIN per_doc USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # --- near-dup clustering (iterative connected components) -------------------
 
 CC_MAX_ITER = 25
@@ -1086,6 +1149,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_token_savings": dedup_token_savings,
+    "doc_ngram_novelty": doc_ngram_novelty,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_containment_pairs": ngram_containment_pairs,
     "minhash_signatures": minhash_signatures,
@@ -1104,6 +1168,7 @@ ORACLES = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_fingerprint": _DEDUP_FP_SQL,
     "dedup_token_savings": _DEDUP_SAVINGS_SQL,
+    "doc_ngram_novelty": _NOVELTY_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     "ngram_containment_pairs": _NGRAM_CONTAINMENT_SQL,
     "minhash_signatures": _MINHASH_SIG_SQL,

@@ -1139,6 +1139,69 @@ LIMIT {PQ_TOP}
 """
 
 
+# --- per-dimension embedding health -------------------------------------------
+
+# dead dimension: variance < 1e-6 (integer cross-multiplied in 1e12 units)
+_DEAD_VAR_E12 = 1_000_000
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding space with a dead-dim
+    flag — collapsed dimensions (variance ≈ 0) waste index space and can
+    silently dominate quantizers; this is the feature-health report run
+    before PQ/IVF codebook training.
+
+    Exactness: moments are int64 sums over the 1e6 fixed-point grid;
+    variance = (n·Σx² − (Σx)²)/n² with the dead test cross-multiplied in
+    integers (n·Σx² − (Σx)² < n²·1e-6·1e12), so the flag is exact; the
+    displayed mean/variance are single IEEE divisions, round-half-up 6dp.
+
+    Scale: posexplode to (dim, value) → dim-keyed agg = 64 cells; fully
+    map-side combined.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = (
+        emb.select(F.posexplode(_scaled_vec(F.col("embedding"))).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sx"),
+            F.sum(F.col("v") * F.col("v")).alias("sxx"),
+        )
+    )
+    num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return cells.select(
+        F.col("pos").cast("long").alias("dim"),
+        "n",
+        round_half_up(F.col("sx").cast("double") / F.col("n").cast("double") / F.lit(_KM_SCALE), 6).alias("mean"),
+        round_half_up(
+            num.cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+            / F.lit(_KM_SCALE * _KM_SCALE),
+            6,
+        ).alias("variance"),
+        (num < F.col("n") * F.col("n") * F.lit(_DEAD_VAR_E12)).alias("is_dead"),
+    ).orderBy("dim")
+
+
+_DIM_STATS_SQL = f"""
+WITH cells AS (
+  SELECT pos, COUNT(*) AS n, SUM(v) AS sx, SUM(v * v) AS sxx
+  FROM (
+    SELECT unnest(list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(FLOOR(x * {_KM_SCALE} + 0.5) AS BIGINT))) AS v,
+           unnest(range(0, len(embedding))) AS pos
+    FROM embeddings) t
+  GROUP BY pos)
+SELECT CAST(pos AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+       {sql_round_half_up(f"CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / {_KM_SCALE}", 6)} AS mean,
+       {sql_round_half_up(f"CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * n AS DOUBLE) / {_KM_SCALE * _KM_SCALE}", 6)} AS variance,
+       (n * sxx - sx * sx) < n * n * {_DEAD_VAR_E12} AS is_dead
+FROM cells
+ORDER BY dim
+"""
+
+
 # --- clustering quality vs ground-truth labels --------------------------------
 
 
@@ -1380,6 +1443,7 @@ QUERIES = {
     "hybrid_search_rrf": hybrid_search_rrf,
     "source_centroid_similarity": source_centroid_similarity,
     "embedding_norm_audit": embedding_norm_audit,
+    "embedding_dim_stats": embedding_dim_stats,
 }
 
 ORACLES = {
@@ -1396,4 +1460,5 @@ ORACLES = {
     "hybrid_search_rrf": _sql_hybrid(),
     "source_centroid_similarity": _CENTROID_SIM_SQL,
     "embedding_norm_audit": _NORM_AUDIT_SQL,
+    "embedding_dim_stats": _DIM_STATS_SQL,
 }

@@ -1421,3 +1421,33 @@ def test_affinity_rules_consistent_with_cooccurrence(spark, sf_dir):
         lifts.setdefault(key, set()).add(r["lift"])
     for key, ls in lifts.items():
         assert len(ls) == 1  # lift is direction-independent
+
+
+def test_novelty_and_dim_stats_consistency(spark, sf_dir):
+    """Novelty shares are in [0,1] and cover every doc; dim stats match a
+    numpy recount in the fixed-point grid."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import similarity as sim
+    import math
+
+    nov = dedup.doc_ngram_novelty(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(nov) == n_docs
+    for r in nov:
+        assert 0 <= r["n_unique"] <= r["n_shingles"]
+        if r["novelty"] is not None:
+            assert 0.0 <= r["novelty"] <= 1.0
+
+    out = {r["dim"]: r for r in sim.embedding_dim_stats(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    dims = len(rows[0]["embedding"])
+    assert set(out) == set(range(dims))
+    for d in range(0, dims, 16):  # spot-check every 16th dim
+        vals = [int(math.floor(r["embedding"][d] * 1e6 + 0.5)) for r in rows]
+        n, sx = len(vals), sum(vals)
+        sxx = sum(v * v for v in vals)
+        var = (n * sxx - sx * sx) / (n * n) / 1e12
+        r = out[d]
+        assert r["n"] == n
+        assert abs(r["mean"] - sx / n / 1e6) < 1.01e-6
+        assert abs(r["variance"] - var) < 1.01e-6
+        assert r["is_dead"] == ((n * sxx - sx * sx) < n * n * sim._DEAD_VAR_E12)
