@@ -258,6 +258,103 @@ ORDER BY event_type, hour
 """
 
 
+# --- autocorrelation ----------------------------------------------------------
+
+ACF_LAGS = (1, 24)
+
+
+def value_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-24 Pearson autocorrelation of hourly value sums per
+    event type — the two numbers that say "is this series sticky
+    hour-to-hour, and is it daily-seasonal?" (high lag-24 r justifies the
+    dow×hour baseline `seasonal_residual_outliers` uses; low lag-1 r says
+    CUSUM needs a wider window).
+
+    Exactness: the series is hourly int64-cent cells; for each lag the
+    (x_t, x_{t+k}) pairs come from a cell self-join on (type, hour+k) and
+    ALL five moments are int64 sums; numerator and variance terms are
+    int64 (|Σx| ≤ 1e9 ⇒ (Σx)² ≤ 1e18 < 2⁶³), so only the final
+    sqrt/divide is IEEE — identical on identical integers, then
+    round-half-up 6dp.
+
+    Scale: cells ≤ |types|·|hours| (calendar-bounded); the lag join is a
+    cell equi-join. Same cells-not-corpus story as the trend/CUSUM family.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.expr("CAST(to_unix_timestamp(ts) div 3600 AS BIGINT)").alias("h"),
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("v_e2"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("v_e2").alias("s"))
+        .cache()
+    )
+    outs = []
+    for k in ACF_LAGS:
+        a = cells.select("event_type", "h", F.col("s").alias("x"))
+        b = cells.select("event_type", (F.col("h") - k).alias("h"), F.col("s").alias("y"))
+        m = (
+            a.join(b, ["event_type", "h"])
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("sx"),
+                F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            )
+            .withColumn("lag", F.lit(k).cast("long"))
+        )
+        outs.append(m)
+    m = outs[0].unionByName(outs[1])
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    d2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return (
+        m.select(
+            "event_type",
+            "lag",
+            F.col("n").alias("n_pairs"),
+            round_half_up(num / (F.sqrt(d1) * F.sqrt(d2)), 6).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+def _sql_acf() -> str:
+    arms = []
+    for k in ACF_LAGS:
+        arms.append(f"""
+  SELECT a.event_type, {k} AS lag,
+         COUNT(*) AS n, SUM(a.s) AS sx, SUM(b.s) AS sy,
+         SUM(a.s * a.s) AS sxx, SUM(b.s * b.s) AS syy, SUM(a.s * b.s) AS sxy
+  FROM cells a JOIN cells b
+    ON b.event_type = a.event_type AND b.h = a.h + {k}
+  GROUP BY a.event_type""")
+    union = " UNION ALL ".join(arms)
+    from ..functions.scalars import sql_round_half_up
+
+    r = sql_round_half_up(
+        "CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))",
+        6,
+    )
+    return f"""
+WITH cells AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS s
+  FROM events GROUP BY 1, 2),
+m AS ({union})
+SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       {r} AS acf
+FROM m
+ORDER BY event_type, lag
+"""
+
+
 # --- Theil–Sen robust trend --------------------------------------------------
 
 
@@ -372,11 +469,13 @@ QUERIES = {
     "cusum_alerts": cusum_alerts,
     "daily_value_trend": daily_value_trend,
     "daily_trend_theilsen": daily_trend_theilsen,
+    "value_autocorrelation": value_autocorrelation,
     "seasonal_residual_outliers": seasonal_residual_outliers,
 }
 ORACLES = {
     "cusum_alerts": _CUSUM_SQL,
     "daily_value_trend": _TREND_SQL,
     "daily_trend_theilsen": _THEILSEN_SQL,
+    "value_autocorrelation": _sql_acf(),
     "seasonal_residual_outliers": _SEASONAL_OUTLIER_SQL,
 }

@@ -1451,3 +1451,36 @@ def test_novelty_and_dim_stats_consistency(spark, sf_dir):
         assert abs(r["mean"] - sx / n / 1e6) < 1.01e-6
         assert abs(r["variance"] - var) < 1.01e-6
         assert r["is_dead"] == ((n * sxx - sx * sx) < n * n * sim._DEAD_VAR_E12)
+
+
+def test_autocorrelation_matches_numpy(spark, sf_dir):
+    """ACF values equal a numpy corrcoef recount over the same hourly
+    integer cells."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import anomaly
+    import math
+    from collections import defaultdict
+
+    out = {(r["event_type"], r["lag"]): r for r in anomaly.value_autocorrelation(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
+    cells = defaultdict(lambda: defaultdict(int))
+    import datetime as dt
+
+    epoch = dt.datetime(1970, 1, 1)
+    for r in ev:
+        h = int((r["ts"] - epoch).total_seconds()) // 3600
+        cells[r["event_type"]][h] += int(math.floor(r["value"] * 100.0 + 0.5))
+    for (t, k), r in out.items():
+        series = cells[t]
+        pairs = [(series[h], series[h + k]) for h in series if h + k in series]
+        assert r["n_pairs"] == len(pairs)
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        exp = (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+        assert abs(r["acf"] - exp) < 1.01e-6
+        assert -1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9
