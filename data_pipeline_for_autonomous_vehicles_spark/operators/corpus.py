@@ -474,7 +474,59 @@ FROM counts, dups, lmatch, ent, rep
 """
 
 
+# --- source diversity ---------------------------------------------------------
+
+
+def source_diversity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini–Simpson diversity of sources within each language:
+    D = 1 − Σ(nᵢ/N)² — the concentration number a data-mixing plan
+    monitors (D → 0 means one source dominates the language and its
+    quirks become that language's training signal).
+
+    Exactness: D = (N² − Σnᵢ²)/N² from two integer sums over the
+    (lang, source) cells; one IEEE division, round-half-up 4dp. Effective
+    source count 1/(1−D) = N²/Σnᵢ² reported the same way.
+
+    Scale: |langs|·|sources| cells from one partial-aggregated shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    per_lang = cells.groupBy("lang").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+    )
+    d = (
+        (F.col("n_docs") * F.col("n_docs") - F.col("sum_sq")).cast("double")
+        / (F.col("n_docs") * F.col("n_docs")).cast("double")
+    )
+    eff = (F.col("n_docs") * F.col("n_docs")).cast("double") / F.col("sum_sq").cast("double")
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        round_half_up(d, 4).alias("gini_simpson"),
+        round_half_up(eff, 4).alias("effective_sources"),
+    ).orderBy("lang")
+
+
+_DIVERSITY_SQL = f"""
+WITH cells AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+per_lang AS (
+  SELECT lang, SUM(n) AS n_docs, COUNT(*) AS n_sources, SUM(n * n) AS sum_sq
+  FROM cells GROUP BY lang)
+SELECT lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       {sql_round_half_up("CAST(n_docs * n_docs - sum_sq AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE)", 4)} AS gini_simpson,
+       {sql_round_half_up("CAST(n_docs * n_docs AS DOUBLE) / CAST(sum_sq AS DOUBLE)", 4)} AS effective_sources
+FROM per_lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
+    "source_diversity_by_lang": source_diversity_by_lang,
     "repetition_ratios": repetition_ratios,
     "passage_dedup_stats": passage_dedup_stats,
     "token_entropy": token_entropy,
@@ -484,6 +536,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_diversity_by_lang": _DIVERSITY_SQL,
     "repetition_ratios": _REPETITION_SQL,
     "passage_dedup_stats": _PASSAGE_SQL,
     "token_entropy": _ENTROPY_SQL,

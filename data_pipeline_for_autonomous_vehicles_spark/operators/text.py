@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.scalars import round_half_up
+from ..functions.scalars import round_half_up, sql_round_half_up
 
 def _tokens() -> F.Column:
     return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
@@ -677,6 +677,84 @@ LIMIT {BPE_MERGE_TOP_K}
 """
 
 
+# --- collocation mining --------------------------------------------------------
+
+COLLOC_MIN_COUNT = 10
+COLLOC_TOP_K = 20
+
+
+def token_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-word collocations by lift (observed bigram frequency ÷
+    expected-under-independence) with a minimum-count floor — the
+    PMI-style collocation miner (lift = e^PMI, same ranking, but computed
+    as an exact integer ratio into one IEEE division instead of a
+    transcendental log that can drift between engines).
+
+    Scale: bigram generation is a per-row transform (len−1 pairs); both
+    the bigram and unigram aggregations are vocabulary-bounded hash aggs;
+    the unigram relation re-joins broadcast. Top-k is
+    TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(_tokens().alias("toks"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 0)), "
+                "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    n_bigrams = bigrams.agg(F.count(F.lit(1)).alias("n_total"))
+    pair_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    uni = (
+        bigrams.select(F.col("w1").alias("w")).unionByName(bigrams.select(F.col("w2").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lift = (
+        F.col("n_ab").cast("double") * F.lit(4.0) * F.col("n_total").cast("double")
+    ) / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    return (
+        pair_counts.filter(F.col("n_ab") >= COLLOC_MIN_COUNT)
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n").alias("n_a"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n").alias("n_b"))), "w2")
+        .crossJoin(F.broadcast(n_bigrams))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            round_half_up(lift, 4).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(COLLOC_TOP_K)
+    )
+
+
+_COLLOC_SQL = f"""
+WITH bigrams AS (
+  SELECT b.w1, b.w2 FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+             i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+    FROM (SELECT {_SQL_TOKENS} AS toks FROM documents) base) t),
+nt AS (SELECT COUNT(*) AS n_total FROM bigrams),
+pc AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bigrams GROUP BY 1, 2),
+uni AS (
+  SELECT w, COUNT(*) AS n FROM (
+    SELECT w1 AS w FROM bigrams UNION ALL SELECT w2 FROM bigrams) u
+  GROUP BY w)
+SELECT w1, w2, n_ab,
+       {sql_round_half_up("CAST(n_ab AS DOUBLE) * 4.0 * CAST(n_total AS DOUBLE) / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE))", 4)} AS lift
+FROM pc
+JOIN uni ua ON ua.w = w1
+JOIN uni ub ON ub.w = w2
+CROSS JOIN nt
+WHERE n_ab >= {COLLOC_MIN_COUNT}
+ORDER BY lift DESC, w1, w2
+LIMIT {COLLOC_TOP_K}
+"""
+
+
 # --- vocabulary coverage (OOV rate) ------------------------------------------
 
 VOCAB_K = 1000
@@ -799,6 +877,7 @@ QUERIES = {
     "bpe_merge_candidates": bpe_merge_candidates,
     "training_shards": training_shards,
     "oov_rate_report": oov_rate_report,
+    "token_collocations": token_collocations,
     "doc_chunks": doc_chunks,
     "quality_scores": quality_scores,
     "lang_id": lang_id,
@@ -818,6 +897,7 @@ ORACLES = {
     "bpe_merge_candidates": _BPE_MERGE_SQL,
     "training_shards": _SHARDS_SQL,
     "oov_rate_report": _OOV_SQL,
+    "token_collocations": _COLLOC_SQL,
     "doc_chunks": _CHUNKS_SQL,
     "quality_scores": _QUALITY_SQL,
     "lang_id": _sql_lang_id(),

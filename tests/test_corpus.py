@@ -146,3 +146,41 @@ def test_curation_report_consistent_with_component_queries(spark, sf_dir):
         F.sum(F.floor(F.col("entropy_nats") * 1e8 + F.lit(0.5)).cast("long"))
     ).first()[0]
     assert rep.mean_entropy_nats == ent_sum / rep.n_docs / 1e8
+
+
+def test_collocations_and_diversity_consistent(spark, sf_dir):
+    """Collocation lift matches a literal bigram recount; diversity matches
+    the Gini–Simpson formula over exact (lang, source) counts."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import corpus, text
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from collections import Counter
+
+    docs = load_table(spark, sf_dir, "documents").select("text", "lang", "source").collect()
+    bi, uni = Counter(), Counter()
+    for r in docs:
+        ws = r["text"].strip().lower().split()
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] += 1
+            uni[a] += 1
+            uni[b] += 1
+    n_total = sum(bi.values())
+    out = text.token_collocations(spark, sf_dir).collect()
+    assert len(out) <= text.COLLOC_TOP_K
+    for r in out:
+        assert bi[(r["w1"], r["w2"])] == r["n_ab"]
+        assert r["n_ab"] >= text.COLLOC_MIN_COUNT
+        expect = r["n_ab"] * 4.0 * n_total / (uni[r["w1"]] * uni[r["w2"]])
+        assert abs(r["lift"] - expect) < 1.01e-4
+
+    cells = Counter((r["lang"], r["source"]) for r in docs)
+    per_lang = {}
+    for (lang, _), n in cells.items():
+        tot, sq, k = per_lang.get(lang, (0, 0, 0))
+        per_lang[lang] = (tot + n, sq + n * n, k + 1)
+    div = {r["lang"]: r for r in corpus.source_diversity_by_lang(spark, sf_dir).collect()}
+    assert set(div) == set(per_lang)
+    for lang, (tot, sq, k) in per_lang.items():
+        r = div[lang]
+        assert r["n_docs"] == tot and r["n_sources"] == k
+        assert abs(r["gini_simpson"] - (tot * tot - sq) / (tot * tot)) < 1.01e-4
+        assert abs(r["effective_sources"] - tot * tot / sq) < 1.01e-4
