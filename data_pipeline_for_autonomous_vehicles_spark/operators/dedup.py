@@ -807,6 +807,56 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --- detector agreement --------------------------------------------------------
+
+
+def near_dup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row cross-validation of the two near-dup detectors: MinHash-LSH
+    (set-Jaccard signal) vs SimHash Hamming bands (weighted-cosine
+    signal) — pair counts, overlap, and edge-set Jaccard. Low agreement is
+    expected and informative (the detectors target different similarity
+    notions); a sudden DROP across corpus snapshots means one detector's
+    buckets degenerated (cap eating a hot band) — this is the canary.
+
+    Scale: both edge lists come from their capped bucketed joins; the
+    overlap is an equi-join on (doc_a, doc_b). Pure integers + one int-div
+    share.
+    """
+    mh = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sh = simhash_hamming_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    n_mh = mh.agg(F.count(F.lit(1)).alias("n_minhash"))
+    n_sh = sh.agg(F.count(F.lit(1)).alias("n_simhash"))
+    n_both = mh.join(sh, ["doc_a", "doc_b"]).agg(F.count(F.lit(1)).alias("n_both"))
+    return (
+        n_mh.crossJoin(F.broadcast(n_sh))
+        .crossJoin(F.broadcast(n_both))
+        .withColumn("n_union", F.col("n_minhash") + F.col("n_simhash") - F.col("n_both"))
+        .withColumn(
+            "edge_jaccard",
+            F.expr("(n_both * 20000 + n_union) div (2 * n_union)").cast("double")
+            / F.lit(10000.0),
+        )
+    )
+
+
+def _sql_detector_agreement() -> str:
+    return f"""
+WITH mh AS (SELECT doc_a, doc_b FROM ({_sql_lsh_pairs()}) m),
+sh AS (SELECT doc_a, doc_b FROM ({_sql_simhash_hamming_pairs()}) s),
+s AS (
+  SELECT (SELECT COUNT(*) FROM mh) AS n_minhash,
+         (SELECT COUNT(*) FROM sh) AS n_simhash,
+         (SELECT COUNT(*) FROM mh JOIN sh USING (doc_a, doc_b)) AS n_both)
+SELECT CAST(n_minhash AS BIGINT) AS n_minhash,
+       CAST(n_simhash AS BIGINT) AS n_simhash,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(n_minhash + n_simhash - n_both AS BIGINT) AS n_union,
+       CAST((n_both * 20000 + (n_minhash + n_simhash - n_both))
+            // (2 * (n_minhash + n_simhash - n_both)) AS DOUBLE) / 10000.0 AS edge_jaccard
+FROM s
+"""
+
+
 # --- corpus heavy hitters ----------------------------------------------------
 
 HH_TOP_K = 20
@@ -1157,6 +1207,7 @@ QUERIES = {
     "minhash_estimate_audit": minhash_estimate_audit,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_hamming_pairs": simhash_hamming_pairs,
+    "near_dup_detector_agreement": near_dup_detector_agreement,
     "near_dup_clusters": near_dup_clusters,
     "frequent_shingles": frequent_shingles,
     "near_dup_cluster_sizes": near_dup_cluster_sizes,
@@ -1176,6 +1227,7 @@ ORACLES = {
     "minhash_estimate_audit": _sql_minhash_audit(),
     "simhash_fingerprints": _sql_simhash(),
     "simhash_hamming_pairs": _sql_simhash_hamming_pairs(),
+    "near_dup_detector_agreement": _sql_detector_agreement(),
     "near_dup_clusters": _sql_near_dup_clusters(),
     "frequent_shingles": _FREQ_SHINGLES_SQL,
     "near_dup_cluster_sizes": _sql_near_dup_cluster_sizes(),

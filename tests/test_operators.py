@@ -1484,3 +1484,16 @@ def test_autocorrelation_matches_numpy(spark, sf_dir):
         )
         assert abs(r["acf"] - exp) < 1.01e-6
         assert -1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9
+
+
+def test_detector_agreement_reconciles_with_pair_sets(spark, sf_dir):
+    """Counts in the agreement report equal recounts of the two pair
+    relations and their intersection."""
+    r = dedup.near_dup_detector_agreement(spark, sf_dir).collect()[0]
+    mh = {(p["doc_a"], p["doc_b"]) for p in dedup.minhash_lsh_pairs(spark, sf_dir).collect()}
+    sh = {(p["doc_a"], p["doc_b"]) for p in dedup.simhash_hamming_pairs(spark, sf_dir).collect()}
+    assert r["n_minhash"] == len(mh)
+    assert r["n_simhash"] == len(sh)
+    assert r["n_both"] == len(mh & sh)
+    assert r["n_union"] == len(mh | sh)
+    assert 0.0 <= r["edge_jaccard"] <= 1.0
