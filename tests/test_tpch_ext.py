@@ -109,3 +109,35 @@ def test_lead_time_percentiles_match_bruteforce(spark, sf_dir):
         assert r["p50_days"] == days[(50 * n + 99) // 100 - 1]
         assert r["p90_days"] == days[(90 * n + 99) // 100 - 1]
         assert r["max_days"] == days[-1]
+
+
+def test_second_order_gap_and_brand_returns(spark, sf_dir):
+    """Gap rows exist only for repeat customers and match a brute recount;
+    brand return shares partition correctly."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import tpch_ext
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from collections import defaultdict
+
+    out = {r["o_custkey"]: r for r in tpch_ext.customer_second_order_gap(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey").collect()
+    by_cust = defaultdict(list)
+    for r in orders:
+        by_cust[r["o_custkey"]].append((r["o_orderdate"], r["o_orderkey"]))
+    for c, rows in by_cust.items():
+        rows.sort()
+        if len(rows) >= 2:
+            r = out[c]
+            assert r["n_orders"] == len(rows)
+            assert r["first_date"] == rows[0][0]
+            assert r["second_date"] == rows[1][0]
+            assert r["gap_days"] == (rows[1][0] - rows[0][0]).days
+        else:
+            assert c not in out
+
+    br = tpch_ext.brand_return_rates(spark, sf_dir).collect()
+    for r in br:
+        assert r["n_lines"] >= tpch_ext.BRAND_MIN_LINES
+        assert 0 <= r["n_returned"] <= r["n_lines"]
+        assert 0.0 <= r["return_share"] <= 1.0
+    shares = [r["return_share"] for r in br]
+    assert shares == sorted(shares, reverse=True)
