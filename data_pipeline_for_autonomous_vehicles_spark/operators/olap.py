@@ -1301,6 +1301,67 @@ ORDER BY c_nationkey
 """
 
 
+# --- segment × priority revenue matrix ----------------------------------------
+
+
+def segment_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order count and exact revenue per (market segment, order priority)
+    cell, with each cell's share of its segment's revenue — the 5×5 mix
+    matrix behind Q3's single-segment slice (which segments' urgent orders
+    drive revenue?).
+
+    Scale: one orders scan, broadcast customer dim, 25-cell agg key; the
+    per-segment share comes from a window over the 25 cells, not the fact
+    table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+            ).alias("cents"),
+        )
+    )
+    seg = Window.partitionBy("c_mktsegment")
+    return (
+        cells.withColumn("seg_cents", F.sum("cents").over(seg))
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            "n_orders",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+            (
+                F.expr("(cents * 20000 + seg_cents) div (2 * seg_cents)").cast("double")
+                / F.lit(10000.0)
+            ).alias("segment_share"),
+        )
+        .orderBy("c_mktsegment", "o_orderpriority")
+    )
+
+
+_SEG_PRIO_SQL = """
+WITH cells AS (
+  SELECT c_mktsegment, o_orderpriority,
+         COUNT(*) AS n_orders,
+         SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY 1, 2),
+w AS (
+  SELECT *, SUM(cents) OVER (PARTITION BY c_mktsegment) AS seg_cents FROM cells)
+SELECT c_mktsegment, o_orderpriority,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST((cents * 20000 + seg_cents) // (2 * seg_cents) AS DOUBLE) / 10000.0
+         AS segment_share
+FROM w
+ORDER BY c_mktsegment, o_orderpriority
+"""
+
+
 # --- RFM segmentation --------------------------------------------------------
 
 _RFM_QS = (0.2, 0.4, 0.6, 0.8)
@@ -1527,6 +1588,7 @@ ORDER BY region
 
 QUERIES = {
     "customer_rfm_segments": customer_rfm_segments,
+    "segment_priority_matrix": segment_priority_matrix,
     "region_revenue_pareto": region_revenue_pareto,
     "value_outliers": value_outliers,
     "conversion_lift_by_nation": conversion_lift_by_nation,
@@ -1558,6 +1620,7 @@ QUERIES = {
 
 ORACLES = {
     "customer_rfm_segments": _sql_rfm(),
+    "segment_priority_matrix": _SEG_PRIO_SQL,
     "region_revenue_pareto": _PARETO_SQL,
     "value_outliers": _OUTLIERS_SQL,
     "conversion_lift_by_nation": _CONVERSION_LIFT_SQL,

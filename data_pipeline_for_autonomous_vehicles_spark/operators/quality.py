@@ -381,6 +381,123 @@ ORDER BY event_type
 """
 
 
+# --- five-number summary (boxplot) -------------------------------------------
+
+
+def value_five_number_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type boxplot summary of `value`: min / p25 / p50 / p75 / max,
+    IQR, and the count of Tukey outliers (outside [p25 − 1.5·IQR,
+    p75 + 1.5·IQR]) — the distribution snapshot every monitoring dashboard
+    draws first.
+
+    Same exact cell-CDF order statistics as `value_winsorized_stats`
+    (percentile_disc lower bound over cent cells, no per-group buffering);
+    the Tukey fence test is integer cross-multiplied (2·|dev| > 3·IQR in
+    cents), so outlier counts are exact in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("v_e2"),
+        )
+        .groupBy("event_type", "v_e2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    per_type = Window.partitionBy("event_type")
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("v_e2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cdf = (
+        cells.withColumn("n", F.sum("cnt").over(per_type))
+        .withColumn("running", F.sum("cnt").over(run))
+        .withColumn("k25", F.expr("(25 * n + 99) div 100"))
+        .withColumn("k50", F.expr("(50 * n + 99) div 100"))
+        .withColumn("k75", F.expr("(75 * n + 99) div 100"))
+    )
+    q = with_cdf.groupBy("event_type").agg(
+        F.min("n").alias("n"),
+        F.min("v_e2").alias("min_e2"),
+        F.min(F.when(F.col("running") >= F.col("k25"), F.col("v_e2"))).alias("p25_e2"),
+        F.min(F.when(F.col("running") >= F.col("k50"), F.col("v_e2"))).alias("p50_e2"),
+        F.min(F.when(F.col("running") >= F.col("k75"), F.col("v_e2"))).alias("p75_e2"),
+        F.max("v_e2").alias("max_e2"),
+    )
+    flagged = (
+        cells.join(F.broadcast(q), "event_type")
+        .withColumn("iqr_e2", F.col("p75_e2") - F.col("p25_e2"))
+        .withColumn(
+            "is_out",
+            (
+                (
+                    F.lit(2) * (F.col("p25_e2") - F.col("v_e2")) > F.lit(3) * F.col("iqr_e2")
+                )
+                | (
+                    F.lit(2) * (F.col("v_e2") - F.col("p75_e2")) > F.lit(3) * F.col("iqr_e2")
+                )
+            ).cast("long"),
+        )
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.min("n").alias("n"),
+            (F.min("min_e2").cast("double") / F.lit(100.0)).alias("min_value"),
+            (F.min("p25_e2").cast("double") / F.lit(100.0)).alias("p25"),
+            (F.min("p50_e2").cast("double") / F.lit(100.0)).alias("p50"),
+            (F.min("p75_e2").cast("double") / F.lit(100.0)).alias("p75"),
+            (F.min("max_e2").cast("double") / F.lit(100.0)).alias("max_value"),
+            (F.min("iqr_e2").cast("double") / F.lit(100.0)).alias("iqr"),
+            F.sum(F.col("cnt") * F.col("is_out")).alias("n_tukey_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_FIVE_NUM_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_e2,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+cdf AS (
+  SELECT *,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY v_e2
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+  FROM cells),
+q AS (
+  SELECT event_type, MIN(n) AS n, MIN(v_e2) AS min_e2,
+         MIN(CASE WHEN running >= (25 * n + 99) // 100 THEN v_e2 END) AS p25_e2,
+         MIN(CASE WHEN running >= (50 * n + 99) // 100 THEN v_e2 END) AS p50_e2,
+         MIN(CASE WHEN running >= (75 * n + 99) // 100 THEN v_e2 END) AS p75_e2,
+         MAX(v_e2) AS max_e2
+  FROM cdf GROUP BY event_type),
+flagged AS (
+  SELECT c.event_type, c.cnt, q.n, q.min_e2, q.p25_e2, q.p50_e2, q.p75_e2, q.max_e2,
+         q.p75_e2 - q.p25_e2 AS iqr_e2,
+         CASE WHEN 2 * (q.p25_e2 - c.v_e2) > 3 * (q.p75_e2 - q.p25_e2)
+                OR 2 * (c.v_e2 - q.p75_e2) > 3 * (q.p75_e2 - q.p25_e2)
+              THEN 1 ELSE 0 END AS is_out
+  FROM cells c JOIN q USING (event_type))
+SELECT event_type,
+       CAST(MIN(n) AS BIGINT) AS n,
+       CAST(MIN(min_e2) AS DOUBLE) / 100.0 AS min_value,
+       CAST(MIN(p25_e2) AS DOUBLE) / 100.0 AS p25,
+       CAST(MIN(p50_e2) AS DOUBLE) / 100.0 AS p50,
+       CAST(MIN(p75_e2) AS DOUBLE) / 100.0 AS p75,
+       CAST(MIN(max_e2) AS DOUBLE) / 100.0 AS max_value,
+       CAST(MIN(iqr_e2) AS DOUBLE) / 100.0 AS iqr,
+       CAST(SUM(cnt * is_out) AS BIGINT) AS n_tukey_outliers
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # --- median/MAD robust outlier gate ----------------------------------------
 
 # 3σ-equivalent MAD threshold: |x − med| > 3 · 1.4826 · MAD. 1.4826 is the
@@ -529,6 +646,7 @@ QUERIES = {
     "benford_audit": benford_audit,
     "value_winsorized_stats": value_winsorized_stats,
     "value_mad_outliers": value_mad_outliers,
+    "value_five_number_summary": value_five_number_summary,
 }
 
 ORACLES = {
@@ -537,4 +655,5 @@ ORACLES = {
     "benford_audit": _sql_benford(),
     "value_winsorized_stats": _WINSOR_SQL,
     "value_mad_outliers": _MAD_SQL,
+    "value_five_number_summary": _FIVE_NUM_SQL,
 }

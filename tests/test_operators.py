@@ -1497,3 +1497,41 @@ def test_detector_agreement_reconciles_with_pair_sets(spark, sf_dir):
     assert r["n_both"] == len(mh & sh)
     assert r["n_union"] == len(mh | sh)
     assert 0.0 <= r["edge_jaccard"] <= 1.0
+
+
+def test_five_number_and_segment_matrix_invariants(spark, sf_dir):
+    """Boxplot quartiles are ordered and match percentile_disc recounts;
+    segment matrix shares sum to 1 per segment and revenue reconciles."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import olap, quality
+    import math
+    from collections import defaultdict
+
+    out = {r["event_type"]: r for r in quality.value_five_number_summary(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r["event_type"]].append(int(math.floor(r["value"] * 100.0 + 0.5)))
+    for t, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        r = out[t]
+        assert r["min_value"] <= r["p25"] <= r["p50"] <= r["p75"] <= r["max_value"]
+        for p, col in ((25, "p25"), (50, "p50"), (75, "p75")):
+            assert r[col] == vals[(p * n + 99) // 100 - 1] / 100.0
+        iqr = r["p75"] - r["p25"]
+        n_out = sum(
+            1
+            for v in vals
+            if 2 * (r["p25"] * 100 - v) > 3 * iqr * 100 or 2 * (v - r["p75"] * 100) > 3 * iqr * 100
+        )
+        assert r["n_tukey_outliers"] == n_out
+
+    m = olap.segment_priority_matrix(spark, sf_dir).collect()
+    by_seg = defaultdict(float)
+    for r in m:
+        by_seg[r["c_mktsegment"]] += r["segment_share"]
+    for seg, s in by_seg.items():
+        assert abs(s - 1.0) < 5e-4  # 4dp rounding per cell, ≤5 cells
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice").collect()
+    total = sum(int(math.floor(r["o_totalprice"] * 100.0 + 0.5)) for r in orders) / 100.0
+    assert abs(sum(r["revenue"] for r in m) - total) < 1e-6 * total
