@@ -85,6 +85,82 @@ LIMIT {TOP_K}
 """
 
 
+# --- activity concentration (Gini) --------------------------------------------
+
+
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row Gini coefficient of event-count concentration across users —
+    the inequality number behind the hot-key story: G ≈ 0 means uniform
+    load, G → 1 means a few users generate everything (and their keys are
+    the ones `hot_keys_report` will flag and `salted_join` must split).
+
+    Exact, no per-user sort materialized globally: users collapse to
+    (events-per-user, n_users) CELLS; with cells ordered by value, the
+    rank-weighted sum Σ i·xᵢ expands per cell to
+    x·(c·p + c(c+1)/2) where p is the running count before the cell —
+    all int64. G = 2·Σi·xᵢ / (n·Σx) − (n+1)/n with one IEEE division per
+    term, round-half-up 6dp.
+
+    Scale: one fact shuffle to per-user counts, then value-domain-bounded
+    cells and a single ordered pass over them.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    cells = per_user.groupBy("x").agg(F.count(F.lit(1)).alias("c")).cache()
+    # running count p via a broadcast theta self-join over the VALUE-DOMAIN
+    # cells (cells² is domain-bounded) — keeps the registry-wide
+    # no-unpartitioned-window invariant absolute instead of special-casing
+    lower = cells.select(F.col("x").alias("xl"), F.col("c").alias("cl"))
+    with_p = (
+        cells.join(F.broadcast(lower), F.col("xl") < F.col("x"), "left")
+        .groupBy("x", "c")
+        .agg(F.coalesce(F.sum("cl"), F.lit(0)).alias("p"))
+    )
+    sums = with_p.agg(
+        F.sum(F.col("c")).alias("n_users"),
+        F.sum(F.col("x") * F.col("c")).alias("total_events"),
+        F.sum(
+            F.col("x")
+            * (F.col("c") * F.col("p") + F.expr("c * (c + 1) div 2"))
+        ).alias("rank_weighted"),
+    )
+    g = (
+        F.lit(2.0) * F.col("rank_weighted").cast("double")
+        / (F.col("n_users").cast("double") * F.col("total_events").cast("double"))
+        - (F.col("n_users") + 1).cast("double") / F.col("n_users").cast("double")
+    )
+    return sums.select(
+        "n_users",
+        "total_events",
+        round_half_up(g, 6).alias("gini"),
+    )
+
+
+def _sql_gini() -> str:
+    g = sql_round_half_up(
+        "2.0 * CAST(rank_weighted AS DOUBLE) / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE))"
+        " - CAST(n_users + 1 AS DOUBLE) / CAST(n_users AS DOUBLE)",
+        6,
+    )
+    return f"""
+WITH per_user AS (SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id),
+cells AS (SELECT x, COUNT(*) AS c FROM per_user GROUP BY x),
+with_p AS (
+  SELECT a.x, a.c, COALESCE(SUM(b.c), 0) AS p
+  FROM cells a LEFT JOIN cells b ON b.x < a.x
+  GROUP BY a.x, a.c),
+sums AS (
+  SELECT SUM(c) AS n_users,
+         SUM(x * c) AS total_events,
+         SUM(x * (c * p + (c * (c + 1)) // 2)) AS rank_weighted
+  FROM with_p)
+SELECT CAST(n_users AS BIGINT) AS n_users,
+       CAST(total_events AS BIGINT) AS total_events,
+       {g} AS gini
+FROM sums
+"""
+
+
 # --- count-min sketch audit -------------------------------------------------
 
 # CMS geometry: D independent hash rows × W counters. Overestimate bound:
@@ -309,9 +385,11 @@ QUERIES = {
     "hot_keys_report": hot_keys_report,
     "cms_token_counts": cms_token_counts,
     "bloom_filter_audit": bloom_filter_audit,
+    "user_activity_gini": user_activity_gini,
 }
 ORACLES = {
     "hot_keys_report": _sql_hot_keys(),
     "cms_token_counts": _sql_cms(),
     "bloom_filter_audit": _sql_bloom(),
+    "user_activity_gini": _sql_gini(),
 }

@@ -832,6 +832,65 @@ ORDER BY day
 """
 
 
+# --- stickiness (DAU/MAU) ------------------------------------------------------
+
+
+def monthly_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month engagement stickiness = mean DAU / MAU (the share of a
+    month's users active on an average day) — the engagement-quality
+    companion to `weekly_growth_accounting`'s volume view. Also reports
+    MAU, mean DAU, and days with activity.
+
+    Exactness: DAU and MAU are exact distinct counts from one (user, day)
+    dedup; stickiness = Σdau / (n_days · mau) in integer round-half-up.
+    The MAU distinct-aggregate runs on the already-deduped (user, day)
+    relation, so no distinct aggregate touches the fact table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct().cache()
+    with_m = ud.withColumn("month", F.trunc("day", "MM"))
+    dau = with_m.groupBy("month", "day").agg(F.count(F.lit(1)).alias("dau"))
+    per_month_days = dau.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("dau").alias("sum_dau")
+    )
+    mau = with_m.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        per_month_days.join(mau, "month")
+        .select(
+            "month",
+            "mau",
+            "n_days",
+            F.expr("(sum_dau * 20000 + n_days) div (2 * n_days)").cast("double").alias("_avg_dau_e4"),
+            F.expr("(sum_dau * 20000 + n_days * mau) div (2 * n_days * mau)").cast("double").alias("_stick_e4"),
+        )
+        .select(
+            "month",
+            "mau",
+            "n_days",
+            (F.col("_avg_dau_e4") / F.lit(10000.0)).alias("avg_dau"),
+            (F.col("_stick_e4") / F.lit(10000.0)).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
+
+
+_STICKINESS_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+wm AS (SELECT user_id, day, CAST(date_trunc('month', day) AS DATE) AS month FROM ud),
+dau AS (SELECT month, day, COUNT(*) AS dau FROM wm GROUP BY 1, 2),
+pmd AS (SELECT month, COUNT(*) AS n_days, SUM(dau) AS sum_dau FROM dau GROUP BY month),
+mau AS (SELECT month, COUNT(DISTINCT user_id) AS mau FROM wm GROUP BY month)
+SELECT p.month,
+       CAST(m.mau AS BIGINT) AS mau,
+       CAST(p.n_days AS BIGINT) AS n_days,
+       CAST((p.sum_dau * 20000 + p.n_days) // (2 * p.n_days) AS DOUBLE) / 10000.0 AS avg_dau,
+       CAST((p.sum_dau * 20000 + p.n_days * m.mau) // (2 * p.n_days * m.mau) AS DOUBLE)
+         / 10000.0 AS stickiness
+FROM pmd p JOIN mau m USING (month)
+ORDER BY p.month
+"""
+
+
 # --- cohort lifetime value -----------------------------------------------------
 
 
@@ -1146,6 +1205,7 @@ QUERIES = {
     "orders_monthly_yoy": orders_monthly_yoy,
     "weekly_growth_accounting": weekly_growth_accounting,
     "cohort_ltv": cohort_ltv,
+    "monthly_stickiness": monthly_stickiness,
     "hourly_event_ewma": hourly_event_ewma,
     "event_seasonality": event_seasonality,
     "inter_purchase_gaps": inter_purchase_gaps,
@@ -1166,6 +1226,7 @@ ORACLES = {
     "orders_monthly_yoy": _YOY_SQL,
     "weekly_growth_accounting": _GROWTH_SQL,
     "cohort_ltv": _COHORT_LTV_SQL,
+    "monthly_stickiness": _STICKINESS_SQL,
     "hourly_event_ewma": _EWMA_SQL,
     "event_seasonality": _SEASONALITY_SQL,
     "inter_purchase_gaps": _INTER_PURCHASE_SQL,

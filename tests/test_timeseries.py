@@ -247,3 +247,39 @@ def test_cohort_ltv_reconciles_with_retention_and_totals(spark, sf_dir):
         for r in rows:
             run += r["revenue"]
             assert abs(r["cum_revenue"] - run) < 1e-6
+
+
+def test_gini_and_stickiness_invariants(spark, sf_dir):
+    """Gini matches a literal sorted recount; stickiness = avg_dau/mau and
+    both are bounded."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import frequency, timeseries
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from collections import Counter, defaultdict
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    counts = Counter(r["user_id"] for r in ev)
+    xs = sorted(counts.values())
+    n = len(xs)
+    rank_weighted = sum((i + 1) * x for i, x in enumerate(xs))
+    expect = 2.0 * rank_weighted / (n * sum(xs)) - (n + 1) / n
+    r = frequency.user_activity_gini(spark, sf_dir).collect()[0]
+    assert r["n_users"] == n and r["total_events"] == sum(xs)
+    assert abs(r["gini"] - expect) < 1.01e-6
+    assert 0.0 <= r["gini"] < 1.0
+
+    months = defaultdict(lambda: (set(), defaultdict(set)))
+    for row in ev:
+        d = row["ts"].date()
+        m = d.replace(day=1)
+        months[m][0].add(row["user_id"])
+        months[m][1][d].add(row["user_id"])
+    out = {r["month"]: r for r in timeseries.monthly_stickiness(spark, sf_dir).collect()}
+    assert set(out) == set(months)
+    for m, (users, by_day) in months.items():
+        r = out[m]
+        assert r["mau"] == len(users)
+        assert r["n_days"] == len(by_day)
+        sum_dau = sum(len(u) for u in by_day.values())
+        assert abs(r["avg_dau"] - sum_dau / len(by_day)) < 1.01e-4
+        assert abs(r["stickiness"] - sum_dau / (len(by_day) * len(users))) < 1.01e-4
+        assert 0.0 < r["stickiness"] <= 1.0
