@@ -1301,6 +1301,83 @@ ORDER BY c_nationkey
 """
 
 
+# --- account-balance band activity ---------------------------------------------
+
+
+def acctbal_band_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer activity by account-balance quintile: per band, customer
+    count, how many ever ordered, order volume, and orders per active
+    customer — Q22's "wealthy but idle customers" question generalized
+    from one threshold to the full distribution.
+
+    Shape: quintile boundaries via `percentile` on the customer dim
+    (broadcast-assign, the `customer_spend_deciles` pattern), orders
+    pre-aggregated per customer before the join so the fact table is
+    touched once; 5-row output.
+    """
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    bounds = customer.agg(
+        *[F.percentile(F.col("c_acctbal"), F.lit(q)).alias(f"b{int(q * 10)}") for q in _RFM_QS]
+    )
+    band = (
+        F.lit(1)
+        + sum(
+            F.when(F.col("c_acctbal").cast("double") > F.col(f"b{int(q * 10)}"), 1).otherwise(0)
+            for q in _RFM_QS
+        )
+    ).cast("long")
+    return (
+        customer.crossJoin(F.broadcast(bounds))
+        .select("c_custkey", band.alias("balance_band"))
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("balance_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(F.col("n_orders").isNotNull(), 1).otherwise(0)).alias("n_active"),
+            F.sum(F.coalesce(F.col("n_orders"), F.lit(0))).alias("n_orders"),
+        )
+        .withColumn(
+            "orders_per_active",
+            F.when(
+                F.col("n_active") > 0,
+                F.expr("(n_orders * 20000 + n_active) div (2 * n_active)").cast("double")
+                / F.lit(10000.0),
+            ),
+        )
+        .orderBy("balance_band")
+    )
+
+
+def _sql_acctbal_bands() -> str:
+    bq = ", ".join(f"quantile_cont(c_acctbal, {q}) AS b{int(q * 10)}" for q in _RFM_QS)
+    band = " + ".join(
+        f"CASE WHEN CAST(c_acctbal AS DOUBLE) > b{int(q * 10)} THEN 1 ELSE 0 END"
+        for q in _RFM_QS
+    )
+    return f"""
+WITH bounds AS (SELECT {bq} FROM customer),
+per_cust AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),
+banded AS (
+  SELECT c_custkey, CAST(1 + {band} AS BIGINT) AS balance_band
+  FROM customer CROSS JOIN bounds)
+SELECT balance_band,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN p.n_orders IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+       CAST(SUM(COALESCE(p.n_orders, 0)) AS BIGINT) AS n_orders,
+       CASE WHEN SUM(CASE WHEN p.n_orders IS NOT NULL THEN 1 ELSE 0 END) > 0 THEN
+         CAST((SUM(COALESCE(p.n_orders, 0)) * 20000
+               + SUM(CASE WHEN p.n_orders IS NOT NULL THEN 1 ELSE 0 END))
+              // (2 * SUM(CASE WHEN p.n_orders IS NOT NULL THEN 1 ELSE 0 END)) AS DOUBLE)
+           / 10000.0
+       END AS orders_per_active
+FROM banded b LEFT JOIN per_cust p ON p.o_custkey = b.c_custkey
+GROUP BY balance_band
+ORDER BY balance_band
+"""
+
+
 # --- segment × priority revenue matrix ----------------------------------------
 
 
@@ -1589,6 +1666,7 @@ ORDER BY region
 QUERIES = {
     "customer_rfm_segments": customer_rfm_segments,
     "segment_priority_matrix": segment_priority_matrix,
+    "acctbal_band_activity": acctbal_band_activity,
     "region_revenue_pareto": region_revenue_pareto,
     "value_outliers": value_outliers,
     "conversion_lift_by_nation": conversion_lift_by_nation,
@@ -1621,6 +1699,7 @@ QUERIES = {
 ORACLES = {
     "customer_rfm_segments": _sql_rfm(),
     "segment_priority_matrix": _SEG_PRIO_SQL,
+    "acctbal_band_activity": _sql_acctbal_bands(),
     "region_revenue_pareto": _PARETO_SQL,
     "value_outliers": _OUTLIERS_SQL,
     "conversion_lift_by_nation": _CONVERSION_LIFT_SQL,

@@ -1535,3 +1535,19 @@ def test_five_number_and_segment_matrix_invariants(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").select("o_totalprice").collect()
     total = sum(int(math.floor(r["o_totalprice"] * 100.0 + 0.5)) for r in orders) / 100.0
     assert abs(sum(r["revenue"] for r in m) - total) < 1e-6 * total
+
+
+def test_acctbal_bands_partition_customers(spark, sf_dir):
+    """Bands partition the customer dim; activity counts reconcile with the
+    orders table."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import olap
+
+    out = olap.acctbal_band_activity(spark, sf_dir).collect()
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    assert sum(r["n_customers"] for r in out) == customer.count()
+    assert sum(r["n_orders"] for r in out) == orders.count()
+    assert sum(r["n_active"] for r in out) == orders.select("o_custkey").distinct().count()
+    for r in out:
+        assert 1 <= r["balance_band"] <= 5
+        assert 0 <= r["n_active"] <= r["n_customers"]
