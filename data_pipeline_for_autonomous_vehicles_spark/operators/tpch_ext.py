@@ -677,6 +677,82 @@ ORDER BY nationkey
 """
 
 
+# --- nation trade balance ------------------------------------------------------
+
+
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: revenue earned by its suppliers (exports) vs order spend
+    by its customers (imports), and the net balance — Q7's bilateral flows
+    collapsed to the one-row-per-nation ledger.
+
+    Exactness: both sides accumulate in 1e-4 fixed point (discounted line
+    revenue and order totals on the same grid), FULL OUTER joined so a
+    nation appearing on only one side still reports. Scale: two
+    independent fact aggregations (lineitem once, orders once), broadcast
+    dims, |nations| output rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_e4 = F.floor(_revenue() * F.lit(10_000.0) + F.lit(0.5)).cast("long")
+    exports = (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev_e4).alias("export_e4"))
+    )
+    spend_e4 = F.floor(F.col("o_totalprice") * F.lit(10_000.0) + F.lit(0.5)).cast("long")
+    imports = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(spend_e4).alias("import_e4"))
+    )
+    return (
+        exports.join(imports, "n_name", "full_outer")
+        .select(
+            F.col("n_name").alias("nation"),
+            (F.coalesce(F.col("export_e4"), F.lit(0)).cast("double") / F.lit(10000.0)).alias(
+                "export_revenue"
+            ),
+            (F.coalesce(F.col("import_e4"), F.lit(0)).cast("double") / F.lit(10000.0)).alias(
+                "import_spend"
+            ),
+            (
+                (F.coalesce(F.col("export_e4"), F.lit(0)) - F.coalesce(F.col("import_e4"), F.lit(0)))
+                .cast("double")
+                / F.lit(10000.0)
+            ).alias("net_balance"),
+        )
+        .orderBy("nation")
+    )
+
+
+_TRADE_BALANCE_SQL = f"""
+WITH exports AS (
+  SELECT n_name, SUM(CAST(FLOOR(({_SQL_REV}) * 10000.0 + 0.5) AS BIGINT)) AS export_e4
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  GROUP BY n_name),
+imports AS (
+  SELECT n_name, SUM(CAST(FLOOR(o_totalprice * 10000.0 + 0.5) AS BIGINT)) AS import_e4
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY n_name)
+SELECT COALESCE(e.n_name, i.n_name) AS nation,
+       CAST(COALESCE(e.export_e4, 0) AS DOUBLE) / 10000.0 AS export_revenue,
+       CAST(COALESCE(i.import_e4, 0) AS DOUBLE) / 10000.0 AS import_spend,
+       CAST(COALESCE(e.export_e4, 0) - COALESCE(i.import_e4, 0) AS DOUBLE) / 10000.0
+         AS net_balance
+FROM exports e FULL OUTER JOIN imports i ON i.n_name = e.n_name
+ORDER BY nation
+"""
+
+
 # --- repeat-purchase onboarding gap -------------------------------------------
 
 
@@ -868,6 +944,7 @@ ORDER BY l_suppkey
 QUERIES = {
     "supplier_lead_time_percentiles": supplier_lead_time_percentiles,
     "customer_second_order_gap": customer_second_order_gap,
+    "nation_trade_balance": nation_trade_balance,
     "brand_return_rates": brand_return_rates,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
@@ -887,6 +964,7 @@ QUERIES = {
 ORACLES = {
     "supplier_lead_time_percentiles": _LEAD_TIME_SQL,
     "customer_second_order_gap": _SECOND_ORDER_SQL,
+    "nation_trade_balance": _TRADE_BALANCE_SQL,
     "brand_return_rates": _BRAND_RETURNS_SQL,
     "q2_min_cost_supplier": _Q2_SQL,
     "q8_market_share": _Q8_SQL,

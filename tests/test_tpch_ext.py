@@ -141,3 +141,24 @@ def test_second_order_gap_and_brand_returns(spark, sf_dir):
         assert 0.0 <= r["return_share"] <= 1.0
     shares = [r["return_share"] for r in br]
     assert shares == sorted(shares, reverse=True)
+
+
+def test_trade_balance_conserves_totals(spark, sf_dir):
+    """Exports sum to total discounted lineitem revenue; imports sum to
+    total order value; net sums to the difference."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import tpch_ext
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from pyspark.sql import functions as F
+    import math
+
+    out = tpch_ext.nation_trade_balance(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice", "l_discount").collect()
+    total_rev = sum(
+        int(math.floor(r["l_extendedprice"] * (1.0 - r["l_discount"]) * 1e4 + 0.5)) for r in li
+    ) / 1e4
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice").collect()
+    total_spend = sum(int(math.floor(r["o_totalprice"] * 1e4 + 0.5)) for r in orders) / 1e4
+    assert abs(sum(r["export_revenue"] for r in out) - total_rev) < 1e-6 * total_rev
+    assert abs(sum(r["import_spend"] for r in out) - total_spend) < 1e-6 * total_spend
+    for r in out:
+        assert abs(r["net_balance"] - (r["export_revenue"] - r["import_spend"])) < 1e-6
