@@ -191,10 +191,13 @@ def _common_shingle_pairs(docs: DataFrame):
     MAX_BUCKET or shingling change cannot desynchronize them."""
     sh = _shingles_df(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= MAX_BUCKET
+    # Broadcast the *hot* shingle list (df > MAX_BUCKET — bounded by
+    # |postings|/MAX_BUCKET, small by construction) and anti-join, rather
+    # than broadcasting the kept set, which is data-sized at 100 TB.
+    hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") > MAX_BUCKET
     )
-    sh_kept = sh.join(F.broadcast(freq.select("shingle")), "shingle")
+    sh_kept = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     a = sh_kept.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh_kept.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
@@ -207,19 +210,17 @@ def _common_shingle_pairs(docs: DataFrame):
 
 
 def _sized_pairs(common: DataFrame, sizes: DataFrame) -> DataFrame:
-    """Attach size_a/size_b to the candidate pairs (broadcast dim joins)."""
+    """Attach size_a/size_b to the candidate pairs. `sizes` is one row per
+    document — data-sized at production scale — so these are plain shuffle
+    equi-joins (AQE may still elect broadcast at small SFs)."""
     return common.join(
-        F.broadcast(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                "n_shingles", "size_a"
-            )
+        sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+            "n_shingles", "size_a"
         ),
         "doc_a",
     ).join(
-        F.broadcast(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "n_shingles", "size_b"
-            )
+        sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+            "n_shingles", "size_b"
         ),
         "doc_b",
     )
@@ -591,8 +592,8 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = (
         est.join(inter, ["doc_a", "doc_b"], "left")
-        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a")), "doc_a")
-        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b")), "doc_b")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
         .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
         .withColumn("n_union", F.col("size_a") + F.col("size_b") - F.col("n_inter"))
         .withColumn("est4", F.col("est_matches").cast("long") * _EST_UNIT)

@@ -160,13 +160,16 @@ def fuzzy_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.levenshtein("name_a", "name_b") <= MAX_EDIT_DISTANCE)
         .select((F.col("block_a") == F.col("block_b")).cast("long").alias("same_block"))
     )
-    n_names = names.count()
+    # in-plan 1-row scalar (fleet_summary pattern) — building this query must
+    # not trigger a Spark job; a driver-side count() here made every
+    # registry-wide plan sweep eagerly materialize the cache
+    n_names = names.agg(F.count(F.lit(1)).cast("long").alias("n_names_sampled"))
     return (
         true_pairs.agg(
             F.count(F.lit(1)).alias("n_true_pairs"),
             F.sum("same_block").alias("n_found_by_blocking"),
         )
-        .withColumn("n_names_sampled", F.lit(n_names).cast("long"))
+        .crossJoin(F.broadcast(n_names))
         .withColumn(
             "recall_share",
             F.expr(

@@ -1011,7 +1011,7 @@ def weekly_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = uw.groupBy("user_id").agg(F.min("week").alias("first_week"))
     prev = uw.select("user_id", (F.col("week") + 1).alias("week"), F.lit(1).alias("active_prev"))
     classified = (
-        uw.join(F.broadcast(first), "user_id")
+        uw.join(first, "user_id")
         .join(prev, ["user_id", "week"], "left")
         .select(
             "week",

@@ -249,20 +249,46 @@ def _tie_aware_running(
     cume counts = rows_before + cnt.
     """
     okey = F.col(order_col).asc() if ascending else F.col(order_col).desc()
-    d = dist.repartitionByRange(
-        n_parts, *[F.col(c) for c in part_cols], okey
-    ).withColumn("_pid", F.spark_partition_id())
-    # Materialize ONCE before fanning out. `d` feeds two plan branches
-    # (per-partition subtotals + the join-back); without this they compile
-    # to two independent rangepartitioning exchanges (no ReusedExchange —
-    # verified on the executed plan), and the RangePartitioner re-SAMPLES
-    # boundaries per exchange with an RDD-id-derived seed, so the same key
-    # can land in different `_pid`s across branches — silently corrupting
-    # every offset. Checkpointing pins one physical partitioning for all
-    # consumers; the table is the distinct-key reduction (≪ fact size), so
-    # the materialization cost is bounded.
-    d = d.localCheckpoint(eager=True)
-    seg = d.groupBy("_pid", *part_cols).agg(
+    # Data-derived range-partition id. `d` feeds two plan branches
+    # (per-partition subtotals + the join-back); a repartitionByRange +
+    # spark_partition_id() here would compile to two independent
+    # rangepartitioning exchanges whose RangePartitioner re-SAMPLES
+    # boundaries with an RDD-id-derived seed — the same key landing in
+    # different `_pid`s across branches silently corrupts every offset
+    # (round-2 fix: eager localCheckpoint; this version removes the
+    # materialization). Instead the split points are an explicit
+    # percentile_approx boundary array — a deterministic aggregate of the
+    # deterministic distinct-key table, so both branches recompute the
+    # IDENTICAL assignment (and Catalyst reuses the exchange for the
+    # boundary subtree). `_pid` = #boundaries strictly before the key in
+    # query order: a pure function of the key, monotone along `okey`,
+    # which is all the offset algebra below needs.
+    if n_parts > 1:
+        probs = [i / n_parts for i in range(1, n_parts)]
+        bounds = dist.agg(
+            F.percentile_approx(F.col(order_col), F.array(*[F.lit(p) for p in probs])).alias("_bs")
+        )
+        before = (lambda b: b < F.col(order_col)) if ascending else (
+            lambda b: b > F.col(order_col)
+        )
+        d = (
+            dist.crossJoin(F.broadcast(bounds))
+            .withColumn("_pid", F.size(F.filter(F.col("_bs"), before)))
+            .drop("_bs")
+        )
+    else:
+        d = dist.withColumn("_pid", F.lit(0))
+    # Intra-partition running counts first; the per-partition subtotals are
+    # then an aggregate OVER THE WINDOWED FRAME, so both consumers share the
+    # single hashpartitioning(_pid, part_cols) exchange under the window
+    # (ReusedExchange at runtime) instead of re-deriving the distinct-key
+    # table from the fact scan per branch.
+    wloc = Window.partitionBy("_pid", *part_cols).orderBy(okey)
+    run = F.sum("cnt").over(wloc.rowsBetween(Window.unboundedPreceding, -1))
+    ann = d.withColumn("_run", F.coalesce(run, F.lit(0))).withColumn(
+        "_krun", F.row_number().over(wloc) - 1
+    )
+    seg = ann.groupBy("_pid", *part_cols).agg(
         F.sum("cnt").alias("_rows"), F.count(F.lit(1)).alias("_keys")
     )
     # Prefix offsets over the tiny per-partition subtotal table via a
@@ -279,13 +305,11 @@ def _tie_aware_running(
             F.coalesce(F.sum("b._keys"), F.lit(0)).alias("_keys_off"),
         )
     )
-    wloc = Window.partitionBy("_pid", *part_cols).orderBy(okey)
-    run = F.sum("cnt").over(wloc.rowsBetween(Window.unboundedPreceding, -1))
     return (
-        d.join(F.broadcast(offs), ["_pid", *part_cols])
-        .withColumn("rows_before", F.col("_rows_off") + F.coalesce(run, F.lit(0)))
-        .withColumn("keys_before", F.col("_keys_off") + F.row_number().over(wloc) - 1)
-        .drop("_pid", "_rows_off", "_keys_off")
+        ann.join(F.broadcast(offs), ["_pid", *part_cols])
+        .withColumn("rows_before", F.col("_rows_off") + F.col("_run"))
+        .withColumn("keys_before", F.col("_keys_off") + F.col("_krun"))
+        .drop("_pid", "_rows_off", "_keys_off", "_run", "_krun")
     )
 
 

@@ -15,10 +15,69 @@ benefits on a real write→read cycle:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PARTITION_COL = "event_date"
+
+
+def export_csv(df: DataFrame, path: str, single_file: bool = True) -> str:
+    """CSV export sink (SURVEY §2.1 S10) — the reference dumps query results
+    and whole tables to ``results/*.csv`` with a header row
+    (scripts/export_results.py:31-75, scripts/run_full_pipeline_local.py:218-245).
+
+    ``single_file=True`` matches the reference's shape (one headered file per
+    result): the frame is coalesced to one task, written by Spark's CSV
+    writer, and the part file is moved to ``path``. This is for
+    dashboard/report-sized results — the reference's exports are all metric
+    outputs or local-mode tables. For genuinely large tables pass
+    ``single_file=False`` and ``path`` becomes a directory of headered part
+    files, one per partition, written fully distributed (no driver
+    bottleneck, no coalesce).
+
+    Returns the written path.
+    """
+    writer = (
+        (df.coalesce(1) if single_file else df)
+        .write.option("header", True)
+        # full microsecond precision — the default .SSS truncates micros and
+        # a re-import would silently disagree with the source frame
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .mode("overwrite")
+    )
+    if not single_file:
+        writer.csv(path)
+        return path
+    tmp = tempfile.mkdtemp(prefix="export_csv_")
+    try:
+        out_dir = os.path.join(tmp, "out")
+        writer.csv(out_dir)
+        part = glob.glob(os.path.join(out_dir, "part-*.csv"))[0]
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        shutil.move(part, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def export_metric_results(spark: SparkSession, sf_dir: str, out_dir: str) -> list[str]:
+    """Mirror of the reference's ``scripts/export_results.py`` driver: run
+    each headline metric query and dump it to ``<out_dir>/<name>.csv`` (one
+    headered file per query, same filenames modulo the engine's query
+    names). Returns the list of files written."""
+    from .operators import metrics as _metrics
+
+    written = []
+    for name, fn in _metrics.QUERIES.items():
+        path = os.path.join(out_dir, f"{name}.csv")
+        export_csv(fn(spark, sf_dir), path)
+        written.append(path)
+    return written
 
 
 def write_time_partitioned(

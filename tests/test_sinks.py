@@ -138,3 +138,64 @@ def test_exactly_once_sink_idempotent_on_replay(spark, sf_dir, tmp_path):
     assert out.count() == 2 * n
     # batch_id and event_date are partition columns readers can prune on
     assert {"batch_id", "event_date"} <= set(out.columns)
+
+
+def test_csv_export_sink_round_trips(spark, sf_dir, tmp_path):
+    """S10 (SURVEY §2.1): the reference dumps query results and whole tables
+    to headered CSVs (scripts/export_results.py:31-75,
+    scripts/run_full_pipeline_local.py:218-245). All four reference export
+    shapes: (1) per-query metric result, (2) whole-table dump, (3) aggregate
+    summary, (4) the distributed multi-part variant for large tables."""
+    from data_pipeline_for_autonomous_vehicles_spark.sinks import export_csv
+    from data_pipeline_for_autonomous_vehicles_spark.operators.metrics import (
+        latest_telemetry,
+        perception_summary,
+    )
+
+    def _read_back(df, path):
+        return (
+            spark.read.schema(df.schema)
+            .option("header", True)
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .csv(path)
+        )
+
+    # (1) per-query metric result — single headered file, values round-trip
+    lt = latest_telemetry(spark, sf_dir)
+    p = export_csv(lt, str(tmp_path / "latest_telemetry.csv"))
+    assert os.path.isfile(p)
+    with open(p) as f:
+        assert f.readline().strip().split(",") == lt.columns
+    back = _read_back(lt, p)
+    assert back.exceptAll(lt).count() == 0 and lt.exceptAll(back).count() == 0
+
+    # (2) whole-table dump (reference: vehicle_telemetry/alerts/perception)
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    p2 = export_csv(ev, str(tmp_path / "events_sample.csv"))
+    assert _read_back(ev, p2).count() == 500
+
+    # (3) aggregate summary (telemetry_summary.csv shape)
+    ps = perception_summary(spark, sf_dir)
+    p3 = export_csv(ps, str(tmp_path / "perception_summary_24h.csv"))
+    back3 = _read_back(ps, p3)
+    assert back3.exceptAll(ps).count() == 0 and ps.exceptAll(back3).count() == 0
+
+    # (4) large-table path: distributed directory of headered parts
+    p4 = export_csv(ev.repartition(4), str(tmp_path / "events_dir"), single_file=False)
+    parts = glob.glob(os.path.join(p4, "part-*.csv"))
+    assert len(parts) == 4
+    assert _read_back(ev, p4).count() == 500
+
+
+def test_export_metric_results_matches_reference_driver(spark, sf_dir, tmp_path):
+    """export_metric_results mirrors scripts/export_results.py: one CSV per
+    headline metric query, each headered and non-empty."""
+    from data_pipeline_for_autonomous_vehicles_spark.sinks import export_metric_results
+    from data_pipeline_for_autonomous_vehicles_spark.operators import metrics as m
+
+    out = export_metric_results(spark, sf_dir, str(tmp_path / "results"))
+    assert len(out) == len(m.QUERIES)
+    for path in out:
+        assert os.path.isfile(path)
+        with open(path) as f:
+            assert "," in f.readline() or f.readline()  # headered

@@ -103,6 +103,9 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # release per-query .cache()s (LSH signatures, shingle frames, …)
+            # so a full-registry sweep doesn't accumulate executor memory
+            spark.catalog.clearCache()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
