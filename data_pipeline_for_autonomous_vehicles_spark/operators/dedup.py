@@ -394,11 +394,10 @@ def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
     return df.join(ok, keys, "left_semi")
 
 
-def _lsh_candidates(sigs: DataFrame) -> DataFrame:
-    """Distinct candidate pairs (doc_a < doc_b) from the banded signature
-    equi-join, with the MAX_BUCKET degenerate-bucket cap applied. Shared by
-    `minhash_lsh_pairs` and `minhash_estimate_audit` so the candidate set
-    cannot desynchronize between the pair report and its quality audit."""
+def _banded(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash): each signature exploded into its LSH
+    band postings — the single definition of the banding, shared by the
+    candidate join and the cap-drop audit."""
     band_structs = F.array(
         *[
             F.struct(
@@ -416,9 +415,17 @@ def _lsh_candidates(sigs: DataFrame) -> DataFrame:
             for b in range(LSH_BANDS)
         ]
     )
-    banded = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
+    return sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
     )
+
+
+def _lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) from the banded signature
+    equi-join, with the MAX_BUCKET degenerate-bucket cap applied. Shared by
+    `minhash_lsh_pairs` and `minhash_estimate_audit` so the candidate set
+    cannot desynchronize between the pair report and its quality audit."""
+    banded = _banded(sigs)
     # Per-bucket size guard (VERDICT r1 task 5): a degenerate band hash —
     # e.g. a signature band shared by boilerplate-heavy documents — makes
     # one bucket quadratic at 100 TB. Same cap idea as the shingle
@@ -505,6 +512,48 @@ FROM cand
 JOIN sigs sa ON sa.doc_id = doc_a
 JOIN sigs sb ON sb.doc_id = doc_b
 ORDER BY doc_a, doc_b
+"""
+
+
+def lsh_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the MAX_BUCKET degenerate-bucket cap actually DROPS — the
+    "no silent caps" audit for the banded LSH join: total band buckets,
+    buckets over the cap, postings (doc, band) removed by the cap, and the
+    within-bucket comparisons the cap eliminated vs kept
+    (n·(n−1)/2 per bucket; comparisons, not distinct pairs — a pair
+    colliding in two bands counts twice, which is exactly the join fan-out
+    the cap bounds).
+
+    Scale: bucket sizes are one hash agg over the banded postings; the
+    report is a 1-row rollup of that table. dropped_comparisons is the
+    number a real 100 TB run should alert on — a spike means boilerplate
+    is saturating a band and recall is silently degrading."""
+    bs = _banded(_minhash_signatures(spark, sf_dir)).groupBy(
+        "band_id", "band_hash"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    pairs = F.expr("(n * (n - 1)) div 2")  # int64 — n·(n−1) is even
+    dropped = F.col("n") > MAX_BUCKET
+    return bs.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(dropped.cast("long")).alias("n_buckets_dropped"),
+        F.sum(F.when(dropped, F.col("n")).otherwise(0)).cast("long").alias("n_postings_dropped"),
+        F.sum(F.when(dropped, pairs).otherwise(0)).cast("long").alias("dropped_comparisons"),
+        F.sum(F.when(~dropped, pairs).otherwise(0)).cast("long").alias("kept_comparisons"),
+    )
+
+
+_LSH_CAP_REPORT_SQL = f"""
+WITH {_sql_minhash_cte()},
+{_sql_lsh_cand_ctes()},
+bs AS (
+  SELECT band_id, band_hash, COUNT(*) AS n
+  FROM banded GROUP BY band_id, band_hash)
+SELECT COUNT(*) AS n_buckets,
+       CAST(SUM(CASE WHEN n > {MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_dropped,
+       CAST(SUM(CASE WHEN n > {MAX_BUCKET} THEN n ELSE 0 END) AS BIGINT) AS n_postings_dropped,
+       CAST(SUM(CASE WHEN n > {MAX_BUCKET} THEN (n * (n - 1)) // 2 ELSE 0 END) AS BIGINT) AS dropped_comparisons,
+       CAST(SUM(CASE WHEN n <= {MAX_BUCKET} THEN (n * (n - 1)) // 2 ELSE 0 END) AS BIGINT) AS kept_comparisons
+FROM bs
 """
 
 
@@ -1205,6 +1254,7 @@ QUERIES = {
     "ngram_containment_pairs": ngram_containment_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "lsh_cap_report": lsh_cap_report,
     "minhash_estimate_audit": minhash_estimate_audit,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_hamming_pairs": simhash_hamming_pairs,
@@ -1225,6 +1275,7 @@ ORACLES = {
     "ngram_containment_pairs": _NGRAM_CONTAINMENT_SQL,
     "minhash_signatures": _MINHASH_SIG_SQL,
     "minhash_lsh_pairs": _sql_lsh_pairs(),
+    "lsh_cap_report": _LSH_CAP_REPORT_SQL,
     "minhash_estimate_audit": _sql_minhash_audit(),
     "simhash_fingerprints": _sql_simhash(),
     "simhash_hamming_pairs": _sql_simhash_hamming_pairs(),

@@ -57,49 +57,73 @@ _OMB = 1.0 - B
 
 
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-K documents for QUERY_TERMS by BM25, tie-broken by doc_id."""
+    """Top-K documents for QUERY_TERMS by BM25, tie-broken by doc_id.
+
+    QUERY_TERMS is a plan-time constant, so tf/dl per query term are
+    per-document ARRAY EXPRESSIONS over the tokenized text — there is no
+    (doc, term) shuffle anywhere: pass 1 is a map-side reduce to the 1-row
+    corpus stats (n_docs, avgdl, per-term df), pass 2 re-scans docs,
+    broadcasts the stats row, scores each doc in closed form, and finishes
+    with a TakeOrderedAndProject. The previous form re-derived a corpus-
+    sized (doc, term) hash aggregate in four plan branches (14 exchanges);
+    this one has two scans and the stats singleton. Per-(doc, term)
+    arithmetic is written token-for-token like the oracle, and contributions
+    are exact int64 (floor(x·1e6+0.5)) before the per-doc sum, so results
+    are bit-identical."""
     docs = load_table(spark, sf_dir, "documents")
-    terms = docs.select(
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    nq = len(QUERY_TERMS)
+
+    def _tf(term: str) -> F.Column:
+        # NB: a single-arg lambda — a 2-arg lambda would bind PySpark's
+        # (element, index) higher-order convention, not a Python closure
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("long")
+
+    base = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
-    ).filter(F.col("term") != "")
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    tfq = tf.filter(F.col("term").isin(*QUERY_TERMS))
-    df_ = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scalars = (
-        docs.agg(F.count(F.lit(1)).alias("n_docs"))
-        .crossJoin(tf.agg(F.sum("tf").alias("total_tokens")))
-        .select(
-            "n_docs",
-            (F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")).alias(
-                "avgdl"
-            ),
+        F.size(toks).cast("long").alias("dl"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(QUERY_TERMS)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(nq)
+        ],
+    ).select(
+        "n_docs",
+        (F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avgdl"
+        ),
+        *[F.col(f"df_{i}") for i in range(nq)],
+    )
+
+    def _contrib_e6(i: int) -> F.Column:
+        tf = F.col(f"tf_{i}").cast("double")
+        dfi = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - dfi + F.lit(0.5)) / (dfi + F.lit(0.5))
         )
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
-        / (F.col("df").cast("double") + F.lit(0.5))
-    )
-    norm = (F.col("tf").cast("double") * F.lit(_K1P1)) / (
-        F.col("tf").cast("double")
-        + F.lit(K1)
-        * (
-            F.lit(_OMB)
-            + F.lit(B) * F.col("dl").cast("double") / F.col("avgdl")
+        norm = (tf * F.lit(_K1P1)) / (
+            tf
+            + F.lit(K1)
+            * (F.lit(_OMB) + F.lit(B) * F.col("dl").cast("double") / F.col("avgdl"))
         )
-    )
-    contrib_e6 = F.floor(idf * norm * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+        return F.when(
+            F.col(f"tf_{i}") > 0,
+            F.floor(idf * norm * F.lit(1_000_000.0) + F.lit(0.5)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    n_matched = sum((F.col(f"tf_{i}") > 0).cast("long") for i in range(nq))
+    bm25 = sum(_contrib_e6(i) for i in range(nq)).cast("double") / F.lit(1_000_000.0)
     scored = (
-        tfq.join(dl, "doc_id")
-        .join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(scalars))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_matched_terms"),
-            (F.sum(contrib_e6).cast("double") / F.lit(1_000_000.0)).alias("bm25"),
-        )
+        base.crossJoin(F.broadcast(stats))
+        .filter(n_matched >= 1)
+        .select("doc_id", n_matched.alias("n_matched_terms"), bm25.alias("bm25"))
     )
     # top-k first (TakeOrderedAndProject over the per-doc relation); the
     # display rank over the K survivors comes from rank_of_topk's broadcast

@@ -261,13 +261,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     cents = _centroids(emb)
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cent_id"))
+    # map-side argmax: centroids folded into one broadcast row; struct
+    # array_min over (-cosine, cent_id) = highest cosine, ties to lowest
+    # cent_id — the corpus never shuffles and never fans out K candidate
+    # rows (the previous row_number-over-(vec_id) form shuffled it)
+    c_row = cents.agg(F.array_sort(F.collect_list(F.struct("cent_id", "cemb"))).alias("_ce"))
+    best = F.array_min(
+        F.transform(
+            F.col("_ce"),
+            lambda e: F.struct(
+                (-_cosine(F.col("emb"), e["cemb"])).alias("negc"),
+                e["cent_id"].alias("cent_id"),
+            ),
+        )
+    )
     assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("c", _cosine(F.col("emb"), F.col("cemb")))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", F.col("cent_id").alias("cell"))
+        emb.crossJoin(F.broadcast(c_row))
+        .select("vec_id", "emb", best["cent_id"].alias("cell"))
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("cent_id"))
     probes = (
@@ -661,15 +671,23 @@ def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
 
 
 def _km_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: k is tiny → broadcast the centroid table,
-    so the corpus never shuffles; ties break to the lowest cluster id."""
-    w = Window.partitionBy("vec_id").orderBy("sqdist", "cid")
-    return (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn("sqdist", _sq_dist(F.col("sx"), F.col("c")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sx", "cid", "sqdist")
+    """Nearest-centroid assignment, fully map-side: the centroid table is
+    folded into ONE row (array of (cid, c) structs), broadcast, and the
+    argmin is an array expression per corpus row — the corpus neither
+    shuffles nor fans out k candidate rows (the previous row_number-over-
+    (vec_id) form shuffled the whole corpus per Lloyd round). Ties break to
+    the lowest cluster id via lexicographic struct ordering."""
+    cb = cents.agg(F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("_cb"))
+    best = F.array_min(
+        F.transform(
+            F.col("_cb"),
+            lambda e: F.struct(
+                _sq_dist(F.col("sx"), e["c"]).alias("sqdist"), e["cid"].alias("cid")
+            ),
+        )
+    )
+    return vecs.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "sx", best["cid"].alias("cid"), best["sqdist"].alias("sqdist")
     )
 
 
@@ -815,16 +833,33 @@ def _pq_subvectors(vecs: DataFrame) -> DataFrame:
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
 
 
+def _pq_cb_row(cents: DataFrame) -> DataFrame:
+    """All M codebooks folded into one broadcastable row: a sorted array of
+    (m, cid, c) structs — M·K entries regardless of corpus size."""
+    return cents.agg(F.array_sort(F.collect_list(F.struct("m", "cid", "c"))).alias("_cb"))
+
+
+def _pq_best(sv: F.Column, m: F.Column) -> F.Column:
+    """struct(d, cid) of the nearest codeword to subvector `sv` in codebook
+    `m`, evaluated against the broadcast `_cb` array — pure map-side
+    expression, ties to the lowest cid via lexicographic struct ordering."""
+    cands = F.filter(F.col("_cb"), lambda e: e["m"] == m)
+    return F.array_min(
+        F.transform(
+            cands,
+            lambda e: F.struct(_sq_dist(sv, e["c"]).alias("d"), e["cid"].alias("cid")),
+        )
+    )
+
+
 def _pq_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-codeword assignment per (m, vec_id): broadcast codebooks,
-    map-side row_number over M·K candidates, ties to the lowest cid."""
-    w = Window.partitionBy("m", "vec_id").orderBy("sqdist", "cid")
+    """Nearest-codeword assignment per (m, vec_id): the codebooks collapse
+    to one broadcast row and the argmin is an array expression — the
+    subvector frame never shuffles and never fans out K candidate rows
+    (the previous row_number-over-(m, vec_id) form shuffled the corpus)."""
     return (
-        subs.join(F.broadcast(cents), "m")
-        .withColumn("sqdist", _sq_dist(F.col("sv"), F.col("c")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("m", "vec_id", "sv", "cid")
+        subs.crossJoin(F.broadcast(_pq_cb_row(cents)))
+        .select("m", "vec_id", "sv", _pq_best(F.col("sv"), F.col("m"))["cid"].alias("cid"))
     )
 
 
@@ -872,31 +907,48 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select("vec_id", _scaled_vec(F.col("embedding")).alias("sx"))
     cents = _pq_codebooks(vecs)
 
-    subs = _pq_subvectors(vecs)
-    codes = _pq_assign(subs, cents).select("vec_id", "m", "cid")
-
-    # ADC table: per (m, cid) the exact int64 distance from the query's
-    # m-th subvector to that centroid
-    qsubs = subs.filter(F.col("vec_id") == QUERY_VEC).select(
-        "m", F.col("sv").alias("qsv")
-    )
-    adc = (
-        cents.join(F.broadcast(qsubs), "m")
-        .select("m", "cid", _sq_dist(F.col("qsv"), F.col("c")).alias("d"))
-    )
-
-    approx = (
-        codes.join(F.broadcast(adc), ["m", "cid"])
-        .groupBy("vec_id")
-        .agg(F.sum("d").cast("long").alias("approx_sqdist"))
-    )
+    # One broadcast row carries the codebooks, the query vector, and the
+    # precomputed ADC entries (per (m, cid) the int64 distance from the
+    # query's m-th subvector to that codeword). Encoding + ADC lookup +
+    # exact audit distance are then ONE map-side pass over the corpus —
+    # no explode, no per-vector groupBy, no corpus shuffle — finished by a
+    # TakeOrderedAndProject.
     qv = vecs.filter(F.col("vec_id") == QUERY_VEC).select(F.col("sx").alias("qsx"))
-    exact = vecs.crossJoin(F.broadcast(qv)).select(
-        "vec_id", _sq_dist(F.col("sx"), F.col("qsx")).alias("exact_sqdist")
+    ctx = (
+        _pq_cb_row(cents)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "qsx",
+            F.transform(
+                F.col("_cb"),
+                lambda e: F.struct(
+                    e["m"].alias("m"),
+                    e["cid"].alias("cid"),
+                    _sq_dist(
+                        F.slice(F.col("qsx"), e["m"] * PQ_SUB + 1, PQ_SUB), e["c"]
+                    ).alias("d"),
+                ),
+            ).alias("_adc"),
+            F.col("_cb"),
+        )
     )
+
+    def _adc_d(m: int) -> F.Column:
+        # the query-side distance of this vector's chosen code in subspace m
+        cid = _pq_best(F.slice(F.col("sx"), m * PQ_SUB + 1, PQ_SUB), F.lit(m))["cid"]
+        return F.element_at(
+            F.filter(F.col("_adc"), lambda a: (a["m"] == F.lit(m)) & (a["cid"] == cid)), 1
+        )["d"]
+
+    approx_sqdist = sum(_adc_d(m) for m in range(PQ_M)).cast("long")
     return (
-        approx.join(exact, "vec_id")
+        vecs.crossJoin(F.broadcast(ctx))
         .filter(F.col("vec_id") != QUERY_VEC)
+        .select(
+            "vec_id",
+            approx_sqdist.alias("approx_sqdist"),
+            _sq_dist(F.col("sx"), F.col("qsx")).alias("exact_sqdist"),
+        )
         .orderBy("approx_sqdist", "vec_id")
         .limit(PQ_TOP)
     )
@@ -1020,43 +1072,66 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = vecs.filter(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
     ).select(F.col("vec_id").alias("cent_id"), F.col("sx").alias("cx"))
-
-    w_assign = Window.partitionBy("vec_id").orderBy("d", "cent_id")
-    cells = (
-        vecs.crossJoin(F.broadcast(coarse))
-        .withColumn("d", _sq_dist(F.col("sx"), F.col("cx")))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"))
-    )
-
     cents = _pq_codebooks(vecs)
-    subs = _pq_subvectors(vecs)
-    codes = _pq_assign(subs, cents).select("vec_id", "m", "cid")
 
-    qv = vecs.filter(F.col("vec_id") == QUERY_VEC)
+    # Broadcast context row: coarse centroids (as a sorted struct array),
+    # PQ codebooks, query vector, and the query's precomputed ADC entries.
+    # Cell assignment + PQ encode + ADC sum are then ONE map-side pass over
+    # the corpus; the probe filter is a broadcast semi-join on the derived
+    # cell id; TakeOrderedAndProject finishes.
+    qv = vecs.filter(F.col("vec_id") == QUERY_VEC).select(F.col("sx").alias("qsx"))
+    co_row = coarse.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cx"))).alias("_co")
+    )
+    ctx = (
+        _pq_cb_row(cents)
+        .crossJoin(F.broadcast(co_row))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "_co",
+            "_cb",
+            "qsx",
+            F.transform(
+                F.col("_cb"),
+                lambda e: F.struct(
+                    e["m"].alias("m"),
+                    e["cid"].alias("cid"),
+                    _sq_dist(
+                        F.slice(F.col("qsx"), e["m"] * PQ_SUB + 1, PQ_SUB), e["c"]
+                    ).alias("d"),
+                ),
+            ).alias("_adc"),
+        )
+    )
+    nearest_cell = lambda v: F.array_min(  # noqa: E731 — ties to lowest cent_id
+        F.transform(
+            F.col("_co"),
+            lambda e: F.struct(
+                _sq_dist(v, e["cx"]).alias("d"), e["cent_id"].alias("cent_id")
+            ),
+        )
+    )["cent_id"]
     probed = (
         qv.crossJoin(F.broadcast(coarse))
-        .withColumn("d", _sq_dist(F.col("sx"), F.col("cx")))
+        .withColumn("d", _sq_dist(F.col("qsx"), F.col("cx")))
         .orderBy("d", "cent_id")
         .limit(NPROBE)
         .select(F.col("cent_id").alias("cell"))
     )
-    qsubs = subs.filter(F.col("vec_id") == QUERY_VEC).select(
-        "m", F.col("sv").alias("qsv")
-    )
-    adc = cents.join(F.broadcast(qsubs), "m").select(
-        "m", "cid", _sq_dist(F.col("qsv"), F.col("c")).alias("d")
-    )
 
-    candidates = cells.join(F.broadcast(probed), "cell").filter(
-        F.col("vec_id") != QUERY_VEC
-    )
+    def _adc_d(m: int) -> F.Column:
+        cid = _pq_best(F.slice(F.col("sx"), m * PQ_SUB + 1, PQ_SUB), F.lit(m))["cid"]
+        return F.element_at(
+            F.filter(F.col("_adc"), lambda a: (a["m"] == F.lit(m)) & (a["cid"] == cid)), 1
+        )["d"]
+
+    approx_sqdist = sum(_adc_d(m) for m in range(PQ_M)).cast("long")
     return (
-        candidates.join(codes, "vec_id")
-        .join(F.broadcast(adc), ["m", "cid"])
-        .groupBy("vec_id", "cell")
-        .agg(F.sum("d").cast("long").alias("approx_sqdist"))
+        vecs.crossJoin(F.broadcast(ctx))
+        .filter(F.col("vec_id") != QUERY_VEC)
+        .withColumn("cell", nearest_cell(F.col("sx")))
+        .join(F.broadcast(probed), "cell")  # prune to probed lists BEFORE encoding
+        .select("vec_id", "cell", approx_sqdist.alias("approx_sqdist"))
         .orderBy("approx_sqdist", "vec_id")
         .limit(PQ_TOP)
     )

@@ -48,3 +48,90 @@ def test_unsupported_how_raises(spark, skewed):
     left, right = skewed
     with pytest.raises(ValueError):
         salted_join(left, right, "k", how="full")
+
+
+# --- degenerate-band LSH cap (VERDICT r2 task 4) -----------------------------
+
+
+def test_lsh_cap_bounds_degenerate_band_and_reports_drops(spark):
+    """A boilerplate corpus (many docs sharing a signature band) must NOT go
+    quadratic: the (band_id, band_hash) bucket over the cap is dropped
+    BEFORE the self-join (bounded fan-out), and the drop is accounted, not
+    silent — the dropped-comparison count is exactly n·(n−1)/2 per dropped
+    bucket."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators.dedup import (
+        LSH_BANDS,
+        MAX_BUCKET,
+        MINHASH_K,
+        _banded,
+        _cap_buckets,
+        _lsh_candidates,
+    )
+
+    n_hot = MAX_BUCKET + 50  # one degenerate cohort, over the cap
+    n_ok = 20  # a small legitimate near-dup cohort, under the cap
+    sigs = spark.range(n_hot + n_ok).select(
+        F.col("id").alias("doc_id"),
+        # hot cohort: all-identical signatures; ok cohort: distinct in the
+        # upper bands but identical in band 0 (sig_0..3 = constant)
+        *[
+            (
+                F.when(F.col("id") < n_hot, F.lit(7))
+                .otherwise(F.lit(9) if i < 4 else F.col("id") * 100 + i)
+                .cast("long")
+            ).alias(f"sig_{i}")
+            for i in range(MINHASH_K)
+        ],
+    )
+
+    banded = _banded(sigs)
+    # fan-out bound: after the cap no bucket exceeds MAX_BUCKET, so the
+    # join's worst bucket is ≤ MAX_BUCKET² comparisons
+    capped = _cap_buckets(banded, ["band_id", "band_hash"], MAX_BUCKET)
+    worst = capped.groupBy("band_id", "band_hash").count().agg(F.max("count")).first()[0]
+    assert worst is not None and worst <= MAX_BUCKET
+
+    # the hot cohort produces ZERO candidates (its every band bucket is
+    # degenerate); the ok cohort still pairs up via band 0
+    cand = _lsh_candidates(sigs)
+    assert cand.filter(F.col("doc_a") < n_hot).count() == 0
+    expected_ok_pairs = n_ok * (n_ok - 1) // 2
+    assert cand.filter(F.col("doc_a") >= n_hot).count() == expected_ok_pairs
+
+    # drop accounting (the "no silent caps" rule): every band of the hot
+    # cohort is one dropped bucket of n_hot postings
+    bs = banded.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("n"))
+    dropped = bs.filter(F.col("n") > MAX_BUCKET)
+    assert dropped.count() == LSH_BANDS
+    got = dropped.agg(
+        F.sum(F.expr("(n * (n - 1)) div 2")).alias("dropped_comparisons")
+    ).first()["dropped_comparisons"]
+    assert got == LSH_BANDS * (n_hot * (n_hot - 1) // 2)
+
+
+def test_lsh_cap_report_matches_manual_accounting(spark, sf_dir):
+    """lsh_cap_report's rollup must reconcile with a direct bucket-size
+    histogram on the same corpus."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators.dedup import (
+        MAX_BUCKET,
+        _banded,
+        _minhash_signatures,
+        lsh_cap_report,
+    )
+
+    row = lsh_cap_report(spark, sf_dir).first()
+    bs = (
+        _banded(_minhash_signatures(spark, sf_dir))
+        .groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert row["n_buckets"] == len(bs)
+    assert row["n_buckets_dropped"] == sum(1 for r in bs if r["n"] > MAX_BUCKET)
+    assert row["kept_comparisons"] == sum(
+        r["n"] * (r["n"] - 1) // 2 for r in bs if r["n"] <= MAX_BUCKET
+    )
+    assert (
+        row["dropped_comparisons"]
+        == sum(r["n"] * (r["n"] - 1) // 2 for r in bs if r["n"] > MAX_BUCKET)
+    )

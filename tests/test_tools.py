@@ -88,3 +88,17 @@ def test_scale_data_replicates_with_fk_integrity(tmp_path):
             WHERE e.vec_id IN (SELECT doc_id FROM '{dst}/documents.parquet')"""
     ).fetchone()[0]
     assert dst_matched == 2 * src_matched
+
+
+def test_verify_env_doctor_all_green(spark, sf_dir):
+    """tools/verify_env.py — the reference's scripts/verify.py analogue
+    (config/store/topic/dep checks → session/testdata/scratch/oracle/
+    contract checks). All checks must pass in this container."""
+    import importlib
+
+    verify_env = importlib.import_module("tools.verify_env")
+    results = verify_env.run_checks(sf_dir)
+    assert [n for n, ok, _ in results if not ok] == []
+    assert {n for n, _, _ in results} == {
+        "deps", "session", "testdata", "scratch", "oracle", "contract",
+    }
