@@ -57,3 +57,72 @@ def dashboard_snapshot(
 def release(spark: SparkSession) -> None:
     """Drop snapshot caches (call between refresh cycles if memory matters)."""
     spark.catalog.clearCache()
+
+
+def chart_frames(
+    spark: SparkSession,
+    sf_dir: str,
+    hours: int = metrics.DEFAULT_HOURS,
+    as_of: str = metrics.AS_OF,
+    vehicle_id: int | None = None,
+) -> dict:
+    """Render harness: one refresh cycle's CHART-READY pandas frames, shaped
+    exactly as the reference dashboard feeds its widgets
+    (`/root/reference/src/visualization/dashboard.py:74-194`):
+
+    - ``kpis``             — the 4-metric header row (:74-87)
+    - ``speed_gauge``      — value + axis_max + threshold for the speed
+                             Indicator (:96-104, axis max(120, min(1000, 1.2·v)))
+    - ``events_bar``       — driving events grouped-bar input
+                             (x=vehicle_id, y=event_count, color=event_type, :157)
+    - ``perception_bar``   — detections stacked-bar input
+                             (x=object_class, y=detection_count, color=vehicle_id, :187)
+    - ``alerts``, ``km_per_intervention``, ``intervention_rate``,
+      ``disengagement_rate``, ``engagement``, ``fleet`` — the table widgets
+
+    All aggregation stays in-engine (one cached windowed scan via
+    `dashboard_snapshot`); only the final bounded frames cross to pandas —
+    the sole driver-side collect in the dashboard path, matching
+    SURVEY.md §3.1's "collect only at the visualization edge" rule.
+    """
+    snap = dashboard_snapshot(
+        spark, sf_dir, hours=hours, as_of=as_of, vehicle_id=vehicle_id
+    )
+    pdf = {name: df.toPandas() for name, df in snap.items()}
+
+    telemetry = pdf["latest_telemetry"]
+    alerts = pdf["recent_alerts"]
+    mpi = pdf["km_per_intervention"]
+    interventions = int(
+        pdf["driving_event_counts"]
+        .query("event_type in ('intervention', 'disengagement')")["event_count"]
+        .sum()
+    )
+    kpis = {
+        "vehicles_with_data": int(len(telemetry)),
+        "alerts_latest": int(len(alerts)),
+        "interventions_plus_disengagements": interventions,
+        "avg_km_per_intervention": (
+            float(mpi["km_per_intervention"].mean()) if len(mpi) else None
+        ),
+    }
+    # the engine's events schema carries the reading in `value`
+    # (current_speed_kmh in the reference's telemetry rows)
+    speed = float(telemetry.iloc[0]["value"]) if len(telemetry) else 0.0
+    speed_gauge = {
+        "value": speed,
+        "axis_max": max(120.0, min(1000.0, speed * 1.2)),
+        "threshold": 65.0,
+    }
+    return {
+        "kpis": kpis,
+        "speed_gauge": speed_gauge,
+        "events_bar": pdf["driving_event_counts"],
+        "perception_bar": pdf["perception_summary"],
+        "alerts": alerts,
+        "km_per_intervention": mpi,
+        "intervention_rate": pdf["intervention_rate"],
+        "disengagement_rate": pdf["disengagement_rate"],
+        "engagement": pdf["autopilot_engagement"],
+        "fleet": pdf["fleet_summary"],
+    }

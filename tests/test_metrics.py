@@ -165,3 +165,34 @@ def test_dashboard_snapshot_vehicle_filter(spark, sf_dir):
     for r in snap["driving_event_counts"].collect():
         assert r["vehicle_id"] == 3
     dashboard.release(spark)
+
+
+def test_chart_frames_render_harness(spark, sf_dir):
+    """chart_frames must produce the reference dashboard's widget inputs
+    (dashboard.py:74-194): KPI header, speed gauge spec (axis max(120,
+    min(1000, 1.2·v)), threshold 65), grouped/stacked bar frames with the
+    exact plotly axis columns, and the table frames — all consistent with
+    the underlying metric queries."""
+    from data_pipeline_for_autonomous_vehicles_spark import dashboard
+    from data_pipeline_for_autonomous_vehicles_spark.operators import metrics
+
+    frames = dashboard.chart_frames(spark, sf_dir)
+    assert set(frames) == {
+        "kpis", "speed_gauge", "events_bar", "perception_bar", "alerts",
+        "km_per_intervention", "intervention_rate", "disengagement_rate",
+        "engagement", "fleet",
+    }
+    k = frames["kpis"]
+    assert k["vehicles_with_data"] == metrics.latest_telemetry(spark, sf_dir).count()
+    assert k["alerts_latest"] == metrics.recent_alerts(spark, sf_dir).count()
+    assert k["interventions_plus_disengagements"] >= 0
+    g = frames["speed_gauge"]
+    assert g["threshold"] == 65.0
+    assert g["axis_max"] == max(120.0, min(1000.0, g["value"] * 1.2))
+    # the plotly bar inputs carry the reference's exact axis columns
+    assert {"vehicle_id", "event_type", "event_count"} <= set(frames["events_bar"].columns)
+    assert {"vehicle_id", "object_class", "detection_count"} <= set(
+        frames["perception_bar"].columns
+    )
+    assert len(frames["events_bar"]) == metrics.driving_event_counts(spark, sf_dir).count()
+    dashboard.release(spark)
