@@ -85,7 +85,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).cast("long").alias("dl"),
         *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(QUERY_TERMS)],
-    )
+    ).cache()  # (doc_id, 4 longs): tokenize once, both passes read this
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),

@@ -265,12 +265,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array_min over (-cosine, cent_id) = highest cosine, ties to lowest
     # cent_id — the corpus never shuffles and never fans out K candidate
     # rows (the previous row_number-over-(vec_id) form shuffled it)
-    c_row = cents.agg(F.array_sort(F.collect_list(F.struct("cent_id", "cemb"))).alias("_ce"))
+    # centroid norms ride in the broadcast array and the row's own norm is
+    # computed once outside the argmin, so the per-centroid work is ONE
+    # cross dot — cosine = dot/(row_norm·cent_norm) is the identical IEEE
+    # expression tree as _cosine, just with the two sqrt factors hoisted
+    c_row = cents.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "cent_id",
+                    "cemb",
+                    F.sqrt(_dot(F.col("cemb"), F.col("cemb"))).alias("cnorm"),
+                )
+            )
+        ).alias("_ce")
+    )
+    row_norm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
     best = F.array_min(
         F.transform(
             F.col("_ce"),
             lambda e: F.struct(
-                (-_cosine(F.col("emb"), e["cemb"])).alias("negc"),
+                (-(_dot(F.col("emb"), e["cemb"]) / (row_norm * e["cnorm"]))).alias("negc"),
                 e["cent_id"].alias("cent_id"),
             ),
         )
@@ -670,6 +685,13 @@ def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
+# NB: an expanded sq-dist (Σx² − 2Σxy + Σy², norms hoisted) was measured
+# NEUTRAL-to-worse for the int argmin lambdas here — HOF interpretation
+# overhead dominates the arithmetic — so they keep the direct (x−y)² fold
+# that mirrors the oracle. The double-cosine hoist in ann_ivf_topk (norms
+# precomputed outside the per-centroid lambda) IS a measured win.
+
+
 def _km_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment, fully map-side: the centroid table is
     folded into ONE row (array of (cid, c) structs), broadcast, and the
@@ -835,14 +857,16 @@ def _pq_subvectors(vecs: DataFrame) -> DataFrame:
 
 def _pq_cb_row(cents: DataFrame) -> DataFrame:
     """All M codebooks folded into one broadcastable row: a sorted array of
-    (m, cid, c) structs — M·K entries regardless of corpus size."""
+    (m, cid, c, cn2) structs — M·K entries regardless of corpus size (cn2 =
+    the codeword's int64 self-dot, precomputed for the expanded distance)."""
     return cents.agg(F.array_sort(F.collect_list(F.struct("m", "cid", "c"))).alias("_cb"))
 
 
 def _pq_best(sv: F.Column, m: F.Column) -> F.Column:
     """struct(d, cid) of the nearest codeword to subvector `sv` in codebook
     `m`, evaluated against the broadcast `_cb` array — pure map-side
-    expression, ties to the lowest cid via lexicographic struct ordering."""
+    expression, ties to the lowest cid via lexicographic struct ordering.
+    """
     cands = F.filter(F.col("_cb"), lambda e: e["m"] == m)
     return F.array_min(
         F.transform(

@@ -278,6 +278,13 @@ def _tie_aware_running(
         )
     else:
         d = dist.withColumn("_pid", F.lit(0))
+    # lazy cache: the distinct-key table (≪ fact size) feeds the window
+    # branch and the subtotal branch; without it each branch re-runs the
+    # fact aggregation + boundary subquery. cache(), not localCheckpoint —
+    # building the query stays job-free (no eager materialization), and
+    # correctness never depends on it (the pid is a pure function of the
+    # key), it only avoids recompute.
+    d = d.cache()
     # Intra-partition running counts first; the per-partition subtotals are
     # then an aggregate OVER THE WINDOWED FRAME, so both consumers share the
     # single hashpartitioning(_pid, part_cols) exchange under the window
