@@ -525,8 +525,89 @@ ORDER BY lang
 """
 
 
+# --- temperature-scaled mixture weights --------------------------------------
+
+MIX_TOKEN_BUDGET = 1_000_000  # tokens drawn per training epoch in the report
+
+
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights for temperature-scaled data mixing at
+    τ = 0.5 — the standard multilingual/multi-source rebalancing rule
+    p_s ∝ n_s^τ (τ=1 is natural sampling, τ→0 uniform; 0.5 is sqrt
+    scaling, chosen here because IEEE sqrt is correctly rounded and thus
+    engine-portable, unlike pow()). For each source: token mass, its
+    natural share, its temperature share, the up/down-sampling boost, and
+    the effective epochs over a MIX_TOKEN_BUDGET-token draw (how many
+    times the source's data repeats — the overfitting-risk number for
+    low-resource sources).
+
+    Exactness: token masses are int64 counts; sqrt(n_tokens) is rounded to
+    1e-6 fixed point BEFORE the denominator sum, so every share is a ratio
+    of exact integers (no order-dependent double accumulation).
+
+    Scale: one map-side size() pass over documents → |sources| cells →
+    1-row denominator broadcast back. Nothing grows with the corpus but
+    the first aggregation's input.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", F.size(_toks()).cast("long").alias("n_toks"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+        .withColumn(
+            "w_e6",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6 + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("_tot_tokens"), F.sum("w_e6").alias("_tot_w")
+    )
+    nat = F.col("n_tokens").cast("double") / F.col("_tot_tokens").cast("double")
+    tmp = F.col("w_e6").cast("double") / F.col("_tot_w").cast("double")
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            round_half_up(nat, 6).alias("natural_share"),
+            round_half_up(tmp, 6).alias("temp_share"),
+            round_half_up(tmp / nat, 4).alias("boost"),
+            round_half_up(
+                tmp * F.lit(float(MIX_TOKEN_BUDGET)) / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("effective_epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIXTURE_SQL = f"""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+              AS w_e6
+  FROM per_source),
+tot AS (SELECT SUM(n_tokens) AS tot_tokens, SUM(w_e6) AS tot_w FROM w)
+SELECT source, n_docs, n_tokens,
+       {sql_round_half_up("CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)", 6)} AS natural_share,
+       {sql_round_half_up("CAST(w_e6 AS DOUBLE) / CAST(tot_w AS DOUBLE)", 6)} AS temp_share,
+       {sql_round_half_up("(CAST(w_e6 AS DOUBLE) / CAST(tot_w AS DOUBLE)) / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))", 4)} AS boost,
+       {sql_round_half_up(f"(CAST(w_e6 AS DOUBLE) / CAST(tot_w AS DOUBLE)) * {float(MIX_TOKEN_BUDGET)} / CAST(n_tokens AS DOUBLE)", 4)} AS effective_epochs
+FROM w CROSS JOIN tot
+ORDER BY source
+"""
+
+
 QUERIES = {
     "source_diversity_by_lang": source_diversity_by_lang,
+    "mixture_temperature_weights": mixture_temperature_weights,
     "repetition_ratios": repetition_ratios,
     "passage_dedup_stats": passage_dedup_stats,
     "token_entropy": token_entropy,
@@ -537,6 +618,7 @@ QUERIES = {
 
 ORACLES = {
     "source_diversity_by_lang": _DIVERSITY_SQL,
+    "mixture_temperature_weights": _MIXTURE_SQL,
     "repetition_ratios": _REPETITION_SQL,
     "passage_dedup_stats": _PASSAGE_SQL,
     "token_entropy": _ENTROPY_SQL,

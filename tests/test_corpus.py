@@ -184,3 +184,24 @@ def test_collocations_and_diversity_consistent(spark, sf_dir):
         assert r["n_docs"] == tot and r["n_sources"] == k
         assert abs(r["gini_simpson"] - (tot * tot - sq) / (tot * tot)) < 1.01e-4
         assert abs(r["effective_sources"] - tot * tot / sq) < 1.01e-4
+
+
+def test_mixture_temperature_weights_invariants(spark, sf_dir):
+    """τ=0.5 mixing math: shares each sum to 1, boost is monotone
+    decreasing in source size (temperature flattens the distribution),
+    and effective_epochs reconciles with temp_share · budget / n_tokens."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        MIX_TOKEN_BUDGET,
+        mixture_temperature_weights,
+    )
+
+    rows = mixture_temperature_weights(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r["natural_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-4
+    by_size = sorted(rows, key=lambda r: r["n_tokens"])
+    boosts = [r["boost"] for r in by_size]
+    assert all(a >= b - 1e-9 for a, b in zip(boosts, boosts[1:]))  # non-increasing
+    for r in rows:
+        expect = r["temp_share"] * MIX_TOKEN_BUDGET / r["n_tokens"]
+        assert abs(r["effective_epochs"] - expect) < 1e-3
