@@ -112,13 +112,15 @@ def main() -> None:
     ):
         _execute(queries[name](spark, "/root/testdata/sf0.001"))
 
-    # two measured runs per query, report the min: steady-state execution
+    # three measured runs per query, report the min: steady-state execution
     # time (codegen/broadcast caches warm), the number that scales with
-    # data rather than with JVM compilation noise
+    # data rather than with JVM compilation or host-scheduling noise
+    # (BASELINE.md documents a 42.6-74.9 s spread across identical-code
+    # runs on this microVM; min-of-3 tightens the estimator)
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _execute(queries[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

@@ -157,5 +157,109 @@ GROUP BY user_id
 ORDER BY user_id
 """
 
-QUERIES = {"stateful_session_stats": stateful_session_stats}
-ORACLES = {"stateful_session_stats": STATEFUL_SESSION_STATS_SQL}
+# --- event-time timer: expired-session detector ------------------------------
+#
+# The timer half of the stateful API that the gap-session operators above
+# don't exercise: EventTimeTimeout. A user's state arms a timer at
+# last_seen + EXPIRY; when the event-time WATERMARK passes the deadline the
+# group is invoked with hasTimedOut=True, emits one expiry record, and its
+# state is removed — the abandoned-cart / silent-device alert pattern, with
+# state GC driven by the watermark rather than by data arrival. On the
+# bounded AvailableNow run, timers fire in the engine's closing no-data
+# micro-batch against the final watermark (max event time − delay), which
+# makes the result exactly SQL-expressible: the users whose last event
+# precedes the final watermark by more than EXPIRY.
+
+EXPIRY_S = 6 * 3600  # silence that counts as an expired session
+WM_DELAY_S = 600  # watermark delay (late-data allowance)
+
+_EXP_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("last_seen_us", LongType()),
+        StructField("events_before_expiry", LongType()),
+    ]
+)
+
+_EXP_STATE_SCHEMA = StructType(
+    [StructField("last_us", LongType()), StructField("total", LongType())]
+)
+
+
+def _expire_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        last_us, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_seen_us": [last_us],
+                "events_before_expiry": [total],
+            }
+        )
+        return
+    last_us, total = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        total += len(pdf)
+        last_us = max(last_us, max(int(t.value) // 1000 for t in pdf["ts"]))
+    state.update((last_us, total))
+    # arm the timer at last_seen + EXPIRY (ms granularity — the watermark's)
+    state.setTimeoutTimestamp(last_us // 1000 + EXPIRY_S * 1000)
+    return
+    yield  # pragma: no cover — makes this a generator on the no-output path
+
+
+def streaming_expired_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users whose session expired: no events for EXPIRY_S before the final
+    watermark. Emitted by the EventTimeTimeout timer, not by data arrival."""
+    ev = (
+        stream_events(spark, sf_dir)
+        .select("user_id", "ts")
+        .withWatermark("ts", f"{WM_DELAY_S} seconds")
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _expire_update,
+        outputStructType=_EXP_OUT_SCHEMA,
+        stateStructType=_EXP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = "streaming_expired_sessions_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id")
+
+
+# The engine's timer rule on the closing no-data batch: a timer fires iff
+# its deadline < final watermark, where the watermark is ms-truncated
+# max event time minus the delay.
+STREAMING_EXPIRED_SESSIONS_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_seen_us,
+         COUNT(*) AS events_before_expiry
+  FROM events GROUP BY user_id),
+wm AS (
+  SELECT CAST(MAX(epoch_us(ts)) AS BIGINT) // 1000 - {WM_DELAY_S * 1000} AS wm_ms
+  FROM events)
+SELECT user_id, last_seen_us, events_before_expiry
+FROM per_user CROSS JOIN wm
+WHERE last_seen_us // 1000 + {EXPIRY_S * 1000} < wm_ms
+ORDER BY user_id
+"""
+
+QUERIES = {
+    "stateful_session_stats": stateful_session_stats,
+    "streaming_expired_sessions": streaming_expired_sessions,
+}
+ORACLES = {
+    "stateful_session_stats": STATEFUL_SESSION_STATS_SQL,
+    "streaming_expired_sessions": STREAMING_EXPIRED_SESSIONS_SQL,
+}

@@ -320,3 +320,39 @@ def test_online_outliers_matches_batch_window_formulation(spark, sf_dir):
         .orderBy("user_id")
     )
     assert [r.asDict() for r in got.collect()] == [r.asDict() for r in want.collect()]
+
+
+def test_event_time_timer_expires_silent_users(spark, sf_dir):
+    """EventTimeTimeout path (the timer half of the stateful API): expiry
+    rows are emitted ONLY by timers firing against the final watermark —
+    the update path yields nothing — so the sink must contain exactly the
+    users silent for EXPIRY_S before (max event time − watermark delay),
+    each with their full pre-expiry event count."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.streaming.stateful import (
+        EXPIRY_S,
+        WM_DELAY_S,
+        streaming_expired_sessions,
+    )
+
+    got = {r["user_id"]: r for r in streaming_expired_sessions(spark, sf_dir).collect()}
+    assert got  # the fixture data spans long enough for some users to expire
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"), F.count(F.lit(1)).alias("n")
+    )
+    wm_ms = (
+        ev.agg(F.max(F.unix_micros("ts"))).first()[0] // 1000 - WM_DELAY_S * 1000
+    )
+    expected = {
+        r["user_id"]: r
+        for r in per_user.collect()
+        if r["last_us"] // 1000 + EXPIRY_S * 1000 < wm_ms
+    }
+    assert set(got) == set(expected)
+    for uid, r in got.items():
+        assert r["last_seen_us"] == expected[uid]["last_us"]
+        assert r["events_before_expiry"] == expected[uid]["n"]
