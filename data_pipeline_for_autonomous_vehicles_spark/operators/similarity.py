@@ -360,6 +360,60 @@ ORDER BY query_id, rank
 """
 
 
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the IVF index against brute-force ground truth, per
+    query — the estimator-quality audit for the ANN ladder (same role as
+    `minhash_estimate_audit` for LSH dedup and `fuzzy_blocking_recall` for
+    blocking): the number that justifies NPROBE/N_CENTROIDS before
+    trusting `ann_ivf_topk` at scale.
+
+    Scale: composes the two existing plans (corpus never shuffles in
+    either); the audit joins two K·|Q|-row top-k results — constant-size
+    work after the searches themselves. A production run samples queries;
+    here the full (tiny) query set is exact.
+    """
+    bf = ann_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id")
+    ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "vec_id")
+    truth = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    hits = (
+        bf.join(ivf, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        truth.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            round_half_up(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double"),
+                4,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _sql_ann_recall() -> str:
+    return f"""
+WITH bf AS ({_ANN_BF_SQL}),
+ivf AS ({_ANN_IVF_SQL}),
+truth AS (SELECT query_id, COUNT(*) AS n_truth FROM bf GROUP BY query_id),
+hits AS (
+  SELECT b.query_id, COUNT(*) AS n_hits
+  FROM bf b JOIN ivf i ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+  GROUP BY b.query_id)
+SELECT t.query_id,
+       CAST(t.n_truth AS BIGINT) AS n_truth,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       {sql_round_half_up("CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_truth AS DOUBLE)", 4)} AS recall_at_k
+FROM truth t LEFT JOIN hits h USING (query_id)
+ORDER BY t.query_id
+"""
+
+
 # --- embedding near-duplicate pairs ---------------------------------------
 
 NEAR_DUP_COSINE = 0.30
@@ -1532,6 +1586,7 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_recall_audit": ann_recall_audit,
     "lsh_bucket_histogram": lsh_bucket_histogram,
     "embedding_near_dups": embedding_near_dups,
     "embedding_quantize_report": embedding_quantize_report,
@@ -1549,6 +1604,7 @@ ORACLES = {
     "ann_bruteforce_topk": _ANN_BF_SQL,
     "ann_lsh_topk": _ANN_LSH_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
+    "ann_recall_audit": _sql_ann_recall(),
     "lsh_bucket_histogram": _LSH_HIST_SQL,
     "embedding_near_dups": _NEAR_DUP_SQL,
     "embedding_quantize_report": _QUANT_SQL,
