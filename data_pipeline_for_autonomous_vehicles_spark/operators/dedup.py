@@ -872,8 +872,11 @@ def near_dup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap is an equi-join on (doc_a, doc_b). Pure integers + one int-div
     share.
     """
-    mh = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    sh = simhash_hamming_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # each edge list feeds two branches (own count + the overlap join);
+    # cache the bounded, cap-limited pair lists so neither detector's
+    # banded join runs twice (the sweep harness clears caches per query)
+    mh = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    sh = simhash_hamming_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
     n_mh = mh.agg(F.count(F.lit(1)).alias("n_minhash"))
     n_sh = sh.agg(F.count(F.lit(1)).alias("n_simhash"))
     n_both = mh.join(sh, ["doc_a", "doc_b"]).agg(F.count(F.lit(1)).alias("n_both"))
