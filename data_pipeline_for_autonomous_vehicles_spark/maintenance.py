@@ -219,3 +219,67 @@ def merge_upsert(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return changed
+
+
+def purge_entities(
+    spark: SparkSession,
+    path: str,
+    opt_out: DataFrame,
+    key_col: str = "user_id",
+) -> list[str]:
+    """Right-to-be-forgotten / opt-out purge: delete EVERY row of the given
+    entities from the partitioned table at ``path``, rewriting only the
+    partitions that actually contain them.
+
+    The training-data-pipeline shape of GDPR erasure: the opt-out list is a
+    DataFrame (it can be large — consent systems export millions of ids),
+    so membership runs as semi/anti joins, never a driver-side collect of
+    the ids. Pass 1 finds the affected partitions (semi-join, aggregate to
+    the distinct date list — the only thing collected, bounded by the
+    calendar); pass 2 reads ONLY those partitions, anti-joins the opt-out
+    list, and dynamic-partition-overwrites them. Untouched partitions'
+    files are not rewritten (byte-identical, proven in the test), so cost
+    is O(partitions containing the entities), and a re-run is idempotent.
+
+    Returns the list of partition values rewritten.
+    """
+    ids = opt_out.select(F.col(opt_out.columns[0]).alias(key_col)).distinct()
+    base = spark.read.parquet(path)
+    affected = sorted(
+        r["d"].isoformat()
+        for r in base.join(ids, key_col, "left_semi")
+        .select(F.col(PARTITION_COL).alias("d"))
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return []
+    kept = (
+        base.filter(F.col(PARTITION_COL).isin(affected))
+        .join(ids, key_col, "left_anti")
+    ).cache()  # read once: the survivor probe below + the rewrite
+    # a partition whose rows ALL belong to opted-out entities produces no
+    # output rows, and dynamic overwrite only replaces partitions PRESENT
+    # in the output — its stale files must be removed by a metadata delete
+    surviving = {
+        r["d"].isoformat()
+        for r in kept.select(F.col(PARTITION_COL).alias("d")).distinct().collect()
+    }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            kept.repartition(F.col(PARTITION_COL))
+            .sortWithinPartitions(PARTITION_COL, key_col)
+            .write.partitionBy(PARTITION_COL)
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        kept.unpersist()
+    fs = _fs(spark, path)
+    for day in affected:
+        if day not in surviving:
+            fs.delete(_hadoop_path(spark, f"{path}/{PARTITION_COL}={day}"), True)
+    return affected

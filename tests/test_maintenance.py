@@ -122,3 +122,64 @@ def test_merge_upsert_applies_cdc_and_prunes(spark, sf_dir, tmp_path):
         .unionByName(spark.createDataFrame([new_row], schema=ev.schema))
     )
     assert _rows(got, ev.columns) == _rows(expected, ev.columns)
+
+
+def test_purge_entities_rewrites_only_affected_partitions(spark, sf_dir, tmp_path):
+    """GDPR/opt-out purge: (a) every row of the opted-out users is gone and
+    nobody else's rows are touched; (b) partitions without any opted-out
+    row keep their files byte-identical (no rewrite); (c) a partition whose
+    rows ALL belong to opted-out users is deleted outright (the dynamic-
+    overwrite blind spot); (d) re-running is a no-op (idempotent)."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.maintenance import purge_entities
+    from data_pipeline_for_autonomous_vehicles_spark.sinks import write_time_partitioned
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events")
+    # craft one day fully owned by user 1: day 1 keeps only user 1's rows
+    days = sorted(r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect())
+    solo_day = days[1]
+    ev = ev.filter((F.to_date("ts") != F.lit(solo_day)) | (F.col("user_id") == 1))
+    write_time_partitioned(ev, path)
+
+    def _snapshot():
+        return {
+            p: os.path.getmtime(p)
+            for p in _glob.glob(f"{path}/event_date=*/part-*.parquet")
+        }
+
+    before = _snapshot()
+    opt_out = spark.createDataFrame([(1,), (3,)], "user_id bigint")
+    # restrict user 3's presence map before the purge for assertion (c)/(a)
+    affected_days = {
+        r["d"].isoformat()
+        for r in ev.filter(F.col("user_id").isin(1, 3))
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .collect()
+    }
+
+    rewritten = purge_entities(spark, path, opt_out)
+    assert set(rewritten) == affected_days
+
+    back = spark.read.parquet(path)
+    # (a) purged users gone, everyone else intact
+    assert back.filter(F.col("user_id").isin(1, 3)).count() == 0
+    expect_left = ev.filter(~F.col("user_id").isin(1, 3)).count()
+    assert back.count() == expect_left
+    # (c) the fully-owned day is gone from disk entirely
+    assert not os.path.isdir(f"{path}/event_date={solo_day}")
+    # (b) untouched partitions' files were not rewritten
+    after = _snapshot()
+    for p, mtime in before.items():
+        day = p.split("event_date=")[1].split("/")[0]
+        if day not in affected_days:
+            assert p in after and after[p] == mtime, p
+    # (d) idempotent re-run: nothing affected, nothing rewritten
+    assert purge_entities(spark, path, opt_out) == []
+    assert _snapshot() == after
