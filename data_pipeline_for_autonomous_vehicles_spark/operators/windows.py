@@ -256,25 +256,59 @@ def _tie_aware_running(
     # boundaries with an RDD-id-derived seed — the same key landing in
     # different `_pid`s across branches silently corrupts every offset
     # (round-2 fix: eager localCheckpoint; this version removes the
-    # materialization). Instead the split points are an explicit
-    # percentile_approx boundary array — a deterministic aggregate of the
-    # deterministic distinct-key table, so both branches recompute the
-    # IDENTICAL assignment (and Catalyst reuses the exchange for the
-    # boundary subtree). `_pid` = #boundaries strictly before the key in
-    # query order: a pure function of the key, monotone along `okey`,
-    # which is all the offset algebra below needs.
+    # materialization). The split points must therefore be DETERMINISTIC
+    # under independent re-evaluation. percentile_approx is NOT (its
+    # QuantileSummaries partial-merge is shuffle-arrival-order dependent
+    # once summaries compress at scale), so the cuts come from an
+    # equal-mass histogram instead: uniform value bins over [min, max]
+    # (min/max/sum are order-independent aggregates, the per-key bin id is
+    # a pure closed-form function), exact integer masses, and the
+    # n_parts−1 equal-mass cut BINS derived by a tiny self-join prefix —
+    # every step re-evaluates to the identical result. `_pid` =
+    # #cut-bins strictly before the key's bin in query order: a pure
+    # function of the key, monotone along `okey` (same-value keys share a
+    # bin, hence a pid), which is all the offset algebra below needs.
+    # Equal-mass up to bin granularity (8·n_parts bins) keeps per-pid
+    # windows balanced except under irreducible single-value skew.
     if n_parts > 1:
-        probs = [i / n_parts for i in range(1, n_parts)]
-        bounds = dist.agg(
-            F.percentile_approx(F.col(order_col), F.array(*[F.lit(p) for p in probs])).alias("_bs")
+        n_bins = n_parts * 8
+        stats = dist.agg(
+            F.min(order_col).alias("_lo"),
+            F.max(order_col).alias("_hi"),
+            F.sum("cnt").alias("_tot"),
         )
-        before = (lambda b: b < F.col(order_col)) if ascending else (
-            lambda b: b > F.col(order_col)
+        width = (F.col("_hi") - F.col("_lo")).cast("double") / F.lit(float(n_bins))
+        bin_id = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((F.col(order_col) - F.col("_lo")).cast("double") / width),
+            )
+        ).cast("int")
+        withbin = dist.crossJoin(F.broadcast(stats)).withColumn("_bin", bin_id)
+        hist = withbin.groupBy("_bin").agg(F.sum("cnt").alias("_m"))
+        cum = (
+            hist.alias("a")
+            .join(hist.alias("b"), F.col("b._bin") <= F.col("a._bin"))
+            .groupBy(F.col("a._bin").alias("_bin"))
+            .agg(F.sum("b._m").alias("_cum"))
+        )
+        spark = dist.sparkSession
+        targets = spark.range(1, n_parts).select(F.col("id").alias("_i"))
+        cuts = (
+            cum.crossJoin(targets)
+            .crossJoin(F.broadcast(stats.select("_tot")))
+            .filter(F.col("_cum") * n_parts >= F.col("_i") * F.col("_tot"))
+            .groupBy("_i")
+            .agg(F.min("_bin").alias("_cb"))
+        )
+        cb_row = cuts.agg(F.sort_array(F.collect_list("_cb")).alias("_cbs"))
+        before = (lambda cb: cb < F.col("_bin")) if ascending else (
+            lambda cb: cb > F.col("_bin")
         )
         d = (
-            dist.crossJoin(F.broadcast(bounds))
-            .withColumn("_pid", F.size(F.filter(F.col("_bs"), before)))
-            .drop("_bs")
+            withbin.crossJoin(F.broadcast(cb_row))
+            .withColumn("_pid", F.size(F.filter(F.col("_cbs"), before)))
+            .drop("_cbs", "_bin", "_lo", "_hi", "_tot")
         )
     else:
         d = dist.withColumn("_pid", F.lit(0))
