@@ -205,10 +205,9 @@ def _expire_update(
         total += len(pdf)
         last_us = max(last_us, max(int(t.value) // 1000 for t in pdf["ts"]))
     state.update((last_us, total))
-    # arm the timer at last_seen + EXPIRY (ms granularity — the watermark's)
+    # arm the timer at last_seen + EXPIRY (ms granularity — the watermark's);
+    # the update path emits nothing — expiry rows come only from the timer
     state.setTimeoutTimestamp(last_us // 1000 + EXPIRY_S * 1000)
-    return
-    yield  # pragma: no cover — makes this a generator on the no-output path
 
 
 def streaming_expired_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
