@@ -135,3 +135,41 @@ def test_lsh_cap_report_matches_manual_accounting(spark, sf_dir):
         row["dropped_comparisons"]
         == sum(r["n"] * (r["n"] - 1) // 2 for r in bs if r["n"] > MAX_BUCKET)
     )
+
+
+def test_tie_aware_running_correct_under_single_value_skew(spark):
+    """The equal-mass histogram cuts degrade to unbalanced pids under
+    irreducible single-value skew (99% of mass on one key) — which must
+    degrade BALANCE only, never correctness: rows_before/keys_before must
+    equal the single-partition reference on a pathological distribution,
+    including the all-identical-values edge (hi == lo → one bin)."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators.windows import (
+        _tie_aware_running,
+    )
+
+    # 99% of rows share value 42; the rest are unique stragglers
+    vals = [42] * 99 + [1, 7, 99, 100, 500]
+    dist = (
+        spark.createDataFrame([(v,) for v in vals], "v bigint")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    got = {
+        r["v"]: (r["rows_before"], r["keys_before"])
+        for r in _tie_aware_running(dist, [], "v", ascending=True, n_parts=8).collect()
+    }
+    ordered = sorted(set(vals))
+    rows_before, keys_before = 0, 0
+    for v in ordered:
+        assert got[v] == (rows_before, keys_before), v
+        rows_before += vals.count(v)
+        keys_before += 1
+
+    # all-identical edge: hi == lo collapses to one bin / one pid
+    one = (
+        spark.createDataFrame([(5,)] * 10, "v bigint")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    r = _tie_aware_running(one, [], "v", ascending=False, n_parts=8).collect()
+    assert [(x["rows_before"], x["keys_before"]) for x in r] == [(0, 0)]
