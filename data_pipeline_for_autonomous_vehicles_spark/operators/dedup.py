@@ -19,7 +19,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -37,6 +37,13 @@ _B = [7919 * i for i in range(1, MINHASH_K + 1)]
 
 JACCARD_THRESHOLD = 0.6
 MAX_BUCKET = 200  # drop shingles/buckets seen in more docs than this
+# Bounded-emission contract for the pair reports: a duplicate CLUSTER of m
+# docs holds m(m-1)/2 qualifying pairs, so emitting every pair is O(m²) in
+# output even when candidate GENERATION is capped — a 10⁶-doc boilerplate
+# cluster (real web corpora have them) would emit ~5·10¹¹ rows. The default
+# report therefore keeps each doc's top-k neighbors (output O(n·k)); the
+# full pair list stays available behind topk=None for small-corpus audits.
+TOPK_NEIGHBORS = 5
 
 
 def _tokens(col: str = "text") -> F.Column:
@@ -239,8 +246,55 @@ common AS (
   GROUP BY a.doc_id, b.doc_id)"""
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document pairs with word-3-gram Jaccard ≥ threshold.
+def _mirror_topk(
+    scored: DataFrame, score_col: str, k: int, id_col: str = "doc_id", nbr_col: str = "neighbor"
+) -> DataFrame:
+    """Bound a symmetric (doc_a < doc_b, score) pair list to each doc's
+    top-k neighbors: mirror every pair into both directions, then
+    row_number ≤ k per doc (score DESC, neighbor ASC tiebreak — fully
+    deterministic: (score, neighbor) is unique within a doc).
+
+    Scale: output is O(n·k) regardless of duplicate-cluster size; the
+    rank-limit window gets Spark's WindowGroupLimit pushdown, so each
+    shuffle task only materializes k rows per doc, not the whole cluster.
+    """
+    fwd = scored.select(
+        F.col("doc_a").alias(id_col), F.col("doc_b").alias(nbr_col), score_col
+    )
+    rev = scored.select(
+        F.col("doc_b").alias(id_col), F.col("doc_a").alias(nbr_col), score_col
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc(score_col), F.asc(nbr_col))
+    return (
+        fwd.unionByName(rev)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy(id_col, "rank")
+    )
+
+
+def _sql_mirror_topk(score_col: str, k: int, id_col: str = "doc_id", nbr_col: str = "neighbor") -> str:
+    """DuckDB twin of `_mirror_topk`, over a CTE named `scored`."""
+    return f"""
+mirrored AS (
+  SELECT doc_a AS {id_col}, doc_b AS {nbr_col}, {score_col} FROM scored
+  UNION ALL
+  SELECT doc_b AS {id_col}, doc_a AS {nbr_col}, {score_col} FROM scored)
+SELECT {id_col}, {nbr_col}, {score_col}, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY {id_col} ORDER BY {score_col} DESC, {nbr_col}) AS INTEGER) AS rank
+  FROM mirrored) t
+WHERE rank <= {k}
+ORDER BY {id_col}, rank
+"""
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, topk: int | None = TOPK_NEIGHBORS
+) -> DataFrame:
+    """Per-doc top-k near-duplicate neighbors by word-3-gram Jaccard ≥
+    threshold (bounded emission; see TOPK_NEIGHBORS note). topk=None emits
+    the full qualifying pair list — O(cluster²) output, audit-only.
 
     shingle-inverted-index self-join: |common shingles| per pair, then
     J = common / (|A| + |B| - common). Buckets capped at MAX_BUCKET docs
@@ -248,7 +302,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     common, sizes = _common_shingle_pairs(docs)
-    return (
+    scored = (
         _sized_pairs(common, sizes)
         .withColumn(
             "jaccard",
@@ -260,34 +314,47 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
+    if topk is None:
+        return scored.orderBy("doc_a", "doc_b")
+    return _mirror_topk(scored, "jaccard", topk)
 
+
+_SQL_JACCARD_SCORED = f"""
+scored AS (
+  SELECT doc_a, doc_b, jaccard FROM (
+    SELECT doc_a, doc_b,
+           CAST(FLOOR((CAST(n_common AS DOUBLE)
+                 / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b) q
+  WHERE jaccard >= {JACCARD_THRESHOLD})"""
 
 _NGRAM_JACCARD_SQL = f"""
-{_SQL_PAIR_CTES}
-SELECT doc_a, doc_b, jaccard FROM (
-  SELECT doc_a, doc_b,
-         CAST(FLOOR((CAST(n_common AS DOUBLE)
-               / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
-  FROM common
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b) scored
-WHERE jaccard >= {JACCARD_THRESHOLD}
-ORDER BY doc_a, doc_b
+{_SQL_PAIR_CTES},
+{_SQL_JACCARD_SCORED},
+{_sql_mirror_topk("jaccard", TOPK_NEIGHBORS)}
 """
 
 
 CONTAINMENT_THRESHOLD = 0.8
 
 
-def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document pairs where one side's shingle set is ≥80% CONTAINED in the
-    other: C(A→B) = |A∩B| / |A|. The asymmetric complement to
-    `ngram_jaccard_pairs` — a short document quoted inside a long one has
-    high containment but low Jaccard (the union is dominated by the long
-    side), which is exactly the subsumed-duplicate class training-data
-    dedup must catch (quote inflation, boilerplate wrappers).
+def ngram_containment_pairs(
+    spark: SparkSession, sf_dir: str, topk: int | None = TOPK_NEIGHBORS
+) -> DataFrame:
+    """Per-doc top-k containment neighbors: pairs where one side's shingle
+    set is ≥80% CONTAINED in the other, C(A→B) = |A∩B| / |A|, bounded to
+    each doc's k best (by how much THIS doc is contained in the neighbor —
+    the subsumed-duplicate signal). topk=None emits the full qualifying
+    pair list (O(cluster²) output, audit-only).
+
+    The asymmetric complement to `ngram_jaccard_pairs` — a short document
+    quoted inside a long one has high containment but low Jaccard (the
+    union is dominated by the long side), which is exactly the
+    subsumed-duplicate class training-data dedup must catch (quote
+    inflation, boilerplate wrappers).
 
     Same candidate generation as the Jaccard path (shingle inverted-index
     equi-join, per-shingle bucket cap) — the scale shape is shared; only
@@ -296,45 +363,80 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     common, sizes = _common_shingle_pairs(docs)
-    scored = (
-        _sized_pairs(common, sizes)
-        .withColumn(
-            "containment_a_in_b",
-            round_half_up(
-                F.col("n_common").cast("double") / F.col("size_a").cast("double"), 4
-            ),
-        )
-        .withColumn(
-            "containment_b_in_a",
-            round_half_up(
-                F.col("n_common").cast("double") / F.col("size_b").cast("double"), 4
-            ),
-        )
+    scored = _sized_pairs(common, sizes).withColumn(
+        "containment_a_in_b",
+        round_half_up(
+            F.col("n_common").cast("double") / F.col("size_a").cast("double"), 4
+        ),
+    ).withColumn(
+        "containment_b_in_a",
+        round_half_up(
+            F.col("n_common").cast("double") / F.col("size_b").cast("double"), 4
+        ),
     )
     # integer-exact admission: n_common·10 ≥ 8·size (threshold 0.8) on the
     # smaller side, so the filter never depends on the rounded display value
+    scored = scored.filter(
+        F.col("n_common") * F.lit(10)
+        >= F.lit(int(CONTAINMENT_THRESHOLD * 10)) * F.least("size_a", "size_b")
+    )
+    if topk is None:
+        return scored.select(
+            "doc_a", "doc_b", "containment_a_in_b", "containment_b_in_a"
+        ).orderBy("doc_a", "doc_b")
+    # mirror with direction-aware column swap: for doc_id = a the "contained"
+    # score is C(A→B); for doc_id = b it is C(B→A)
+    fwd = scored.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor"),
+        F.col("containment_a_in_b").alias("containment_doc_in_nbr"),
+        F.col("containment_b_in_a").alias("containment_nbr_in_doc"),
+    )
+    rev = scored.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("doc_a").alias("neighbor"),
+        F.col("containment_b_in_a").alias("containment_doc_in_nbr"),
+        F.col("containment_a_in_b").alias("containment_nbr_in_doc"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("containment_doc_in_nbr"), F.asc("neighbor")
+    )
     return (
-        scored.filter(
-            F.col("n_common") * F.lit(10)
-            >= F.lit(int(CONTAINMENT_THRESHOLD * 10)) * F.least("size_a", "size_b")
-        )
-        .select("doc_a", "doc_b", "containment_a_in_b", "containment_b_in_a")
-        .orderBy("doc_a", "doc_b")
+        fwd.unionByName(rev)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .orderBy("doc_id", "rank")
     )
 
 
 _NGRAM_CONTAINMENT_SQL = f"""
-{_SQL_PAIR_CTES}
-SELECT doc_a, doc_b,
-       CAST(FLOOR((CAST(n_common AS DOUBLE) / CAST(sa.n_shingles AS DOUBLE))
-            * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS containment_a_in_b,
-       CAST(FLOOR((CAST(n_common AS DOUBLE) / CAST(sb.n_shingles AS DOUBLE))
-            * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS containment_b_in_a
-FROM common
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_common * 10 >= {int(CONTAINMENT_THRESHOLD * 10)} * LEAST(sa.n_shingles, sb.n_shingles)
-ORDER BY doc_a, doc_b
+{_SQL_PAIR_CTES},
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(FLOOR((CAST(n_common AS DOUBLE) / CAST(sa.n_shingles AS DOUBLE))
+              * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS containment_a_in_b,
+         CAST(FLOOR((CAST(n_common AS DOUBLE) / CAST(sb.n_shingles AS DOUBLE))
+              * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS containment_b_in_a
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common * 10 >= {int(CONTAINMENT_THRESHOLD * 10)} * LEAST(sa.n_shingles, sb.n_shingles)),
+mirrored AS (
+  SELECT doc_a AS doc_id, doc_b AS neighbor,
+         containment_a_in_b AS containment_doc_in_nbr,
+         containment_b_in_a AS containment_nbr_in_doc
+  FROM scored
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS neighbor,
+         containment_b_in_a AS containment_doc_in_nbr,
+         containment_a_in_b AS containment_nbr_in_doc
+  FROM scored)
+SELECT doc_id, neighbor, containment_doc_in_nbr, containment_nbr_in_doc, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY containment_doc_in_nbr DESC, neighbor) AS INTEGER) AS rank
+  FROM mirrored) t
+WHERE rank <= {TOPK_NEIGHBORS}
+ORDER BY doc_id, rank
 """
 
 
@@ -597,13 +699,20 @@ def incremental_minhash_update(existing_sigs: DataFrame, new_docs: DataFrame) ->
 _EST_UNIT = 10000 // MINHASH_K
 
 
-def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-quality audit: for every LSH candidate pair, the MinHash
-    Jaccard estimate (matching components / k) next to the TRUE Jaccard
-    over the full distinct-shingle sets, with the absolute error. This is
-    the report that sizes MINHASH_K: if the observed error at k=16 is too
-    wide for the dedup threshold, you raise k before trusting the sketch
-    on the real corpus.
+def minhash_estimate_audit(
+    spark: SparkSession, sf_dir: str, rollup: bool = True
+) -> DataFrame:
+    """Sketch-quality audit: MinHash Jaccard estimate (matching
+    components / k) vs the TRUE Jaccard over the full distinct-shingle
+    sets. This is the report that sizes MINHASH_K: if the observed error
+    at k=16 is too wide for the dedup threshold, you raise k before
+    trusting the sketch on the real corpus.
+
+    Default (rollup=True) emits ONE ROW PER ESTIMATE LEVEL (est_matches ∈
+    0..k → ≤ k+1 rows: pair count, mean/max absolute error vs exact) —
+    bounded output no matter how many candidate pairs the corpus holds.
+    rollup=False emits the per-pair frame (O(candidates) output,
+    audit-only; see TOPK_NEIGHBORS note on cluster² growth).
 
     Exactness: both jaccards are computed in 1e-4 fixed-point integer
     arithmetic (est = matches·625; exact = (2·10000·inter + union) intdiv
@@ -651,7 +760,7 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_inter * 20000 + n_union) div (2 * n_union)"),
         )
     )
-    return out.select(
+    per_pair = out.select(
         "doc_a",
         "doc_b",
         "est_matches",
@@ -660,7 +769,37 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est4").cast("double") / 10000.0).alias("est_jaccard"),
         (F.col("ex4").cast("double") / 10000.0).alias("exact_jaccard"),
         (F.abs(F.col("est4") - F.col("ex4")).cast("double") / 10000.0).alias("abs_err"),
-    ).orderBy("doc_a", "doc_b")
+        F.col("est4"),
+        F.col("ex4"),
+    )
+    if not rollup:
+        return per_pair.drop("est4", "ex4").orderBy("doc_a", "doc_b")
+    # fixed-point means: round_half_up(s/n) = (2s + n) div (2n) on non-negative
+    # int64 sums, so the twins agree bit-for-bit regardless of agg order
+    agg = (
+        per_pair.withColumn("abs4", F.abs(F.col("est4") - F.col("ex4")))
+        .groupBy("est_matches")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("ex4").alias("s_ex"),
+            F.sum("abs4").alias("s_abs"),
+            F.max("abs4").alias("m_abs"),
+        )
+    )
+    return agg.select(
+        "est_matches",
+        "n_pairs",
+        ((F.col("est_matches").cast("long") * F.lit(_EST_UNIT)).cast("double") / 10000.0).alias(
+            "est_jaccard"
+        ),
+        (F.expr("(2 * s_ex + n_pairs) div (2 * n_pairs)").cast("double") / 10000.0).alias(
+            "mean_exact_jaccard"
+        ),
+        (F.expr("(2 * s_abs + n_pairs) div (2 * n_pairs)").cast("double") / 10000.0).alias(
+            "mean_abs_err"
+        ),
+        (F.col("m_abs").cast("double") / 10000.0).alias("max_abs_err"),
+    ).orderBy("est_matches")
 
 
 def _sql_minhash_audit() -> str:
@@ -691,17 +830,25 @@ j AS (
   FROM est e
   LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
   JOIN sizes za ON za.doc_id = e.doc_a
-  JOIN sizes zb ON zb.doc_id = e.doc_b)
-SELECT doc_a, doc_b, est_matches,
-       CAST(n_inter AS BIGINT) AS n_inter,
-       CAST(n_union AS BIGINT) AS n_union,
-       CAST(est4 AS DOUBLE) / 10000.0 AS est_jaccard,
-       CAST((n_inter * 20000 + n_union) // (2 * n_union) AS DOUBLE) / 10000.0
-         AS exact_jaccard,
-       CAST(abs(est4 - (n_inter * 20000 + n_union) // (2 * n_union)) AS DOUBLE) / 10000.0
-         AS abs_err
-FROM j
-ORDER BY doc_a, doc_b
+  JOIN sizes zb ON zb.doc_id = e.doc_b),
+pp AS (
+  SELECT est_matches, est4,
+         (n_inter * 20000 + n_union) // (2 * n_union) AS ex4
+  FROM j),
+agg AS (
+  SELECT est_matches,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(ex4) AS s_ex,
+         SUM(abs(est4 - ex4)) AS s_abs,
+         MAX(abs(est4 - ex4)) AS m_abs
+  FROM pp GROUP BY est_matches)
+SELECT est_matches, n_pairs,
+       CAST(CAST(est_matches AS BIGINT) * {_EST_UNIT} AS DOUBLE) / 10000.0 AS est_jaccard,
+       CAST((2 * s_ex + n_pairs) // (2 * n_pairs) AS DOUBLE) / 10000.0 AS mean_exact_jaccard,
+       CAST((2 * s_abs + n_pairs) // (2 * n_pairs) AS DOUBLE) / 10000.0 AS mean_abs_err,
+       CAST(m_abs AS DOUBLE) / 10000.0 AS max_abs_err
+FROM agg
+ORDER BY est_matches
 """
 
 

@@ -419,9 +419,20 @@ ORDER BY t.query_id
 NEAR_DUP_COSINE = 0.30
 
 
-def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All vector pairs with cosine ≥ threshold, restricted to LSH-bucket
-    collisions (the scalable all-pairs shape: bucket join, not cross join).
+NEAR_DUP_TOPK = 5
+
+
+def embedding_near_dups(
+    spark: SparkSession, sf_dir: str, topk: int | None = NEAR_DUP_TOPK
+) -> DataFrame:
+    """Per-vector top-k near-duplicate neighbors with cosine ≥ threshold,
+    restricted to LSH-bucket collisions (the scalable all-pairs shape:
+    bucket join, not cross join). Bounded emission: a duplicate cluster of
+    m vectors holds m(m-1)/2 qualifying pairs, so the full pair list is
+    O(m²) in output even with capped generation; the default report keeps
+    each vector's k best neighbors (output O(n·k), rank-limit window →
+    WindowGroupLimit pushdown). topk=None emits every qualifying pair
+    (audit-only).
 
     Threshold 0.30: the driver's synthetic embeddings are near-isotropic
     (max pairwise cosine ≈ 0.51), so a realistic 0.95 near-dup bar matches
@@ -433,7 +444,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = emb.withColumn("bucket", _signature(F.col("emb")))
     a = sig.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "bucket")
     b = sig.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "bucket")
-    return (
+    scored = (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
@@ -442,20 +453,44 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(_cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
-        .orderBy("vec_a", "vec_b")
+    )
+    if topk is None:
+        return scored.orderBy("vec_a", "vec_b")
+    fwd = scored.select(
+        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("neighbor"), "cosine"
+    )
+    rev = scored.select(
+        F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("neighbor"), "cosine"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        fwd.unionByName(rev)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .orderBy("vec_id", "rank")
     )
 
 
 _NEAR_DUP_SQL = f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-sig AS (SELECT vec_id, emb, {_sql_signature('emb')} AS bucket FROM emb)
-SELECT vec_a, vec_b, cosine FROM (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         CAST(FLOOR(({_SQL_DOT_AB} / ({_sql_norm('a')} * {_sql_norm('b')})) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS cosine
-  FROM sig a
-  JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
-WHERE cosine >= {NEAR_DUP_COSINE}
-ORDER BY vec_a, vec_b
+sig AS (SELECT vec_id, emb, {_sql_signature('emb')} AS bucket FROM emb),
+scored AS (
+  SELECT vec_a, vec_b, cosine FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(FLOOR(({_SQL_DOT_AB} / ({_sql_norm('a')} * {_sql_norm('b')})) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS cosine
+    FROM sig a
+    JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+  WHERE cosine >= {NEAR_DUP_COSINE}),
+mirrored AS (
+  SELECT vec_a AS vec_id, vec_b AS neighbor, cosine FROM scored
+  UNION ALL
+  SELECT vec_b AS vec_id, vec_a AS neighbor, cosine FROM scored)
+SELECT vec_id, neighbor, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, neighbor) AS INTEGER) AS rank
+  FROM mirrored) t
+WHERE rank <= {NEAR_DUP_TOPK}
+ORDER BY vec_id, rank
 """
 
 

@@ -790,13 +790,43 @@ def test_winsorized_stats_bounds_and_clip_counts(spark, sf_dir):
 def test_containment_pairs_bounds_and_asymmetry(spark, sf_dir):
     from data_pipeline_for_autonomous_vehicles_spark.operators import dedup
 
-    rows = dedup.ngram_containment_pairs(spark, sf_dir).collect()
+    rows = dedup.ngram_containment_pairs(spark, sf_dir, topk=None).collect()
     assert rows, "expect some subsumed near-dups at test SF"
     for r in rows:
         a, b = r["containment_a_in_b"], r["containment_b_in_a"]
         assert 0.0 < a <= 1.0 and 0.0 < b <= 1.0
         # admission rule: the smaller side is >=80% contained in the other
         assert max(a, b) >= 0.8 - 1e-4
+
+
+def test_pair_reports_bounded_emission(spark, sf_dir):
+    """The default pair reports are bounded to per-doc top-k: every doc
+    appears <= TOPK_NEIGHBORS times, ranks are 1..m contiguous, scores are
+    non-increasing within a doc, and each (doc, neighbor, score) row comes
+    from the unbounded pair list (mirrored)."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import dedup
+
+    full = dedup.ngram_jaccard_pairs(spark, sf_dir, topk=None).collect()
+    mirrored = {}
+    for r in full:
+        mirrored.setdefault(r["doc_a"], {})[r["doc_b"]] = r["jaccard"]
+        mirrored.setdefault(r["doc_b"], {})[r["doc_a"]] = r["jaccard"]
+    topk = dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+    per_doc = {}
+    for r in topk:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rows in per_doc.items():
+        assert len(rows) <= dedup.TOPK_NEIGHBORS
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["jaccard"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        # exactly the k best neighbors of this doc (score desc, id asc)
+        want = sorted(mirrored[doc].items(), key=lambda kv: (-kv[1], kv[0]))[
+            : dedup.TOPK_NEIGHBORS
+        ]
+        assert [(r["neighbor"], r["jaccard"]) for r in rows] == want
+    # every doc with at least one qualifying pair is represented
+    assert set(per_doc) == set(mirrored)
 
 
 def test_conversion_lift_ztest_consistency(spark, sf_dir):
@@ -945,7 +975,7 @@ def test_training_shards_partition_and_determinism(spark, sf_dir):
 def test_minhash_audit_exactness_and_candidate_parity(spark, sf_dir):
     """Audit rows cover exactly the LSH candidate set; est = matches/k in
     fixed point; exact Jaccard matches a literal Python shingle recount."""
-    audit = dedup.minhash_estimate_audit(spark, sf_dir).collect()
+    audit = dedup.minhash_estimate_audit(spark, sf_dir, rollup=False).collect()
     pairs_q = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()}
     assert {(r["doc_a"], r["doc_b"]) for r in audit} == pairs_q
     docs = {
@@ -964,6 +994,30 @@ def test_minhash_audit_exactness_and_candidate_parity(spark, sf_dir):
         assert r["n_inter"] == len(sa & sb)
         assert r["n_union"] == len(sa | sb)
         assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 1.01e-4
+
+
+def test_minhash_audit_rollup_matches_per_pair(spark, sf_dir):
+    """The bounded (default) rollup is an exact fixed-point aggregation of
+    the per-pair audit frame: counts, round-half-up means, and maxes per
+    est_matches level."""
+    from collections import defaultdict
+
+    per_pair = dedup.minhash_estimate_audit(spark, sf_dir, rollup=False).collect()
+    rolled = {r["est_matches"]: r for r in dedup.minhash_estimate_audit(spark, sf_dir).collect()}
+    groups = defaultdict(list)
+    for r in per_pair:
+        groups[r["est_matches"]].append(r)
+    assert set(rolled) == set(groups)
+    for m, rows in groups.items():
+        rr = rolled[m]
+        n = len(rows)
+        assert rr["n_pairs"] == n
+        assert abs(rr["est_jaccard"] - m / dedup.MINHASH_K) < 1e-9
+        ex4 = [round(r["exact_jaccard"] * 10000) for r in rows]
+        ab4 = [round(r["abs_err"] * 10000) for r in rows]
+        assert round(rr["mean_exact_jaccard"] * 10000) == (2 * sum(ex4) + n) // (2 * n)
+        assert round(rr["mean_abs_err"] * 10000) == (2 * sum(ab4) + n) // (2 * n)
+        assert round(rr["max_abs_err"] * 10000) == max(ab4)
 
 
 def test_mad_outliers_match_bruteforce(spark, sf_dir):
