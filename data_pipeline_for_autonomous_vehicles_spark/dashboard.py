@@ -93,11 +93,11 @@ def chart_frames(
     telemetry = pdf["latest_telemetry"]
     alerts = pdf["recent_alerts"]
     mpi = pdf["km_per_intervention"]
-    interventions = int(
-        pdf["driving_event_counts"]
-        .query("event_type in ('intervention', 'disengagement')")["event_count"]
-        .sum()
-    )
+    # widget parity: the reference KPI sums event_count over the WHOLE
+    # interventions_per_vehicle frame — all four event types, including
+    # lane_change/hard_brake (reference dashboard.py:80, despite the
+    # metric's label). Reproduced as-is so the rendered number matches.
+    interventions = int(pdf["driving_event_counts"]["event_count"].sum())
     kpis = {
         "vehicles_with_data": int(len(telemetry)),
         "alerts_latest": int(len(alerts)),

@@ -237,13 +237,40 @@ def purge_entities(
     the ids. Pass 1 finds the affected partitions (semi-join, aggregate to
     the distinct date list — the only thing collected, bounded by the
     calendar); pass 2 reads ONLY those partitions, anti-joins the opt-out
-    list, and dynamic-partition-overwrites them. Untouched partitions'
-    files are not rewritten (byte-identical, proven in the test), so cost
-    is O(partitions containing the entities), and a re-run is idempotent.
+    list, and rewrites them. Untouched partitions' files are not rewritten
+    (byte-identical, proven in the test), so cost is O(partitions
+    containing the entities), and a re-run is idempotent.
+
+    Durability: survivors are STAGED to a sibling ``_purge_staging_*``
+    directory first (one job, no cache/recompute hazard — a data-destroying
+    routine must never read the files it is deleting), then each affected
+    partition is swapped in two renames via a ``_purge_trash_*`` holding
+    area. At every crash point each surviving row exists in at least one
+    durable location (old partition dir, trash, or staging) — nothing is
+    permanently lost; a crash mid-swap leaves ``_``-prefixed dirs (ignored
+    by Spark's file-source discovery) for manual recovery, and re-running
+    the purge completes the job for partitions still in place. The
+    per-partition rename pair is the residual non-atomic window: a reader
+    racing the swap can see a partition briefly missing — acceptable for a
+    maintenance job, documented here.
+
+    ``opt_out`` must carry the entity ids in a column named ``key_col``
+    (or be a single-column frame, which is taken as the id list whatever
+    its name) — a multi-column export without ``key_col`` raises instead
+    of silently joining on the wrong values.
 
     Returns the list of partition values rewritten.
     """
-    ids = opt_out.select(F.col(opt_out.columns[0]).alias(key_col)).distinct()
+    if key_col in opt_out.columns:
+        ids = opt_out.select(F.col(key_col)).distinct()
+    elif len(opt_out.columns) == 1:
+        ids = opt_out.select(F.col(opt_out.columns[0]).alias(key_col)).distinct()
+    else:
+        raise ValueError(
+            f"opt_out has columns {opt_out.columns} but none is {key_col!r}; "
+            "purging on an arbitrary first column would silently delete the "
+            "wrong rows — pass key_col or a single-column id frame"
+        )
     base = spark.read.parquet(path)
     affected = sorted(
         r["d"].isoformat()
@@ -254,32 +281,40 @@ def purge_entities(
     )
     if not affected:
         return []
-    kept = (
-        base.filter(F.col(PARTITION_COL).isin(affected))
-        .join(ids, key_col, "left_anti")
-    ).cache()  # read once: the survivor probe below + the rewrite
-    # a partition whose rows ALL belong to opted-out entities produces no
-    # output rows, and dynamic overwrite only replaces partitions PRESENT
-    # in the output — its stale files must be removed by a metadata delete
-    surviving = {
-        r["d"].isoformat()
-        for r in kept.select(F.col(PARTITION_COL).alias("d")).distinct().collect()
-    }
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            kept.repartition(F.col(PARTITION_COL))
-            .sortWithinPartitions(PARTITION_COL, key_col)
-            .write.partitionBy(PARTITION_COL)
-            .mode("overwrite")
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        kept.unpersist()
+    import uuid
+
+    token = uuid.uuid4().hex
+    staging = f"{path}/_purge_staging_{token}"
+    trash = f"{path}/_purge_trash_{token}"
+    kept = base.filter(F.col(PARTITION_COL).isin(affected)).join(
+        ids, key_col, "left_anti"
+    )
+    (
+        kept.repartition(F.col(PARTITION_COL))
+        .sortWithinPartitions(PARTITION_COL, key_col)
+        .write.partitionBy(PARTITION_COL)
+        .mode("overwrite")
+        .parquet(staging)
+    )
     fs = _fs(spark, path)
+    # surviving days from a staging LIST (metadata-only — no second scan,
+    # no dependence on cached plans): a partition whose rows ALL belong to
+    # opted-out entities simply has no staged directory
+    surviving = {
+        st.getPath().getName().split("=", 1)[1]
+        for st in fs.listStatus(_hadoop_path(spark, staging))
+        if st.isDirectory() and st.getPath().getName().startswith(f"{PARTITION_COL}=")
+    }
+    fs.mkdirs(_hadoop_path(spark, trash))
     for day in affected:
-        if day not in surviving:
-            fs.delete(_hadoop_path(spark, f"{path}/{PARTITION_COL}={day}"), True)
+        target = _hadoop_path(spark, f"{path}/{PARTITION_COL}={day}")
+        # 1) old partition → trash (keeps every byte durable until commit)
+        fs.rename(target, _hadoop_path(spark, f"{trash}/{PARTITION_COL}={day}"))
+        # 2) staged survivors → live (absent when the whole day was purged)
+        if day in surviving:
+            fs.rename(
+                _hadoop_path(spark, f"{staging}/{PARTITION_COL}={day}"), target
+            )
+    fs.delete(_hadoop_path(spark, staging), True)
+    fs.delete(_hadoop_path(spark, trash), True)
     return affected

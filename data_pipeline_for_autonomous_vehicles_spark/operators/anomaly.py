@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import register_plan_cache as _register_cache
 from ..catalog import load_table
 from ..functions.scalars import round_half_up
 
@@ -291,6 +292,7 @@ def value_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("v_e2").alias("s"))
         .cache()
     )
+    cells = _register_cache(cells)
     outs = []
     for k in ACF_LAGS:
         a = cells.select("event_type", "h", F.col("s").alias("x"))

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import register_plan_cache as _register_cache
 from ..catalog import load_table
 from ..functions.scalars import sql_portable_hash, round_half_up
 
@@ -167,8 +168,8 @@ FROM groups
 # --- word-shingle n-gram Jaccard near-dup ----------------------------------
 
 
-def _shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word-n-gram pairs. element_at is 1-based in
+def _shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """(id_col, shingle) distinct word-n-gram pairs. element_at is 1-based in
     both Spark SQL and DuckDB, so the twins are literally parallel."""
     toks = _tokens()
     shingle_expr = F.expr(
@@ -176,8 +177,8 @@ def _shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
         "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"
     )
     return (
-        docs.select("doc_id", toks.alias("toks"))
-        .select("doc_id", F.explode(F.array_distinct(shingle_expr)).alias("shingle"))
+        docs.select(id_col, toks.alias("toks"))
+        .select(id_col, F.explode(F.array_distinct(shingle_expr)).alias("shingle"))
     )
 
 
@@ -196,7 +197,7 @@ def _common_shingle_pairs(docs: DataFrame):
     distinct-shingle counts. One shingle frame is built and cached; both
     the Jaccard and containment scorers consume the same frames, so a
     MAX_BUCKET or shingling change cannot desynchronize them."""
-    sh = _shingles_df(docs).cache()
+    sh = _register_cache(_shingles_df(docs).cache())
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # Broadcast the *hot* shingle list (df > MAX_BUCKET — bounded by
     # |postings|/MAX_BUCKET, small by construction) and anti-join, rather
@@ -557,7 +558,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signatures are one narrow row per doc; cache so the band explode and
     # the two signature re-joins below read one materialization instead of
     # re-running the shingle shuffle up to 7× (bench: 3.1s → ~1s at sf0.1)
-    sigs = _minhash_signatures(spark, sf_dir).cache()
+    sigs = _register_cache(_minhash_signatures(spark, sf_dir).cache())
     cand = _lsh_candidates(sigs)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(MINHASH_K)])
     sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(MINHASH_K)])
@@ -728,7 +729,7 @@ def minhash_estimate_audit(
     pair, not per shingle bucket.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = _minhash_signatures(spark, sf_dir).cache()
+    sigs = _register_cache(_minhash_signatures(spark, sf_dir).cache())
     cand = _lsh_candidates(sigs)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(MINHASH_K)])
     sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(MINHASH_K)])
@@ -740,7 +741,7 @@ def minhash_estimate_audit(
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", matches.cast("int").alias("est_matches"))
     )
-    sh = _shingles_df(docs).cache()
+    sh = _register_cache(_shingles_df(docs).cache())
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
@@ -936,7 +937,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash targets set-Jaccard, SimHash targets weighted cosine — real
     pipelines run both and union the edge lists.
     """
-    fps = simhash_fingerprints(spark, sf_dir).cache()
+    fps = _register_cache(simhash_fingerprints(spark, sf_dir).cache())
     bands = F.array(
         *[
             F.struct(
@@ -1022,8 +1023,8 @@ def near_dup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each edge list feeds two branches (own count + the overlap join);
     # cache the bounded, cap-limited pair lists so neither detector's
     # banded join runs twice (the sweep harness clears caches per query)
-    mh = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
-    sh = simhash_hamming_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    mh = _register_cache(minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").cache())
+    sh = _register_cache(simhash_hamming_pairs(spark, sf_dir).select("doc_a", "doc_b").cache())
     n_mh = mh.agg(F.count(F.lit(1)).alias("n_minhash"))
     n_sh = sh.agg(F.count(F.lit(1)).alias("n_simhash"))
     n_both = mh.join(sh, ["doc_a", "doc_b"]).agg(F.count(F.lit(1)).alias("n_both"))
@@ -1102,7 +1103,7 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles and report NULL novelty rather than vanishing.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles_df(docs).cache()
+    sh = _register_cache(_shingles_df(docs).cache())
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         sh.join(df_counts, "shingle")

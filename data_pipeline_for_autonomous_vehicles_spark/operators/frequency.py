@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import register_plan_cache as _register_cache
 from ..catalog import load_table
 from ..functions.scalars import round_half_up, sql_round_half_up
 
@@ -106,7 +107,7 @@ def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
-    cells = per_user.groupBy("x").agg(F.count(F.lit(1)).alias("c")).cache()
+    cells = _register_cache(per_user.groupBy("x").agg(F.count(F.lit(1)).alias("c")).cache())
     # running count p via a broadcast theta self-join over the VALUE-DOMAIN
     # cells (cells² is domain-bounded) — keeps the registry-wide
     # no-unpartitioned-window invariant absolute instead of special-casing

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import register_plan_cache as _register_cache
 from ..catalog import load_table
 
 MAX_EDIT_DISTANCE = 4
@@ -152,6 +153,7 @@ def fuzzy_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("block", F.element_at(F.split(F.col("p_name"), " "), -1))
         .cache()
     )
+    names = _register_cache(names)
     a = names.select(F.col("p_name").alias("name_a"), F.col("block").alias("block_a"))
     b = names.select(F.col("p_name").alias("name_b"), F.col("block").alias("block_b"))
     true_pairs = (

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import register_plan_cache as _register_cache
 from ..catalog import load_table
 
 PR_SCALE = 10**12  # fixed-point rank units
@@ -56,8 +57,8 @@ def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PageRank nodes after PR_ITERS exact fixed-point iterations,
     with dangling-mass redistribution (suppliers are all dangling)."""
     nodes, edges = _graph(spark, sf_dir)
-    nodes = nodes.cache()
-    edges = edges.cache()
+    nodes = _register_cache(nodes.cache())
+    edges = _register_cache(edges.cache())
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))  # 1 row, broadcast below
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
 

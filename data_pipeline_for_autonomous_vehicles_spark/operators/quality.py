@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import register_plan_cache as _register_cache
 from ..catalog import load_table
 from ..functions.scalars import round_half_up, sql_round_half_up
 
@@ -537,6 +538,7 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .cache()
     )
+    cells = _register_cache(cells)
     per_type = Window.partitionBy("event_type")
 
     def _median_of(cdf_cells: DataFrame, val_col: str) -> DataFrame:

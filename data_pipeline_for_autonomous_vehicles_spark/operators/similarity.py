@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import register_plan_cache as _register_cache
 from ..catalog import load_table
 from ..functions.scalars import round_half_up, sql_round_half_up
 
@@ -946,8 +947,7 @@ def _pq_subvectors(vecs: DataFrame) -> DataFrame:
 
 def _pq_cb_row(cents: DataFrame) -> DataFrame:
     """All M codebooks folded into one broadcastable row: a sorted array of
-    (m, cid, c, cn2) structs — M·K entries regardless of corpus size (cn2 =
-    the codeword's int64 self-dot, precomputed for the expanded distance)."""
+    (m, cid, c) structs — M·K entries regardless of corpus size."""
     return cents.agg(F.array_sort(F.collect_list(F.struct("m", "cid", "c"))).alias("_cb"))
 
 
@@ -1558,6 +1558,7 @@ def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
+    cells = _register_cache(cells)
     norms = cells.groupBy("source").agg(F.sum(F.col("m") * F.col("m")).alias("n2"))
     a = cells.select(F.col("source").alias("source_a"), "pos", F.col("m").alias("ma"))
     b = cells.select(F.col("source").alias("source_b"), "pos", F.col("m").alias("mb"))

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import register_plan_cache as _register_cache
 from ..catalog import load_table
 from ..functions.scalars import (
     exact_avg,
@@ -847,7 +848,7 @@ def monthly_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, so no distinct aggregate touches the fact table.
     """
     ev = load_table(spark, sf_dir, "events")
-    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct().cache()
+    ud = _register_cache(ev.select("user_id", F.to_date("ts").alias("day")).distinct().cache())
     with_m = ud.withColumn("month", F.trunc("day", "MM"))
     dau = with_m.groupBy("month", "day").agg(F.count(F.lit(1)).alias("dau"))
     per_month_days = dau.groupBy("month").agg(
@@ -1008,6 +1009,7 @@ def weekly_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
+    uw = _register_cache(uw)
     first = uw.groupBy("user_id").agg(F.min("week").alias("first_week"))
     prev = uw.select("user_id", (F.col("week") + 1).alias("week"), F.lit(1).alias("active_prev"))
     classified = (

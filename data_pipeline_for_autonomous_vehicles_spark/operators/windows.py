@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import register_plan_cache as _register_cache
 from ..catalog import load_table
 from ..functions.scalars import round_half_up
 
@@ -224,16 +225,23 @@ ORDER BY user_id
 # two-pass boundary/broadcast idea as olap.customer_spend_deciles:
 #
 #   1. reduce to a distinct-key table (one row per key value, with a count);
-#   2. range-repartition it in rank order and take per-range-partition
-#      subtotals — a constant-size table (≤ shuffle-partition count rows per
-#      part group), whose prefix sums give each partition's global offset;
-#   3. broadcast the offsets back; a window per (range-partition, group)
-#      — bounded by partition size, never the full data — finishes the
-#      tie-aware running counts.
+#   2. split it into ~n_parts order-contiguous slices via DETERMINISTIC
+#      hash-sampled key-quantile cuts (below) and take per-slice running
+#      counts — each slice window is ~|distinct keys|/n_parts rows;
+#   3. per-slice subtotals (≤ n_parts rows per part group) give each
+#      slice's global offset via a bounded-size prefix window; broadcast
+#      them back to finish the tie-aware running counts.
 #
 # rank / dense_rank / percent_rank / cume_dist / ntile are all pure
 # functions of those counts, so the results are bit-identical to the
 # single-window formulation the oracles use.
+
+
+# hash-sampled keys per target slice for the `_tie_aware_running` cuts:
+# per-slice key-count error ~ 1/sqrt(OVERSAMPLE) ≈ 12% — balance only,
+# never correctness. 64·n_parts sampled values ≈ a few MB broadcast even
+# at n_parts = 10⁴ (1000-executor scale).
+OVERSAMPLE = 64
 
 
 def _tie_aware_running(
@@ -249,6 +257,15 @@ def _tie_aware_running(
     cume counts = rows_before + cnt.
     """
     okey = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    # lazy cache on the distinct-key table (≪ fact size): it feeds four
+    # plan branches (count, sample, pid annotation×2) and each would
+    # otherwise re-run the fact aggregation that produced it. cache(), not
+    # localCheckpoint — building the query stays job-free (no eager
+    # materialization), and correctness never depends on it (every derived
+    # quantity is a pure function of the key multiset), it only avoids
+    # recompute. Lifecycle: registered for release_plan_caches() — see
+    # plans.audit; a long-lived session should call it between queries.
+    dist = _register_cache(dist.cache())
     # Data-derived range-partition id. `d` feeds two plan branches
     # (per-partition subtotals + the join-back); a repartitionByRange +
     # spark_partition_id() here would compile to two independent
@@ -259,66 +276,59 @@ def _tie_aware_running(
     # materialization). The split points must therefore be DETERMINISTIC
     # under independent re-evaluation. percentile_approx is NOT (its
     # QuantileSummaries partial-merge is shuffle-arrival-order dependent
-    # once summaries compress at scale), so the cuts come from an
-    # equal-mass histogram instead: uniform value bins over [min, max]
-    # (min/max/sum are order-independent aggregates, the per-key bin id is
-    # a pure closed-form function), exact integer masses, and the
-    # n_parts−1 equal-mass cut BINS derived by a tiny self-join prefix —
-    # every step re-evaluates to the identical result. `_pid` =
-    # #cut-bins strictly before the key's bin in query order: a pure
-    # function of the key, monotone along `okey` (same-value keys share a
-    # bin, hence a pid), which is all the offset algebra below needs.
-    # Equal-mass up to bin granularity (8·n_parts bins) keeps per-pid
-    # windows balanced except under irreducible single-value skew.
+    # once summaries compress at scale), and seeded random sampling is NOT
+    # (Sample's XORShift stream advances per row, so within-partition
+    # arrival order leaks into membership). The cuts therefore come from a
+    # HASH-sampled key-quantile sketch: sample ≈ OVERSAMPLE·n_parts
+    # distinct keys by a pure predicate on xxhash64(order_col) (membership
+    # is a function of the key alone — re-evaluation-proof), sort the
+    # sample into one broadcast row, and read the n_parts−1 equal-KEY-
+    # quantile cuts out of the array in closed form. `_pid` = #cut values
+    # strictly before the key in query order: a pure function of the key,
+    # monotone along `okey` (equal keys share a pid), which is all the
+    # offset algebra below needs. KEY-quantiles (not mass quantiles) are
+    # the right balance metric: the per-pid window below runs over the
+    # DISTINCT-KEY table, so task size = keys per pid, and hash sampling
+    # is distribution-free — heavy-tailed value ranges that collapse
+    # equal-width value bins (the previous scheme) leave it unmoved.
+    # Balance error is ~1/√OVERSAMPLE per slice, irrelevant to
+    # correctness; irreducible single-VALUE skew (one key carrying huge
+    # cnt) only widens the later per-tie fact window, as before.
     if n_parts > 1:
-        n_bins = n_parts * 8
-        stats = dist.agg(
-            F.min(order_col).alias("_lo"),
-            F.max(order_col).alias("_hi"),
-            F.sum("cnt").alias("_tot"),
+        sample_target = n_parts * OVERSAMPLE
+        stats = dist.agg(F.count(F.lit(1)).alias("_k"))
+        # pure-function membership: keep ≈ sample_target keys. The e4
+        # fixed-point threshold keeps the predicate integer-exact; the +1
+        # guarantees a nonzero rate so tiny inputs keep their cuts.
+        rate_e4 = F.least(
+            F.lit(10_000),
+            (F.lit(10_000) * F.lit(sample_target)) / F.greatest(F.col("_k"), F.lit(1)) + 1,
+        ).cast("long")
+        sampled = (
+            dist.crossJoin(F.broadcast(stats))
+            .filter(F.pmod(F.xxhash64(order_col), F.lit(10_000)) < rate_e4)
+            .select(order_col)
         )
-        width = (F.col("_hi") - F.col("_lo")).cast("double") / F.lit(float(n_bins))
-        bin_id = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
-            F.least(
-                F.lit(n_bins - 1),
-                F.floor((F.col(order_col) - F.col("_lo")).cast("double") / width),
+        cb_row = sampled.agg(F.sort_array(F.collect_list(order_col)).alias("_s"))
+        idx = lambda i: F.greatest(  # noqa: E731 — 1-based clamp into the sample
+            F.lit(1), F.floor(F.lit(i) * F.size("_s") / F.lit(n_parts)).cast("int")
+        )
+        cuts = F.when(F.size("_s") == 0, F.array().cast(f"array<{dist.schema[order_col].dataType.simpleString()}>")).otherwise(
+            F.array_distinct(
+                F.array(*[F.element_at("_s", idx(i)) for i in range(1, n_parts)])
             )
-        ).cast("int")
-        withbin = dist.crossJoin(F.broadcast(stats)).withColumn("_bin", bin_id)
-        hist = withbin.groupBy("_bin").agg(F.sum("cnt").alias("_m"))
-        cum = (
-            hist.alias("a")
-            .join(hist.alias("b"), F.col("b._bin") <= F.col("a._bin"))
-            .groupBy(F.col("a._bin").alias("_bin"))
-            .agg(F.sum("b._m").alias("_cum"))
         )
-        spark = dist.sparkSession
-        targets = spark.range(1, n_parts).select(F.col("id").alias("_i"))
-        cuts = (
-            cum.crossJoin(targets)
-            .crossJoin(F.broadcast(stats.select("_tot")))
-            .filter(F.col("_cum") * n_parts >= F.col("_i") * F.col("_tot"))
-            .groupBy("_i")
-            .agg(F.min("_bin").alias("_cb"))
-        )
-        cb_row = cuts.agg(F.sort_array(F.collect_list("_cb")).alias("_cbs"))
-        before = (lambda cb: cb < F.col("_bin")) if ascending else (
-            lambda cb: cb > F.col("_bin")
+        cb_row = cb_row.select(cuts.alias("_cbs"))
+        before = (lambda cb: cb < F.col(order_col)) if ascending else (
+            lambda cb: cb > F.col(order_col)
         )
         d = (
-            withbin.crossJoin(F.broadcast(cb_row))
+            dist.crossJoin(F.broadcast(cb_row))
             .withColumn("_pid", F.size(F.filter(F.col("_cbs"), before)))
-            .drop("_cbs", "_bin", "_lo", "_hi", "_tot")
+            .drop("_cbs")
         )
     else:
         d = dist.withColumn("_pid", F.lit(0))
-    # lazy cache: the distinct-key table (≪ fact size) feeds the window
-    # branch and the subtotal branch; without it each branch re-runs the
-    # fact aggregation + boundary subquery. cache(), not localCheckpoint —
-    # building the query stays job-free (no eager materialization), and
-    # correctness never depends on it (the pid is a pure function of the
-    # key), it only avoids recompute.
-    d = d.cache()
     # Intra-partition running counts first; the per-partition subtotals are
     # then an aggregate OVER THE WINDOWED FRAME, so both consumers share the
     # single hashpartitioning(_pid, part_cols) exchange under the window

@@ -183,3 +183,40 @@ def test_purge_entities_rewrites_only_affected_partitions(spark, sf_dir, tmp_pat
     # (d) idempotent re-run: nothing affected, nothing rewritten
     assert purge_entities(spark, path, opt_out) == []
     assert _snapshot() == after
+    # (e) no staging/trash residue after a clean run
+    assert not _glob.glob(f"{path}/_purge_*")
+
+
+def test_purge_entities_opt_out_column_selection(spark, sf_dir, tmp_path):
+    """The opt-out frame's id column is selected BY NAME: a multi-column
+    consent export with a key_col column joins on that column (regardless
+    of position), and a multi-column export WITHOUT key_col raises instead
+    of silently purging on the wrong values (ADVICE r3 medium)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.maintenance import purge_entities
+    from data_pipeline_for_autonomous_vehicles_spark.sinks import write_time_partitioned
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events")
+    write_time_partitioned(ev, path)
+
+    # multi-column export with key_col NOT first: must purge user 2 only —
+    # the first column (opted_out_at ~ a timestamp-like number) would be a
+    # silent no-op join under the old first-column rule
+    opt_out = spark.createDataFrame(
+        [(1700000000, 2)], "opted_out_at bigint, user_id bigint"
+    )
+    purge_entities(spark, path, opt_out)
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("user_id") == 2).count() == 0
+    assert back.filter(F.col("user_id") == 1).count() > 0
+
+    # multi-column export without key_col: hard error, nothing touched
+    bad = spark.createDataFrame([(1700000000, 3)], "opted_out_at bigint, uid bigint")
+    n_before = back.count()
+    with pytest.raises(ValueError, match="user_id"):
+        purge_entities(spark, path, bad)
+    assert spark.read.parquet(path).count() == n_before

