@@ -8,6 +8,15 @@ Each query executes its full physical plan into the `noop` sink (no
 collect cost, no driver materialization) — the same way a cluster job would
 be measured. A warmup pass on sf0.001 first pays JVM/codegen startup so the
 numbers reflect steady-state execution.
+
+sf1 mode (round-3 verdict task 4): ``python bench.py sf1`` measures the
+same headline set at ~sf1 — the FK-consistent 10x replica of sf0.1
+(tools/scale_data.py; generated on first use) — where per-query times are
+100x better separated than at sf0.1's 0.3-0.7 s plan-submit floor.
+BASELINE.md carries the sf1 anchors. The env-var/driver default stays
+sf0.1 so BENCH_r{N}.json remains comparable with rounds 1-3 and with the
+driver's BASELINE.json contract; if /root/testdata/sf1 ever exists it is
+preferred automatically.
 """
 
 from __future__ import annotations
@@ -95,9 +104,30 @@ def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+SF1_REPLICA = "/tmp/sf_scaled_10x"
+
+
+def _resolve_sf_dir() -> tuple[str, str]:
+    """(sf_dir, sf_label). Precedence: explicit `sf1` argv -> the 10x
+    replica (generated if missing); $SPARK_GRAFT_SF_DIR; /root/testdata/sf1
+    if the driver ever materializes it; else the sf0.1 default."""
+    if len(sys.argv) > 1 and sys.argv[1] == "sf1":
+        if not os.path.isdir(SF1_REPLICA):
+            from tools.scale_data import scale
+
+            sys.stderr.write(f"generating {SF1_REPLICA} (10x of sf0.1)...\n")
+            scale(10, "/root/testdata/sf0.1", SF1_REPLICA)
+        return SF1_REPLICA, "1"
+    env = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if env:
+        return env, env.rstrip("/").rsplit("sf", 1)[-1]
+    if os.path.isdir("/root/testdata/sf1"):
+        return "/root/testdata/sf1", "1"
+    return "/root/testdata/sf0.1", "0.1"
+
+
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_dir, sf = _resolve_sf_dir()
     spark = get_spark("bench")
     queries = all_queries()
 

@@ -190,152 +190,212 @@ _SQL_SHINGLES = f"""
 """
 
 
-def _common_shingle_pairs(docs: DataFrame):
-    """Shared candidate generation for the pairwise shingle family:
-    (common, sizes) where `common` holds (doc_a < doc_b, n_common) from the
-    df-capped shingle inverted-index self-join and `sizes` the per-doc
-    distinct-shingle counts. One shingle frame is built and cached; both
-    the Jaccard and containment scorers consume the same frames, so a
-    MAX_BUCKET or shingling change cannot desynchronize them."""
-    sh = _register_cache(_shingles_df(docs).cache())
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    # Broadcast the *hot* shingle list (df > MAX_BUCKET — bounded by
-    # |postings|/MAX_BUCKET, small by construction) and anti-join, rather
-    # than broadcasting the kept set, which is data-sized at 100 TB.
-    hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") > MAX_BUCKET
+def _content_frames(docs: DataFrame):
+    """Content-deduplicated candidate machinery for the pairwise shingle
+    family — exact-dedup BEFORE near-dup, the standard production layering
+    (a replicated/boilerplate corpus holds the same text thousands of
+    times; scoring it once per distinct CONTENT instead of once per doc
+    pair turns O(cluster^2) shingle-join work into O(distinct-contents)).
+
+    Returns (members, pairs):
+      members = (doc_id, ckey, mrank)   ckey = md5(text), mrank = 1..g by
+                doc_id within the content group
+      pairs   = one row per CONTENT pair (ckey_a, ckey_b, n_common,
+                size_a, size_b); ckey_a == ckey_b is the self-pair of a
+                group with >= 2 members (its members are pairwise
+                identical documents), n_common there = the content's KEPT
+                shingle count — exactly what the doc-level join would
+                count for two identical docs.
+
+    Bit-exact equivalence with doc-level scoring: identical texts have
+    identical shingle sets, so every member pair of (G, H) shares the
+    content pair's n_common/sizes; the df cap keeps DOC-level frequency
+    semantics by weighting each content's shingles with its group size g
+    (sum(g) over contents == count over docs).
+    """
+    base = docs.select("doc_id", F.md5(F.col("text")).alias("ckey"), "text")
+    w_m = Window.partitionBy("ckey").orderBy("doc_id")
+    members = base.select("doc_id", "ckey").withColumn(
+        "mrank", F.row_number().over(w_m)
     )
-    sh_kept = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    a = sh_kept.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh_kept.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
+    members = _register_cache(members.cache())
+    gsize = members.groupBy("ckey").agg(F.count(F.lit(1)).alias("g"))
+    reps = base.groupBy("ckey").agg(F.min("text").alias("text"))
+    shc = _register_cache(_shingles_df(reps, id_col="ckey").cache())
+    sizes = shc.groupBy("ckey").agg(F.count(F.lit(1)).alias("full_size"))
+    # Broadcast the *hot* shingle list (doc-level df > MAX_BUCKET — bounded
+    # by |postings|/MAX_BUCKET, small by construction) and anti-join, rather
+    # than broadcasting the kept set, which is data-sized at 100 TB.
+    hot = (
+        shc.join(gsize, "ckey")
+        .groupBy("shingle")
+        .agg(F.sum("g").alias("df"))
+        .filter(F.col("df") > MAX_BUCKET)
+    )
+    kept = shc.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    a = kept.select(F.col("ckey").alias("ckey_a"), "shingle")
+    b = kept.select(F.col("ckey").alias("ckey_b"), "shingle")
+    cross = (
         a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .filter(F.col("ckey_a") < F.col("ckey_b"))
+        .groupBy("ckey_a", "ckey_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return common, sizes
-
-
-def _sized_pairs(common: DataFrame, sizes: DataFrame) -> DataFrame:
-    """Attach size_a/size_b to the candidate pairs. `sizes` is one row per
-    document — data-sized at production scale — so these are plain shuffle
-    equi-joins (AQE may still elect broadcast at small SFs)."""
-    return common.join(
-        sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-            "n_shingles", "size_a"
-        ),
-        "doc_a",
-    ).join(
-        sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-            "n_shingles", "size_b"
-        ),
-        "doc_b",
+    selfp = (
+        kept.groupBy("ckey")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(gsize.filter(F.col("g") >= 2).select("ckey"), "ckey")
+        .select(
+            F.col("ckey").alias("ckey_a"), F.col("ckey").alias("ckey_b"), "n_common"
+        )
     )
+    pairs = (
+        cross.unionByName(selfp)
+        .join(
+            sizes.select(F.col("ckey").alias("ckey_a"), F.col("full_size").alias("size_a")),
+            "ckey_a",
+        )
+        .join(
+            sizes.select(F.col("ckey").alias("ckey_b"), F.col("full_size").alias("size_b")),
+            "ckey_b",
+        )
+    )
+    return members, pairs
 
 
-# shared SQL CTE prefix for the same candidate pipeline (sh/sizes/kept/common)
-_SQL_PAIR_CTES = f"""
-WITH sh AS ({_SQL_SHINGLES}),
-sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+# shared SQL CTE prefix mirroring `_content_frames` (members/gsize/reps/
+# shc/sizes/kept/crossp/selfp/cpairs)
+_SQL_CONTENT_CTES = f"""
+WITH base AS (SELECT doc_id, md5(text) AS ckey, text FROM documents),
+members AS (
+  SELECT doc_id, ckey,
+         ROW_NUMBER() OVER (PARTITION BY ckey ORDER BY doc_id) AS mrank
+  FROM base),
+gsize AS (SELECT ckey, COUNT(*) AS g FROM members GROUP BY ckey),
+reps AS (SELECT ckey, MIN(text) AS text FROM base GROUP BY ckey),
+shc AS (
+  SELECT ckey, unnest(list_distinct(
+           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
+  FROM (SELECT ckey, {_SQL_TOKENS} AS toks FROM reps) t),
+sizes AS (SELECT ckey, COUNT(*) AS full_size FROM shc GROUP BY ckey),
 kept AS (
-  SELECT * FROM sh WHERE shingle IN (
-    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_BUCKET})),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)"""
-
-
-def _mirror_topk(
-    scored: DataFrame, score_col: str, k: int, id_col: str = "doc_id", nbr_col: str = "neighbor"
-) -> DataFrame:
-    """Bound a symmetric (doc_a < doc_b, score) pair list to each doc's
-    top-k neighbors: mirror every pair into both directions, then
-    row_number ≤ k per doc (score DESC, neighbor ASC tiebreak — fully
-    deterministic: (score, neighbor) is unique within a doc).
-
-    Scale: output is O(n·k) regardless of duplicate-cluster size; the
-    rank-limit window gets Spark's WindowGroupLimit pushdown, so each
-    shuffle task only materializes k rows per doc, not the whole cluster.
-    """
-    fwd = scored.select(
-        F.col("doc_a").alias(id_col), F.col("doc_b").alias(nbr_col), score_col
-    )
-    rev = scored.select(
-        F.col("doc_b").alias(id_col), F.col("doc_a").alias(nbr_col), score_col
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc(score_col), F.asc(nbr_col))
-    return (
-        fwd.unionByName(rev)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .orderBy(id_col, "rank")
-    )
-
-
-def _sql_mirror_topk(score_col: str, k: int, id_col: str = "doc_id", nbr_col: str = "neighbor") -> str:
-    """DuckDB twin of `_mirror_topk`, over a CTE named `scored`."""
-    return f"""
-mirrored AS (
-  SELECT doc_a AS {id_col}, doc_b AS {nbr_col}, {score_col} FROM scored
-  UNION ALL
-  SELECT doc_b AS {id_col}, doc_a AS {nbr_col}, {score_col} FROM scored)
-SELECT {id_col}, {nbr_col}, {score_col}, rank FROM (
-  SELECT *, CAST(ROW_NUMBER() OVER (
-    PARTITION BY {id_col} ORDER BY {score_col} DESC, {nbr_col}) AS INTEGER) AS rank
-  FROM mirrored) t
-WHERE rank <= {k}
-ORDER BY {id_col}, rank
-"""
+  SELECT * FROM shc WHERE shingle IN (
+    SELECT shingle FROM shc JOIN gsize USING (ckey)
+    GROUP BY shingle HAVING SUM(g) <= {MAX_BUCKET})),
+crossp AS (
+  SELECT a.ckey AS ckey_a, b.ckey AS ckey_b, COUNT(*) AS n_common
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.ckey < b.ckey
+  GROUP BY a.ckey, b.ckey),
+selfp AS (
+  SELECT k.ckey AS ckey_a, k.ckey AS ckey_b, COUNT(*) AS n_common
+  FROM kept k JOIN gsize g USING (ckey)
+  WHERE g.g >= 2 GROUP BY k.ckey),
+cpairs AS (
+  SELECT p.ckey_a, p.ckey_b, p.n_common,
+         sa.full_size AS size_a, sb.full_size AS size_b
+  FROM (SELECT * FROM crossp UNION ALL SELECT * FROM selfp) p
+  JOIN sizes sa ON sa.ckey = p.ckey_a
+  JOIN sizes sb ON sb.ckey = p.ckey_b)"""
 
 
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, topk: int | None = TOPK_NEIGHBORS
 ) -> DataFrame:
-    """Per-doc top-k near-duplicate neighbors by word-3-gram Jaccard ≥
+    """Per-doc top-k near-duplicate neighbors by word-3-gram Jaccard >=
     threshold (bounded emission; see TOPK_NEIGHBORS note). topk=None emits
-    the full qualifying pair list — O(cluster²) output, audit-only.
+    the full qualifying pair list — O(cluster^2) output, audit-only.
 
-    shingle-inverted-index self-join: |common shingles| per pair, then
-    J = common / (|A| + |B| - common). Buckets capped at MAX_BUCKET docs
-    to bound the per-shingle cross product at scale.
+    Scale shape: scoring runs on DISTINCT CONTENTS (`_content_frames` —
+    the shingle inverted-index self-join never sees exact duplicates), and
+    doc-level expansion is bounded: each doc joins its content's top-k
+    (RANK, ties kept — a provable superset of the true per-doc top-k)
+    content neighbors x their k+1 smallest member ids, then a row_number
+    window takes the exact k best. A 10x-replicated corpus therefore costs
+    what its distinct corpus costs, + O(n·k) expansion.
     """
     docs = load_table(spark, sf_dir, "documents")
-    common, sizes = _common_shingle_pairs(docs)
-    scored = (
-        _sized_pairs(common, sizes)
-        .withColumn(
-            "jaccard",
-            round_half_up(
-                F.col("n_common").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    members, pairs = _content_frames(docs)
+    adm = pairs.withColumn(
+        "jaccard",
+        round_half_up(
+            F.col("n_common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+            4,
+        ),
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD).select("ckey_a", "ckey_b", "jaccard")
     if topk is None:
-        return scored.orderBy("doc_a", "doc_b")
-    return _mirror_topk(scored, "jaccard", topk)
+        da = members.select(F.col("ckey").alias("ckey_a"), F.col("doc_id").alias("da"))
+        db = members.select(F.col("ckey").alias("ckey_b"), F.col("doc_id").alias("db"))
+        return (
+            adm.join(da, "ckey_a")
+            .join(db, "ckey_b")
+            .filter((F.col("ckey_a") != F.col("ckey_b")) | (F.col("da") < F.col("db")))
+            .select(
+                F.least("da", "db").alias("doc_a"),
+                F.greatest("da", "db").alias("doc_b"),
+                "jaccard",
+            )
+            .orderBy("doc_a", "doc_b")
+        )
+    cdir = adm.select(
+        F.col("ckey_a").alias("ckey"), F.col("ckey_b").alias("nckey"), "jaccard"
+    ).unionByName(
+        adm.filter(F.col("ckey_a") != F.col("ckey_b")).select(
+            F.col("ckey_b").alias("ckey"), F.col("ckey_a").alias("nckey"), "jaccard"
+        )
+    )
+    w_c = Window.partitionBy("ckey").orderBy(F.desc("jaccard"))
+    crank = cdir.withColumn("cr", F.rank().over(w_c)).filter(F.col("cr") <= topk)
+    mtop = members.filter(F.col("mrank") <= topk + 1).select(
+        F.col("ckey").alias("nckey"), F.col("doc_id").alias("neighbor")
+    )
+    cand = (
+        members.select("doc_id", "ckey")
+        .join(crank, "ckey")
+        .join(mtop, "nckey")
+        .filter(F.col("neighbor") != F.col("doc_id"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("neighbor"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select("doc_id", "neighbor", "jaccard", "rank")
+        .orderBy("doc_id", "rank")
+    )
 
-
-_SQL_JACCARD_SCORED = f"""
-scored AS (
-  SELECT doc_a, doc_b, jaccard FROM (
-    SELECT doc_a, doc_b,
-           CAST(FLOOR((CAST(n_common AS DOUBLE)
-                 / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b) q
-  WHERE jaccard >= {JACCARD_THRESHOLD})"""
 
 _NGRAM_JACCARD_SQL = f"""
-{_SQL_PAIR_CTES},
-{_SQL_JACCARD_SCORED},
-{_sql_mirror_topk("jaccard", TOPK_NEIGHBORS)}
+{_SQL_CONTENT_CTES},
+admf AS (
+  SELECT ckey_a, ckey_b, jaccard FROM (
+    SELECT ckey_a, ckey_b,
+           CAST(FLOOR((CAST(n_common AS DOUBLE)
+                 / CAST(size_a + size_b - n_common AS DOUBLE)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS jaccard
+    FROM cpairs) q
+  WHERE jaccard >= {JACCARD_THRESHOLD}),
+cdir AS (
+  SELECT ckey_a AS ckey, ckey_b AS nckey, jaccard FROM admf
+  UNION ALL
+  SELECT ckey_b AS ckey, ckey_a AS nckey, jaccard FROM admf WHERE ckey_a <> ckey_b),
+crank AS (
+  SELECT * FROM (
+    SELECT *, RANK() OVER (PARTITION BY ckey ORDER BY jaccard DESC) AS cr
+    FROM cdir) r
+  WHERE cr <= {TOPK_NEIGHBORS}),
+mtop AS (SELECT ckey, doc_id FROM members WHERE mrank <= {TOPK_NEIGHBORS + 1}),
+cand AS (
+  SELECT m.doc_id, mt.doc_id AS neighbor, c.jaccard
+  FROM members m
+  JOIN crank c ON c.ckey = m.ckey
+  JOIN mtop mt ON mt.ckey = c.nckey
+  WHERE mt.doc_id <> m.doc_id)
+SELECT doc_id, neighbor, jaccard, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY jaccard DESC, neighbor) AS INTEGER) AS rank
+  FROM cand) t
+WHERE rank <= {TOPK_NEIGHBORS}
+ORDER BY doc_id, rank
 """
 
 
@@ -346,10 +406,10 @@ def ngram_containment_pairs(
     spark: SparkSession, sf_dir: str, topk: int | None = TOPK_NEIGHBORS
 ) -> DataFrame:
     """Per-doc top-k containment neighbors: pairs where one side's shingle
-    set is ≥80% CONTAINED in the other, C(A→B) = |A∩B| / |A|, bounded to
-    each doc's k best (by how much THIS doc is contained in the neighbor —
-    the subsumed-duplicate signal). topk=None emits the full qualifying
-    pair list (O(cluster²) output, audit-only).
+    set is >=80% CONTAINED in the other, C(A->B) = |A n B| / |A|, bounded
+    to each doc's k best (by how much THIS doc is contained in the
+    neighbor — the subsumed-duplicate signal). topk=None emits the full
+    qualifying pair list (O(cluster^2) output, audit-only).
 
     The asymmetric complement to `ngram_jaccard_pairs` — a short document
     quoted inside a long one has high containment but low Jaccard (the
@@ -357,85 +417,119 @@ def ngram_containment_pairs(
     subsumed-duplicate class training-data dedup must catch (quote
     inflation, boilerplate wrappers).
 
-    Same candidate generation as the Jaccard path (shingle inverted-index
-    equi-join, per-shingle bucket cap) — the scale shape is shared; only
-    the scoring denominator differs, so both directions come from one
-    pair aggregation.
+    Same content-level candidate generation as the Jaccard path
+    (`_content_frames`) — the scale shape is shared; only the scoring
+    denominator differs, and the directed mirror carries both directions'
+    scores (they swap when the pair orientation flips).
     """
     docs = load_table(spark, sf_dir, "documents")
-    common, sizes = _common_shingle_pairs(docs)
-    scored = _sized_pairs(common, sizes).withColumn(
-        "containment_a_in_b",
-        round_half_up(
-            F.col("n_common").cast("double") / F.col("size_a").cast("double"), 4
-        ),
-    ).withColumn(
-        "containment_b_in_a",
-        round_half_up(
-            F.col("n_common").cast("double") / F.col("size_b").cast("double"), 4
-        ),
-    )
-    # integer-exact admission: n_common·10 ≥ 8·size (threshold 0.8) on the
+    members, pairs = _content_frames(docs)
+    # integer-exact admission: n_common*10 >= 8*size (threshold 0.8) on the
     # smaller side, so the filter never depends on the rounded display value
-    scored = scored.filter(
+    adm = pairs.filter(
         F.col("n_common") * F.lit(10)
         >= F.lit(int(CONTAINMENT_THRESHOLD * 10)) * F.least("size_a", "size_b")
+    ).select(
+        "ckey_a",
+        "ckey_b",
+        round_half_up(
+            F.col("n_common").cast("double") / F.col("size_a").cast("double"), 4
+        ).alias("c_a_in_b"),
+        round_half_up(
+            F.col("n_common").cast("double") / F.col("size_b").cast("double"), 4
+        ).alias("c_b_in_a"),
     )
     if topk is None:
-        return scored.select(
-            "doc_a", "doc_b", "containment_a_in_b", "containment_b_in_a"
+        da = members.select(F.col("ckey").alias("ckey_a"), F.col("doc_id").alias("da"))
+        db = members.select(F.col("ckey").alias("ckey_b"), F.col("doc_id").alias("db"))
+        exp = (
+            adm.join(da, "ckey_a")
+            .join(db, "ckey_b")
+            .filter((F.col("ckey_a") != F.col("ckey_b")) | (F.col("da") < F.col("db")))
+        )
+        flip = F.col("da") > F.col("db")  # orientation swap carries the scores along
+        return exp.select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            F.when(flip, F.col("c_b_in_a")).otherwise(F.col("c_a_in_b")).alias(
+                "containment_a_in_b"
+            ),
+            F.when(flip, F.col("c_a_in_b")).otherwise(F.col("c_b_in_a")).alias(
+                "containment_b_in_a"
+            ),
         ).orderBy("doc_a", "doc_b")
-    # mirror with direction-aware column swap: for doc_id = a the "contained"
-    # score is C(A→B); for doc_id = b it is C(B→A)
-    fwd = scored.select(
-        F.col("doc_a").alias("doc_id"),
-        F.col("doc_b").alias("neighbor"),
-        F.col("containment_a_in_b").alias("containment_doc_in_nbr"),
-        F.col("containment_b_in_a").alias("containment_nbr_in_doc"),
+    cdir = adm.select(
+        F.col("ckey_a").alias("ckey"),
+        F.col("ckey_b").alias("nckey"),
+        F.col("c_a_in_b").alias("containment_doc_in_nbr"),
+        F.col("c_b_in_a").alias("containment_nbr_in_doc"),
+    ).unionByName(
+        adm.filter(F.col("ckey_a") != F.col("ckey_b")).select(
+            F.col("ckey_b").alias("ckey"),
+            F.col("ckey_a").alias("nckey"),
+            F.col("c_b_in_a").alias("containment_doc_in_nbr"),
+            F.col("c_a_in_b").alias("containment_nbr_in_doc"),
+        )
     )
-    rev = scored.select(
-        F.col("doc_b").alias("doc_id"),
-        F.col("doc_a").alias("neighbor"),
-        F.col("containment_b_in_a").alias("containment_doc_in_nbr"),
-        F.col("containment_a_in_b").alias("containment_nbr_in_doc"),
+    w_c = Window.partitionBy("ckey").orderBy(F.desc("containment_doc_in_nbr"))
+    crank = cdir.withColumn("cr", F.rank().over(w_c)).filter(F.col("cr") <= topk)
+    mtop = members.filter(F.col("mrank") <= topk + 1).select(
+        F.col("ckey").alias("nckey"), F.col("doc_id").alias("neighbor")
+    )
+    cand = (
+        members.select("doc_id", "ckey")
+        .join(crank, "ckey")
+        .join(mtop, "nckey")
+        .filter(F.col("neighbor") != F.col("doc_id"))
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("containment_doc_in_nbr"), F.asc("neighbor")
     )
     return (
-        fwd.unionByName(rev)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= topk)
+        .select(
+            "doc_id", "neighbor", "containment_doc_in_nbr", "containment_nbr_in_doc", "rank"
+        )
         .orderBy("doc_id", "rank")
     )
 
 
 _NGRAM_CONTAINMENT_SQL = f"""
-{_SQL_PAIR_CTES},
-scored AS (
-  SELECT doc_a, doc_b,
-         CAST(FLOOR((CAST(n_common AS DOUBLE) / CAST(sa.n_shingles AS DOUBLE))
-              * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS containment_a_in_b,
-         CAST(FLOOR((CAST(n_common AS DOUBLE) / CAST(sb.n_shingles AS DOUBLE))
-              * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS containment_b_in_a
-  FROM common
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE n_common * 10 >= {int(CONTAINMENT_THRESHOLD * 10)} * LEAST(sa.n_shingles, sb.n_shingles)),
-mirrored AS (
-  SELECT doc_a AS doc_id, doc_b AS neighbor,
-         containment_a_in_b AS containment_doc_in_nbr,
-         containment_b_in_a AS containment_nbr_in_doc
-  FROM scored
+{_SQL_CONTENT_CTES},
+admf AS (
+  SELECT ckey_a, ckey_b,
+         CAST(FLOOR((CAST(n_common AS DOUBLE) / CAST(size_a AS DOUBLE))
+              * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS c_a_in_b,
+         CAST(FLOOR((CAST(n_common AS DOUBLE) / CAST(size_b AS DOUBLE))
+              * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS c_b_in_a
+  FROM cpairs
+  WHERE n_common * 10 >= {int(CONTAINMENT_THRESHOLD * 10)} * LEAST(size_a, size_b)),
+cdir AS (
+  SELECT ckey_a AS ckey, ckey_b AS nckey,
+         c_a_in_b AS containment_doc_in_nbr, c_b_in_a AS containment_nbr_in_doc
+  FROM admf
   UNION ALL
-  SELECT doc_b AS doc_id, doc_a AS neighbor,
-         containment_b_in_a AS containment_doc_in_nbr,
-         containment_a_in_b AS containment_nbr_in_doc
-  FROM scored)
+  SELECT ckey_b AS ckey, ckey_a AS nckey,
+         c_b_in_a AS containment_doc_in_nbr, c_a_in_b AS containment_nbr_in_doc
+  FROM admf WHERE ckey_a <> ckey_b),
+crank AS (
+  SELECT * FROM (
+    SELECT *, RANK() OVER (PARTITION BY ckey ORDER BY containment_doc_in_nbr DESC) AS cr
+    FROM cdir) r
+  WHERE cr <= {TOPK_NEIGHBORS}),
+mtop AS (SELECT ckey, doc_id FROM members WHERE mrank <= {TOPK_NEIGHBORS + 1}),
+cand AS (
+  SELECT m.doc_id, mt.doc_id AS neighbor,
+         c.containment_doc_in_nbr, c.containment_nbr_in_doc
+  FROM members m
+  JOIN crank c ON c.ckey = m.ckey
+  JOIN mtop mt ON mt.ckey = c.nckey
+  WHERE mt.doc_id <> m.doc_id)
 SELECT doc_id, neighbor, containment_doc_in_nbr, containment_nbr_in_doc, rank FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (
     PARTITION BY doc_id ORDER BY containment_doc_in_nbr DESC, neighbor) AS INTEGER) AS rank
-  FROM mirrored) t
+  FROM cand) t
 WHERE rank <= {TOPK_NEIGHBORS}
 ORDER BY doc_id, rank
 """

@@ -594,3 +594,17 @@ def test_ann_pq_bm25_exchange_bounds(spark, sf_dir):
     assert plans.exchange_count(similarity.ann_ivfpq_topk(spark, sf_dir)) <= 6
     assert plans.exchange_count(similarity.ann_ivf_topk(spark, sf_dir)) <= 4
     assert plans.exchange_count(similarity.kmeans_cluster_stats(spark, sf_dir)) <= 8
+
+
+def test_tie_aware_rank_exchange_bounds(spark, sf_dir):
+    # round-3 verdict task 2: these were the three deepest plans in the
+    # registry (21/15/13 exchanges) because the equal-mass cut array was
+    # re-derived through a histogram self-join + two crossJoins per call.
+    # The hash-sampled key-quantile cuts collapse that to one count + one
+    # collect aggregate over the cached distinct-key table — pin the
+    # flattened shapes at the measured 8/8/6.
+    from data_pipeline_for_autonomous_vehicles_spark.operators import windows as win_ops
+
+    assert plans.exchange_count(win_ops.supplier_revenue_ranks(spark, sf_dir)) <= 8
+    assert plans.exchange_count(win_ops.customer_balance_quartiles(spark, sf_dir)) <= 8
+    assert plans.exchange_count(win_ops.order_price_position(spark, sf_dir)) <= 6
