@@ -44,4 +44,8 @@ def test_release_is_idempotent_and_safe_mid_lineage(spark, sf_dir):
     first = df.collect()
     caching.release_plan_caches(blocking=True)
     assert caching.release_plan_caches() == 0
-    assert df.collect() == first
+    try:
+        assert df.collect() == first  # recompute re-pins the lazy cache...
+    finally:
+        spark.catalog.clearCache()  # ...so leave no plan-cache residue
+        caching.release_plan_caches(blocking=True)

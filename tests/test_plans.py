@@ -602,8 +602,14 @@ def test_tie_aware_rank_exchange_bounds(spark, sf_dir):
     # re-derived through a histogram self-join + two crossJoins per call.
     # The hash-sampled key-quantile cuts collapse that to one count + one
     # collect aggregate over the cached distinct-key table — pin the
-    # flattened shapes at the measured 8/8/6.
+    # flattened shapes at the measured 8/8/6. Cache substitution from an
+    # earlier test's materialized plan cache changes the printed tree, so
+    # measure against a clean cache state.
+    from data_pipeline_for_autonomous_vehicles_spark import caching
     from data_pipeline_for_autonomous_vehicles_spark.operators import windows as win_ops
+
+    spark.catalog.clearCache()
+    caching.release_plan_caches()
 
     assert plans.exchange_count(win_ops.supplier_revenue_ranks(spark, sf_dir)) <= 8
     assert plans.exchange_count(win_ops.customer_balance_quartiles(spark, sf_dir)) <= 8
