@@ -1458,6 +1458,130 @@ ORDER BY cid
 """
 
 
+# --- SemDeDup-style cluster pruning -----------------------------------------
+
+SEMDEDUP_TAU = 0.30  # prune threshold (synthetic embeddings are near-isotropic)
+SEMDEDUP_CAP = 100  # members examined per cluster for the pairwise stage
+
+
+def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup (SemDeDup-shape) pruning report: partition the corpus
+    with the shared fixed-point k-means assignment, compute pairwise cosine
+    WITHIN each cluster only, and prune every vector that duplicates
+    (cos ≥ τ) a lower-id member of its own cluster. Per cluster: members,
+    examined, pruned, prune rate, max intra-cluster cosine — the report
+    that sizes a semantic-dedup pass before committing to it on the real
+    corpus.
+
+    Prune rule (parallelizable variant of the greedy chain): x is pruned
+    iff ∃ y in the same cluster with y.vec_id < x.vec_id and
+    cos(x, y) ≥ τ. Keeps the smallest id of every duplicate cohort —
+    deterministic, EXISTS-expressible, no sequential dependency.
+
+    Scale (100 TB): the whole point of the k-means partition is that
+    pairwise work is per-cluster, never corpus²; residual giant clusters
+    are bounded by the SEMDEDUP_CAP examined-members cap (smallest ids —
+    the kept side of the rule), with `n_members` vs `n_examined` making
+    the cap VISIBLE per cluster (the no-silent-caps rule; raise K so
+    clusters fit the cap in production). Cosines run on the int64
+    fixed-point grid shared with the Lloyd pass — bit-identical twins,
+    scale cancels in the ratio.
+    """
+    final = _km_final_assignment(spark, sf_dir)
+    w_m = Window.partitionBy("cid").orderBy("vec_id")
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    mem = (
+        final.select("vec_id", "cid", "sx")
+        .withColumn("mrank", F.row_number().over(w_m))
+        .withColumn("n2", dot(F.col("sx"), F.col("sx")))
+    )
+    n_members = mem.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    ex = mem.filter(F.col("mrank") <= SEMDEDUP_CAP)
+    a = ex.select("cid", F.col("vec_id").alias("va"), F.col("sx").alias("xa"), F.col("n2").alias("na"))
+    b = ex.select("cid", F.col("vec_id").alias("vb"), F.col("sx").alias("xb"), F.col("n2").alias("nb"))
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            "cid",
+            "va",
+            "vb",
+            round_half_up(
+                dot(F.col("xa"), F.col("xb")).cast("double")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+                4,
+            ).alias("cos"),
+        )
+    )
+    pruned = (
+        pairs.filter(F.col("cos") >= SEMDEDUP_TAU)
+        .select("cid", "vb")
+        .distinct()
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_pruned"))
+    )
+    pair_stats = pairs.groupBy("cid").agg(F.max("cos").alias("max_intra_cosine"))
+    examined = ex.groupBy("cid").agg(F.count(F.lit(1)).alias("n_examined"))
+    return (
+        n_members.join(examined, "cid")
+        .join(pruned, "cid", "left")
+        .join(pair_stats, "cid", "left")
+        .select(
+            "cid",
+            "n_members",
+            "n_examined",
+            F.coalesce(F.col("n_pruned"), F.lit(0)).cast("long").alias("n_pruned"),
+            (
+                F.expr(
+                    "(coalesce(n_pruned, 0) * 20000 + n_examined) div (2 * n_examined)"
+                ).cast("double")
+                / 10000.0
+            ).alias("prune_rate"),
+            F.coalesce(F.col("max_intra_cosine"), F.lit(0.0)).alias("max_intra_cosine"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _sql_semdedup() -> str:
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH {_sql_km_chain()},
+mem AS (
+  SELECT vec_id, cid, sx,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS mrank,
+         {dot.format(a='sx', b='sx')} AS n2
+  FROM a3),
+nmem AS (SELECT cid, COUNT(*) AS n_members FROM mem GROUP BY cid),
+ex AS (SELECT * FROM mem WHERE mrank <= {SEMDEDUP_CAP}),
+pairs AS (
+  SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
+         CAST(FLOOR((CAST({dot.format(a='a.sx', b='b.sx')} AS DOUBLE)
+               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS cos
+  FROM ex a JOIN ex b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+pruned AS (
+  SELECT cid, COUNT(*) AS n_pruned FROM (
+    SELECT DISTINCT cid, vb FROM pairs WHERE cos >= {SEMDEDUP_TAU}) d
+  GROUP BY cid),
+pstats AS (SELECT cid, MAX(cos) AS max_intra_cosine FROM pairs GROUP BY cid),
+examined AS (SELECT cid, COUNT(*) AS n_examined FROM ex GROUP BY cid)
+SELECT n.cid, n.n_members, e.n_examined,
+       CAST(COALESCE(p.n_pruned, 0) AS BIGINT) AS n_pruned,
+       CAST((COALESCE(p.n_pruned, 0) * 20000 + e.n_examined) // (2 * e.n_examined) AS DOUBLE) / 10000.0 AS prune_rate,
+       COALESCE(s.max_intra_cosine, 0.0) AS max_intra_cosine
+FROM nmem n
+JOIN examined e ON e.cid = n.cid
+LEFT JOIN pruned p ON p.cid = n.cid
+LEFT JOIN pstats s ON s.cid = n.cid
+ORDER BY n.cid
+"""
+
+
 # --- embedding norm QA --------------------------------------------------------
 
 # healthy band for unit-normalized embeddings: ‖x‖ ∈ [0.9, 1.1]
@@ -1628,6 +1752,7 @@ QUERIES = {
     "embedding_quantize_report": embedding_quantize_report,
     "kmeans_cluster_stats": kmeans_cluster_stats,
     "kmeans_label_purity": kmeans_label_purity,
+    "semdedup_prune_report": semdedup_prune_report,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "hybrid_search_rrf": hybrid_search_rrf,
@@ -1646,6 +1771,7 @@ ORACLES = {
     "embedding_quantize_report": _QUANT_SQL,
     "kmeans_cluster_stats": _sql_kmeans(),
     "kmeans_label_purity": _sql_km_purity(),
+    "semdedup_prune_report": _sql_semdedup(),
     "ann_pq_topk": _sql_pq(),
     "ann_ivfpq_topk": _sql_ivfpq(),
     "hybrid_search_rrf": _sql_hybrid(),

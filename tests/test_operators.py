@@ -1605,3 +1605,41 @@ def test_acctbal_bands_partition_customers(spark, sf_dir):
     for r in out:
         assert 1 <= r["balance_band"] <= 5
         assert 0 <= r["n_active"] <= r["n_customers"]
+
+
+def test_semdedup_prune_matches_bruteforce(spark, sf_dir):
+    """The parallel prune rule (x pruned iff a lower-id same-cluster member
+    has cos >= tau) must match a literal Python recomputation from the
+    shared k-means assignment, and the smallest id of every cluster must
+    never be pruned."""
+    import math
+
+    from data_pipeline_for_autonomous_vehicles_spark.operators import similarity as sim
+
+    report = {r["cid"]: r for r in sim.semdedup_prune_report(spark, sf_dir).collect()}
+    members = sim._km_final_assignment(spark, sf_dir).select("vec_id", "cid", "sx").collect()
+    by_cid = {}
+    for r in members:
+        by_cid.setdefault(r["cid"], []).append((r["vec_id"], r["sx"]))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    for cid, rows in by_cid.items():
+        rows.sort()
+        ex = rows[: sim.SEMDEDUP_CAP]
+        pruned = set()
+        max_cos = 0.0
+        for i, (vb, xb) in enumerate(ex):
+            for va, xa in ex[:i]:
+                c = math.floor(cos(xa, xb) * 10000 + 0.5) / 10000.0
+                max_cos = max(max_cos, c)
+                if c >= sim.SEMDEDUP_TAU:
+                    pruned.add(vb)
+        rr = report[cid]
+        assert rr["n_members"] == len(rows)
+        assert rr["n_examined"] == len(ex)
+        assert rr["n_pruned"] == len(pruned)
+        assert abs(rr["max_intra_cosine"] - max_cos) < 1.01e-4
+        assert ex[0][0] not in pruned  # smallest id is always kept

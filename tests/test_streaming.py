@@ -381,3 +381,75 @@ def test_streaming_state_green_under_rocksdb_provider(spark, sf_dir):
         else:
             spark.conf.set(key, prev)
     assert rocks_rows == default_rows
+
+
+def test_stream_cdc_upsert_converges_and_replay_is_noop(spark, sf_dir, tmp_path):
+    """foreachBatch CDC apply: a change stream chunked into micro-batches
+    converges the partitioned table to the same state as a single batch
+    merge_upsert of all changes (per-key changes arrive in seq order — the
+    standard CDC delivery contract), and replaying the whole stream with a
+    fresh checkpoint leaves the table unchanged (keyed merge idempotence)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.maintenance import merge_upsert
+    from data_pipeline_for_autonomous_vehicles_spark.sinks import PARTITION_COL, write_time_partitioned
+    from data_pipeline_for_autonomous_vehicles_spark.streaming.cdc import stream_cdc_upsert
+
+    ev = load_table(spark, sf_dir, "events")
+    path_stream, path_batch = str(tmp_path / "t_stream"), str(tmp_path / "t_batch")
+    write_time_partitioned(ev, path_stream, time_col="ts", sort_cols=("event_id",))
+    write_time_partitioned(ev, path_batch, time_col="ts", sort_cols=("event_id",))
+
+    rows = ev.orderBy("event_id").limit(3).collect()
+    upd, dele, base_new = (r.asDict() for r in rows)
+    new_row = dict(base_new, event_id=999_999_999, value=7.25)
+
+    def _j(d, op):
+        out = dict(d, _op=op)
+        out["ts"] = out["ts"].isoformat()
+        return json.dumps(out)
+
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    # batch 1: update + insert; batch 2: re-update the same key (newer seq)
+    # + tombstone — per-key seq order holds across files
+    upd2 = dict(upd, ts=upd["ts"].replace(year=upd["ts"].year + 1), value=222.5)
+    (cdc_dir / "b1.jsonl").write_text(_j(dict(upd, value=111.5), "U") + "\n" + _j(new_row, "I") + "\n")
+    (cdc_dir / "b2.jsonl").write_text(_j(upd2, "U") + "\n" + _j(dele, "D") + "\n")
+
+    schema = T.StructType(list(ev.schema.fields) + [T.StructField("_op", T.StringType())])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(cdc_dir))
+    )
+    q = stream_cdc_upsert(
+        stream, path_stream, key_cols=("event_id",), seq_col="ts", op_col="_op",
+        checkpoint=str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination()
+
+    all_updates = spark.read.schema(schema).json(str(cdc_dir))
+    merge_upsert(spark, path_batch, all_updates, key_cols=("event_id",), seq_col="ts", op_col="_op")
+
+    cols = ev.columns
+
+    def _state(p):
+        return sorted(
+            tuple(r[c] for c in cols) for r in spark.read.parquet(p).select(cols).collect()
+        )
+
+    assert _state(path_stream) == _state(path_batch)
+
+    # replay the entire stream with a fresh checkpoint: keyed merge is a no-op
+    before = _state(path_stream)
+    q2 = stream_cdc_upsert(
+        (spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(cdc_dir))),
+        path_stream, key_cols=("event_id",), seq_col="ts", op_col="_op",
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination()
+    assert _state(path_stream) == before
