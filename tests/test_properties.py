@@ -191,3 +191,58 @@ def test_round_half_up_cross_engine(spark, vals, scale):
         con.execute(f"SELECT v, {sql_round_half_up('v', scale)} FROM t").fetchall()
     )
     assert got_spark == got_duck
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # part group
+            st.one_of(  # value domain mixes dense ties with huge outliers
+                st.integers(min_value=0, max_value=3),
+                st.integers(min_value=10**15, max_value=10**15 + 3),
+                st.integers(min_value=-(10**18), max_value=-(10**18) + 1),
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    parts=st.integers(min_value=1, max_value=9),
+)
+def test_tie_aware_running_desc_grouped_extreme_domains(spark, rows, parts):
+    """`_tie_aware_running` under DESCENDING order, WITH part_cols, on value
+    domains spanning 33 orders of magnitude (dense tie clusters + huge
+    outliers — the heavy-tail class that collapsed the round-3 equal-width
+    bins). Counts must equal Spark's own per-group global windows for any
+    partition count."""
+    from pyspark.sql import Window
+
+    from data_pipeline_for_autonomous_vehicles_spark.operators.windows import (
+        _tie_aware_running,
+    )
+
+    df = spark.createDataFrame(rows, "g int, v long")
+    dist = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    got = {
+        (r["g"], r["v"]): (r["rows_before"], r["keys_before"])
+        for r in _tie_aware_running(
+            dist, ["g"], "v", ascending=False, n_parts=parts
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.desc("v"))
+    expected_rank = {
+        (r["g"], r["v"]): r["rnk"]
+        for r in df.select(
+            "g", "v", F.rank().over(w).alias("rnk")
+        ).distinct().collect()
+    }
+    expected_dense = {
+        (r["g"], r["v"]): r["drnk"]
+        for r in dist.select(
+            "g", "v", F.dense_rank().over(w).alias("drnk")
+        ).collect()
+    }
+    assert set(got) == set(expected_rank)
+    for key, (rows_before, keys_before) in got.items():
+        assert rows_before + 1 == expected_rank[key], key
+        assert keys_before + 1 == expected_dense[key], key
