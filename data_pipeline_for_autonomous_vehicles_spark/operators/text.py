@@ -631,6 +631,72 @@ ORDER BY doc_id
 """
 
 
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per declared language: subword tokens per
+    whitespace word (fertility) and characters per subword token
+    (compression) — the two numbers that decide whether a tokenizer is
+    fair to a language before training on a multilingual mix (high
+    fertility = the language pays more sequence length for the same
+    content; see the per-doc `bpe_token_estimate` for the corpus-wide
+    budget view).
+
+    Exactness: per-language integer sums of per-doc counts, one division
+    at the end (round-half-up fixed point) — partition-order independent.
+    Scale: pure per-row regexp map then a |langs|-cell aggregation;
+    nothing shuffles but the language cells.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN_SPARK), F.lit(0))
+    )
+    ws = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(F.size(_tokens()))
+    per_doc = docs.select(
+        "lang", bpe.alias("b"), ws.alias("w"), F.col("n_chars").cast("long").alias("ch")
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("b").cast("long").alias("n_bpe_tokens"),
+        F.sum("w").cast("long").alias("n_ws_tokens"),
+        F.sum("ch").cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_bpe_tokens",
+        "n_ws_tokens",
+        "n_chars",
+        round_half_up(
+            F.col("n_bpe_tokens").cast("double")
+            / F.when(F.col("n_ws_tokens") == 0, F.lit(None)).otherwise(F.col("n_ws_tokens")).cast("double"),
+            4,
+        ).alias("fertility"),
+        round_half_up(
+            F.col("n_chars").cast("double")
+            / F.when(F.col("n_bpe_tokens") == 0, F.lit(None)).otherwise(F.col("n_bpe_tokens")).cast("double"),
+            4,
+        ).alias("chars_per_token"),
+    ).orderBy("lang")
+
+
+_FERTILITY_SQL = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(w) AS BIGINT) AS n_ws_tokens,
+       CAST(SUM(ch) AS BIGINT) AS n_chars,
+       CAST(FLOOR((CAST(SUM(b) AS DOUBLE) / CAST(NULLIF(SUM(w), 0) AS DOUBLE)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS fertility,
+       CAST(FLOOR((CAST(SUM(ch) AS DOUBLE) / CAST(NULLIF(SUM(b), 0) AS DOUBLE)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS chars_per_token
+FROM (
+  SELECT lang,
+         len(regexp_extract_all(lower(text), '{_BPE_PATTERN_SQL}')) AS b,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQL_TOKENS}) END AS w,
+         CAST(n_chars AS BIGINT) AS ch
+  FROM documents) t
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # --- BPE vocab induction: first merge round --------------------------------
 
 BPE_MERGE_TOP_K = 20
@@ -874,6 +940,7 @@ ORDER BY shard
 QUERIES = {
     "token_counts": token_counts,
     "bpe_token_estimate": bpe_token_estimate,
+    "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
     "bpe_merge_candidates": bpe_merge_candidates,
     "training_shards": training_shards,
     "oov_rate_report": oov_rate_report,
@@ -894,6 +961,7 @@ QUERIES = {
 ORACLES = {
     "token_counts": _TOKEN_COUNTS_SQL,
     "bpe_token_estimate": _BPE_SQL,
+    "tokenizer_fertility_by_lang": _FERTILITY_SQL,
     "bpe_merge_candidates": _BPE_MERGE_SQL,
     "training_shards": _SHARDS_SQL,
     "oov_rate_report": _OOV_SQL,
