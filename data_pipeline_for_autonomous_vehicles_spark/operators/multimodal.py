@@ -181,11 +181,80 @@ ORDER BY d.media_id, b.bin
 """
 
 
+def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload exact dedup report per media type: distinct payload
+    digests, duplicate members beyond each group's representative, and the
+    bytes a content-addressed store saves — the pre-DECODE dedup every
+    media ingest runs (hash the bytes, never open the codec; re-crawled
+    and mirrored assets are byte-identical).
+
+    Scale: only the 16-byte md5 digest and the int64 byte length shuffle —
+    payload bytes stay in the scan, exactly like the text `dedup_exact`
+    digest-only shape. Output is |media types| rows.
+    """
+    media = media_table(spark, sf_dir)
+    groups = (
+        media.select(
+            "media_type",
+            F.md5(F.col("payload")).alias("digest"),
+            F.octet_length(F.col("payload")).cast("long").alias("n_bytes"),
+        )
+        .groupBy("media_type", "digest")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_bytes").alias("len"),  # members are byte-identical
+        )
+    )
+    return (
+        groups.groupBy("media_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_media"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_payloads"),
+            F.sum(F.col("n") - 1).cast("long").alias("n_dup_members"),
+            F.sum(F.col("n") * F.col("len")).cast("long").alias("bytes_total"),
+            F.sum((F.col("n") - 1) * F.col("len")).cast("long").alias("bytes_saved"),
+        )
+        .withColumn(
+            "dedup_ratio",
+            F.expr("(bytes_saved * 20000 + bytes_total) div (2 * bytes_total)").cast(
+                "double"
+            )
+            / 10000.0,
+        )
+        .orderBy("media_type")
+    )
+
+
+_MEDIA_DEDUP_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         md5(text) AS digest,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents),
+groups AS (
+  SELECT media_type, digest, COUNT(*) AS n, MIN(n_bytes) AS len
+  FROM media GROUP BY media_type, digest)
+SELECT media_type,
+       CAST(SUM(n) AS BIGINT) AS n_media,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_payloads,
+       CAST(SUM(n - 1) AS BIGINT) AS n_dup_members,
+       CAST(SUM(n * len) AS BIGINT) AS bytes_total,
+       CAST(SUM((n - 1) * len) AS BIGINT) AS bytes_saved,
+       CAST((SUM((n - 1) * len) * 20000 + SUM(n * len)) // (2 * SUM(n * len)) AS DOUBLE) / 10000.0 AS dedup_ratio
+FROM groups
+GROUP BY media_type
+ORDER BY media_type
+"""
+
+
 QUERIES = {
     "media_metadata": media_metadata,
     "media_features": media_features,
     "media_frame_samples": media_frame_samples,
     "media_feature_bins": media_feature_bins,
+    "media_exact_dedup": media_exact_dedup,
 }
 
 ORACLES = {
@@ -194,4 +263,5 @@ ORACLES = {
     # for the oracle-checked flattened twin of the same decode path)
     "media_frame_samples": _FRAMES_SQL,
     "media_feature_bins": _FEATURE_BINS_SQL,
+    "media_exact_dedup": _MEDIA_DEDUP_SQL,
 }
