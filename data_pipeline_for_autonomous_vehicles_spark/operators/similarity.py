@@ -50,10 +50,17 @@ def _sql_fold_sum(list_expr: str) -> str:
 
 
 _SQL_DOT_AB = _sql_fold_sum("list_transform(list_zip(a.emb, b.emb), x -> x[1] * x[2])")
+# self-dot through the same zip/product shape so float op order matches the
+# pair path (and Spark's _cosine) exactly
+_SQL_DOT_SELF = _sql_fold_sum("list_transform(list_zip(emb, emb), x -> x[1] * x[2])")
 
 
 def _sql_norm(alias: str) -> str:
     return f"sqrt({_sql_fold_sum(f'list_transform({alias}.emb, x -> x * x)')})"
+
+
+def _sql_norm_bare(col: str) -> str:
+    return f"sqrt({_sql_fold_sum(f'list_transform({col}, x -> x * x)')})"
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,12 +435,16 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Per-vector top-k near-duplicate neighbors with cosine ≥ threshold,
     restricted to LSH-bucket collisions (the scalable all-pairs shape:
-    bucket join, not cross join). Bounded emission: a duplicate cluster of
-    m vectors holds m(m-1)/2 qualifying pairs, so the full pair list is
-    O(m²) in output even with capped generation; the default report keeps
-    each vector's k best neighbors (output O(n·k), rank-limit window →
-    WindowGroupLimit pushdown). topk=None emits every qualifying pair
-    (audit-only).
+    bucket join, not cross join), with content-level scoring: vectors are
+    grouped by EXACT array equality first (re-crawled/mirrored assets embed
+    to byte-identical vectors), the bucket join and cosine run once per
+    distinct vector value, and per-vector top-k is recovered through a
+    ties-inclusive group-rank bound that provably contains the true top-k
+    (the same construction as ngram_jaccard_pairs). Bucket membership and
+    cosine are pure functions of the vector value, so the output is
+    bit-identical to vec-level scoring while a K×-replicated corpus costs
+    its distinct corpus. topk=None emits every qualifying pair
+    (O(cluster²) output, audit-only).
 
     Threshold 0.30: the driver's synthetic embeddings are near-isotropic
     (max pairwise cosine ≈ 0.51), so a realistic 0.95 near-dup bar matches
@@ -442,54 +453,118 @@ def embedding_near_dups(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    sig = emb.withColumn("bucket", _signature(F.col("emb")))
-    a = sig.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "bucket")
-    b = sig.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "bucket")
-    scored = (
+    grp = emb.groupBy("emb").agg(
+        F.min("vec_id").alias("gid"), F.count(F.lit(1)).alias("g")
+    )
+    w_m = Window.partitionBy("gid").orderBy("vec_id")
+    mem = (
+        emb.join(grp.select("emb", "gid"), "emb")
+        .select("vec_id", "gid")
+        .withColumn("mrank", F.row_number().over(w_m))
+    )
+    reps = grp.withColumn("bucket", _signature(F.col("emb")))
+    a = reps.select(F.col("gid").alias("gid_a"), F.col("emb").alias("emb_a"), "bucket")
+    b = reps.select(F.col("gid").alias("gid_b"), F.col("emb").alias("emb_b"), "bucket")
+    cross = (
         a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(F.col("gid_a") < F.col("gid_b"))
         .select(
-            "vec_a",
-            "vec_b",
+            "gid_a",
+            "gid_b",
             round_half_up(_cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("cosine"),
         )
-        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
     )
+    # self-pair of a multi-member group: same formula on (rep, rep) — the
+    # identical float ops the vec-level join would run, so the rounded
+    # score is bit-identical (≈1.0; a zero vector yields NaN ≥ τ Spark-true
+    # but such vectors never reach here — no group pairs with itself twice)
+    selfp = grp.filter(F.col("g") >= 2).select(
+        F.col("gid").alias("gid_a"),
+        F.col("gid").alias("gid_b"),
+        round_half_up(_cosine(F.col("emb"), F.col("emb")), 4).alias("cosine"),
+    )
+    adm = cross.unionByName(selfp).filter(F.col("cosine") >= NEAR_DUP_COSINE)
     if topk is None:
-        return scored.orderBy("vec_a", "vec_b")
-    fwd = scored.select(
-        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("neighbor"), "cosine"
+        va = mem.select(F.col("gid").alias("gid_a"), F.col("vec_id").alias("va"))
+        vb = mem.select(F.col("gid").alias("gid_b"), F.col("vec_id").alias("vb"))
+        return (
+            adm.join(va, "gid_a")
+            .join(vb, "gid_b")
+            .filter((F.col("gid_a") != F.col("gid_b")) | (F.col("va") < F.col("vb")))
+            .select(
+                F.least("va", "vb").alias("vec_a"),
+                F.greatest("va", "vb").alias("vec_b"),
+                "cosine",
+            )
+            .orderBy("vec_a", "vec_b")
+        )
+    cdir = adm.select(
+        F.col("gid_a").alias("gid"), F.col("gid_b").alias("ngid"), "cosine"
+    ).unionByName(
+        adm.filter(F.col("gid_a") != F.col("gid_b")).select(
+            F.col("gid_b").alias("gid"), F.col("gid_a").alias("ngid"), "cosine"
+        )
     )
-    rev = scored.select(
-        F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("neighbor"), "cosine"
+    w_c = Window.partitionBy("gid").orderBy(F.desc("cosine"))
+    crank = cdir.withColumn("cr", F.rank().over(w_c)).filter(F.col("cr") <= topk)
+    mtop = mem.filter(F.col("mrank") <= topk + 1).select(
+        F.col("gid").alias("ngid"), F.col("vec_id").alias("neighbor")
+    )
+    cand = (
+        mem.select("vec_id", "gid")
+        .join(crank, "gid")
+        .join(mtop, "ngid")
+        .filter(F.col("neighbor") != F.col("vec_id"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor"))
     return (
-        fwd.unionByName(rev)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= topk)
+        .select("vec_id", "neighbor", "cosine", "rank")
         .orderBy("vec_id", "rank")
     )
 
 
 _NEAR_DUP_SQL = f"""
-WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-sig AS (SELECT vec_id, emb, {_sql_signature('emb')} AS bucket FROM emb),
-scored AS (
-  SELECT vec_a, vec_b, cosine FROM (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           CAST(FLOOR(({_SQL_DOT_AB} / ({_sql_norm('a')} * {_sql_norm('b')})) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS cosine
-    FROM sig a
-    JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+grp AS (SELECT emb, MIN(vec_id) AS gid, COUNT(*) AS g FROM ev GROUP BY emb),
+mem AS (
+  SELECT e.vec_id, gr.gid,
+         ROW_NUMBER() OVER (PARTITION BY gr.gid ORDER BY e.vec_id) AS mrank
+  FROM ev e JOIN grp gr ON gr.emb = e.emb),
+reps AS (SELECT gid, emb, g, {_sql_signature('grp')} AS bucket FROM grp),
+crossp AS (
+  SELECT a.gid AS gid_a, b.gid AS gid_b,
+         CAST(FLOOR(({_SQL_DOT_AB} / ({_sql_norm('a')} * {_sql_norm('b')})) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS cosine
+  FROM reps a
+  JOIN reps b ON a.bucket = b.bucket AND a.gid < b.gid),
+selfp AS (
+  SELECT gid AS gid_a, gid AS gid_b,
+         CAST(FLOOR(({_SQL_DOT_SELF} / ({_sql_norm_bare('emb')} * {_sql_norm_bare('emb')})) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS cosine
+  FROM grp WHERE g >= 2),
+adm AS (
+  SELECT * FROM (SELECT * FROM crossp UNION ALL SELECT * FROM selfp) u
   WHERE cosine >= {NEAR_DUP_COSINE}),
-mirrored AS (
-  SELECT vec_a AS vec_id, vec_b AS neighbor, cosine FROM scored
+cdir AS (
+  SELECT gid_a AS gid, gid_b AS ngid, cosine FROM adm
   UNION ALL
-  SELECT vec_b AS vec_id, vec_a AS neighbor, cosine FROM scored)
+  SELECT gid_b AS gid, gid_a AS ngid, cosine FROM adm WHERE gid_a <> gid_b),
+crank AS (
+  SELECT * FROM (
+    SELECT *, RANK() OVER (PARTITION BY gid ORDER BY cosine DESC) AS cr
+    FROM cdir) r
+  WHERE cr <= {NEAR_DUP_TOPK}),
+mtop AS (SELECT gid, vec_id FROM mem WHERE mrank <= {NEAR_DUP_TOPK + 1}),
+cand AS (
+  SELECT m.vec_id, mt.vec_id AS neighbor, c.cosine
+  FROM mem m
+  JOIN crank c ON c.gid = m.gid
+  JOIN mtop mt ON mt.gid = c.ngid
+  WHERE mt.vec_id <> m.vec_id)
 SELECT vec_id, neighbor, cosine, rank FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (
     PARTITION BY vec_id ORDER BY cosine DESC, neighbor) AS INTEGER) AS rank
-  FROM mirrored) t
+  FROM cand) t
 WHERE rank <= {NEAR_DUP_TOPK}
 ORDER BY vec_id, rank
 """
