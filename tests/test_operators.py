@@ -1643,3 +1643,54 @@ def test_semdedup_prune_matches_bruteforce(spark, sf_dir):
         assert rr["n_pruned"] == len(pruned)
         assert abs(rr["max_intra_cosine"] - max_cos) < 1.01e-4
         assert ex[0][0] not in pruned  # smallest id is always kept
+
+
+def test_embedding_near_dups_equals_vec_level_bruteforce(spark, sf_dir):
+    """The distinct-vector-level rewrite must emit exactly the pairs the
+    direct vec-level formulation produces: same LSH bucket collisions,
+    same rounded cosines, for both the unbounded and top-k forms."""
+    from pyspark.sql import Window
+
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.functions.scalars import round_half_up
+    from data_pipeline_for_autonomous_vehicles_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sig = emb.withColumn("bucket", sim._signature(F.col("emb")))
+    a = sig.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "bucket")
+    b = sig.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "bucket")
+    ref = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            round_half_up(sim._cosine(F.col("emb_a"), F.col("emb_b")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= sim.NEAR_DUP_COSINE)
+    )
+    ref_pairs = {(r["vec_a"], r["vec_b"], r["cosine"]) for r in ref.collect()}
+    got_pairs = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in sim.embedding_near_dups(spark, sf_dir, topk=None).collect()
+    }
+    assert got_pairs == ref_pairs
+
+    # top-k form: the k best mirrored neighbors of the reference pair set
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    ref_topk = (
+        ref.select(F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("neighbor"), "cosine")
+        .unionByName(
+            ref.select(F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("neighbor"), "cosine")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= sim.NEAR_DUP_TOPK)
+    )
+    expect = {(r["vec_id"], r["rank"]): (r["neighbor"], r["cosine"]) for r in ref_topk.collect()}
+    got = {
+        (r["vec_id"], r["rank"]): (r["neighbor"], r["cosine"])
+        for r in sim.embedding_near_dups(spark, sf_dir).collect()
+    }
+    assert got == expect
