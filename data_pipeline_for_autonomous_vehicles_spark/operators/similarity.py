@@ -1533,6 +1533,30 @@ ORDER BY cid
 """
 
 
+def incremental_ivf_update(
+    existing: DataFrame, new_vecs: DataFrame, cents: DataFrame
+) -> DataFrame:
+    """Append-only IVF index maintenance: assign ONLY the new vector batch
+    to the FIXED coarse quantizer and union with the existing assignment —
+    the nightly-ingest path that avoids re-assigning the whole corpus
+    (the `incremental_minhash_update` pattern applied to the vector
+    index). Centroids are deliberately frozen: production IVF retrains
+    the quantizer on a schedule, not per batch, because moving centroids
+    invalidates every existing list assignment.
+
+    Args: `existing` = (vec_id, sx, cid, sqdist) as produced by
+    `_km_assign`; `new_vecs` = (vec_id, sx); `cents` = (cid, c).
+    A left-anti guard drops already-indexed vec_ids so replaying a batch
+    is a no-op (at-least-once ingest → exactly-once index).
+
+    Scale: the anti-join ships only vec_ids; the assignment is the usual
+    broadcast-centroid map over the NEW batch alone — O(|batch|·k·dim),
+    independent of corpus size.
+    """
+    fresh = new_vecs.join(existing.select("vec_id"), "vec_id", "left_anti")
+    return existing.unionByName(_km_assign(fresh, cents))
+
+
 # --- SemDeDup-style cluster pruning -----------------------------------------
 
 SEMDEDUP_TAU = 0.30  # prune threshold (synthetic embeddings are near-isotropic)

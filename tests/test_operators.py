@@ -1694,3 +1694,34 @@ def test_embedding_near_dups_equals_vec_level_bruteforce(spark, sf_dir):
         for r in sim.embedding_near_dups(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_incremental_ivf_update_equals_rebuild_and_is_idempotent(spark, sf_dir):
+    """Appending a batch through incremental_ivf_update over frozen
+    centroids must equal assigning the full corpus in one pass, and
+    replaying the same batch must change nothing (exactly-once index
+    under at-least-once ingest)."""
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", sim._scaled_vec(F.col("embedding")).alias("sx"))
+    cents = vecs.filter(F.col("vec_id") < sim.KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("sx").alias("c")
+    )
+    for _ in range(2):
+        cents = sim._km_update(sim._km_assign(vecs, cents))
+
+    old = vecs.filter(F.col("vec_id") % 3 != 0)
+    batch = vecs.filter(F.col("vec_id") % 3 == 0)
+    existing = sim._km_assign(old, cents)
+    incr = sim.incremental_ivf_update(existing, batch, cents)
+    full = sim._km_assign(vecs, cents)
+
+    def _snap(df):
+        return {r["vec_id"]: (r["cid"], r["sqdist"]) for r in df.collect()}
+
+    assert _snap(incr) == _snap(full)
+    # replay: same batch again (plus an overlap with old) is a no-op
+    replay = sim.incremental_ivf_update(incr, batch.unionByName(old.limit(5)), cents)
+    assert _snap(replay) == _snap(full)
