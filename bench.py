@@ -28,6 +28,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from data_pipeline_for_autonomous_vehicles_spark.caching import release_plan_caches
 from data_pipeline_for_autonomous_vehicles_spark.operators import all_queries
 from data_pipeline_for_autonomous_vehicles_spark.session import get_spark
 
@@ -154,6 +155,10 @@ def main() -> None:
             t0 = time.perf_counter()
             _execute(queries[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+        # drain the scoped plan-cache registry (and any residual cached
+        # relations) between queries — the scoped release keeps the
+        # module-global registry bounded over the 64-query run
+        release_plan_caches()
         spark.catalog.clearCache()
         timings[name] = round(best, 3)
 

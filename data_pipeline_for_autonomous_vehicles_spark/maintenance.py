@@ -308,12 +308,23 @@ def purge_entities(
     fs.mkdirs(_hadoop_path(spark, trash))
     for day in affected:
         target = _hadoop_path(spark, f"{path}/{PARTITION_COL}={day}")
+        # Hadoop rename reports failure by RETURNING FALSE, not raising —
+        # and renaming into an existing directory NESTS the source inside
+        # it. A data-destroying routine must never march past a failed
+        # step: raise, leaving the durable staging/trash dirs for recovery.
         # 1) old partition → trash (keeps every byte durable until commit)
-        fs.rename(target, _hadoop_path(spark, f"{trash}/{PARTITION_COL}={day}"))
+        if not fs.rename(target, _hadoop_path(spark, f"{trash}/{PARTITION_COL}={day}")):
+            raise RuntimeError(
+                f"purge_entities: failed to move {target} to trash; aborting "
+                f"with staging={staging} trash={trash} intact for recovery"
+            )
         # 2) staged survivors → live (absent when the whole day was purged)
-        if day in surviving:
-            fs.rename(
-                _hadoop_path(spark, f"{staging}/{PARTITION_COL}={day}"), target
+        if day in surviving and not fs.rename(
+            _hadoop_path(spark, f"{staging}/{PARTITION_COL}={day}"), target
+        ):
+            raise RuntimeError(
+                f"purge_entities: failed to restore survivors for {day}; "
+                f"aborting with staging={staging} trash={trash} intact for recovery"
             )
     fs.delete(_hadoop_path(spark, staging), True)
     fs.delete(_hadoop_path(spark, trash), True)

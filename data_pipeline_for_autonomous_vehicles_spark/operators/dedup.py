@@ -299,6 +299,55 @@ cpairs AS (
   JOIN sizes sb ON sb.ckey = p.ckey_b)"""
 
 
+def _expand_group_topk(
+    members: DataFrame,
+    cdir: DataFrame,
+    order_col: str,
+    topk: int,
+    entity_col: str,
+    out_cols: list[str] | None = None,
+    nbr_col: str = "neighbor",
+) -> DataFrame:
+    """Recover exact per-entity top-k neighbors from GROUP-level scored
+    pairs — the shared expansion behind the content-level pair reports
+    (n-gram Jaccard/containment, embedding near-dups).
+
+    `members` = (entity_col, gkey, mrank) with mrank = 1..g by entity id
+    within the group; `cdir` = the DIRECTED admitted pair list
+    (gkey, ngkey, score columns…), self-pairs appearing once with
+    gkey == ngkey. Keeps each entity's content-neighbors with
+    RANK ≤ topk (ties included) × the neighbor group's topk+1 smallest
+    member ids, then row_number ≤ topk by (score desc, neighbor asc).
+
+    Superset proof (why the result is EXACT, not approximate): if n is a
+    true top-k neighbor of entity d, fewer than k groups can score
+    strictly better than n's group (each would contribute ≥1 better
+    neighbor), so n's group has rank ≤ k; and fewer than k members of n's
+    own group can precede n by id (equal scores tie-break by id), so n is
+    among its group's k+1 smallest ids (the +1 absorbs d itself when
+    d shares the group). Hence every true top-k neighbor survives into
+    `cand` and the final window selects exactly the true k best.
+    """
+    w_c = Window.partitionBy("gkey").orderBy(F.desc(order_col))
+    crank = cdir.withColumn("cr", F.rank().over(w_c)).filter(F.col("cr") <= topk)
+    mtop = members.filter(F.col("mrank") <= topk + 1).select(
+        F.col("gkey").alias("ngkey"), F.col(entity_col).alias(nbr_col)
+    )
+    cand = (
+        members.select(entity_col, "gkey")
+        .join(crank, "gkey")
+        .join(mtop, "ngkey")
+        .filter(F.col(nbr_col) != F.col(entity_col))
+    )
+    w = Window.partitionBy(entity_col).orderBy(F.desc(order_col), F.asc(nbr_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select(entity_col, nbr_col, *(out_cols or [order_col]), "rank")
+        .orderBy(entity_col, "rank")
+    )
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, topk: int | None = TOPK_NEIGHBORS
 ) -> DataFrame:
@@ -339,29 +388,14 @@ def ngram_jaccard_pairs(
             .orderBy("doc_a", "doc_b")
         )
     cdir = adm.select(
-        F.col("ckey_a").alias("ckey"), F.col("ckey_b").alias("nckey"), "jaccard"
+        F.col("ckey_a").alias("gkey"), F.col("ckey_b").alias("ngkey"), "jaccard"
     ).unionByName(
         adm.filter(F.col("ckey_a") != F.col("ckey_b")).select(
-            F.col("ckey_b").alias("ckey"), F.col("ckey_a").alias("nckey"), "jaccard"
+            F.col("ckey_b").alias("gkey"), F.col("ckey_a").alias("ngkey"), "jaccard"
         )
     )
-    w_c = Window.partitionBy("ckey").orderBy(F.desc("jaccard"))
-    crank = cdir.withColumn("cr", F.rank().over(w_c)).filter(F.col("cr") <= topk)
-    mtop = members.filter(F.col("mrank") <= topk + 1).select(
-        F.col("ckey").alias("nckey"), F.col("doc_id").alias("neighbor")
-    )
-    cand = (
-        members.select("doc_id", "ckey")
-        .join(crank, "ckey")
-        .join(mtop, "nckey")
-        .filter(F.col("neighbor") != F.col("doc_id"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("neighbor"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= topk)
-        .select("doc_id", "neighbor", "jaccard", "rank")
-        .orderBy("doc_id", "rank")
+    return _expand_group_topk(
+        members.withColumnRenamed("ckey", "gkey"), cdir, "jaccard", topk, "doc_id"
     )
 
 
@@ -459,39 +493,25 @@ def ngram_containment_pairs(
             ),
         ).orderBy("doc_a", "doc_b")
     cdir = adm.select(
-        F.col("ckey_a").alias("ckey"),
-        F.col("ckey_b").alias("nckey"),
+        F.col("ckey_a").alias("gkey"),
+        F.col("ckey_b").alias("ngkey"),
         F.col("c_a_in_b").alias("containment_doc_in_nbr"),
         F.col("c_b_in_a").alias("containment_nbr_in_doc"),
     ).unionByName(
         adm.filter(F.col("ckey_a") != F.col("ckey_b")).select(
-            F.col("ckey_b").alias("ckey"),
-            F.col("ckey_a").alias("nckey"),
+            F.col("ckey_b").alias("gkey"),
+            F.col("ckey_a").alias("ngkey"),
             F.col("c_b_in_a").alias("containment_doc_in_nbr"),
             F.col("c_a_in_b").alias("containment_nbr_in_doc"),
         )
     )
-    w_c = Window.partitionBy("ckey").orderBy(F.desc("containment_doc_in_nbr"))
-    crank = cdir.withColumn("cr", F.rank().over(w_c)).filter(F.col("cr") <= topk)
-    mtop = members.filter(F.col("mrank") <= topk + 1).select(
-        F.col("ckey").alias("nckey"), F.col("doc_id").alias("neighbor")
-    )
-    cand = (
-        members.select("doc_id", "ckey")
-        .join(crank, "ckey")
-        .join(mtop, "nckey")
-        .filter(F.col("neighbor") != F.col("doc_id"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("containment_doc_in_nbr"), F.asc("neighbor")
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= topk)
-        .select(
-            "doc_id", "neighbor", "containment_doc_in_nbr", "containment_nbr_in_doc", "rank"
-        )
-        .orderBy("doc_id", "rank")
+    return _expand_group_topk(
+        members.withColumnRenamed("ckey", "gkey"),
+        cdir,
+        "containment_doc_in_nbr",
+        topk,
+        "doc_id",
+        out_cols=["containment_doc_in_nbr", "containment_nbr_in_doc"],
     )
 
 

@@ -216,10 +216,15 @@ def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "dedup_ratio",
-            F.expr("(bytes_saved * 20000 + bytes_total) div (2 * bytes_total)").cast(
-                "double"
-            )
-            / 10000.0,
+            # all-empty-payload group: 0/0 must be 0.0 in BOTH engines
+            # (Spark div NULLs, DuckDB // raises — guard each twin)
+            F.when(
+                F.col("bytes_total") > 0,
+                F.expr("(bytes_saved * 20000 + bytes_total) div (2 * bytes_total)").cast(
+                    "double"
+                )
+                / 10000.0,
+            ).otherwise(F.lit(0.0)),
         )
         .orderBy("media_type")
     )
@@ -242,7 +247,9 @@ SELECT media_type,
        CAST(SUM(n - 1) AS BIGINT) AS n_dup_members,
        CAST(SUM(n * len) AS BIGINT) AS bytes_total,
        CAST(SUM((n - 1) * len) AS BIGINT) AS bytes_saved,
-       CAST((SUM((n - 1) * len) * 20000 + SUM(n * len)) // (2 * SUM(n * len)) AS DOUBLE) / 10000.0 AS dedup_ratio
+       CASE WHEN SUM(n * len) > 0
+            THEN CAST((SUM((n - 1) * len) * 20000 + SUM(n * len)) // (2 * SUM(n * len)) AS DOUBLE) / 10000.0
+            ELSE 0.0 END AS dedup_ratio
 FROM groups
 GROUP BY media_type
 ORDER BY media_type

@@ -499,29 +499,16 @@ def embedding_near_dups(
             .orderBy("vec_a", "vec_b")
         )
     cdir = adm.select(
-        F.col("gid_a").alias("gid"), F.col("gid_b").alias("ngid"), "cosine"
+        F.col("gid_a").alias("gkey"), F.col("gid_b").alias("ngkey"), "cosine"
     ).unionByName(
         adm.filter(F.col("gid_a") != F.col("gid_b")).select(
-            F.col("gid_b").alias("gid"), F.col("gid_a").alias("ngid"), "cosine"
+            F.col("gid_b").alias("gkey"), F.col("gid_a").alias("ngkey"), "cosine"
         )
     )
-    w_c = Window.partitionBy("gid").orderBy(F.desc("cosine"))
-    crank = cdir.withColumn("cr", F.rank().over(w_c)).filter(F.col("cr") <= topk)
-    mtop = mem.filter(F.col("mrank") <= topk + 1).select(
-        F.col("gid").alias("ngid"), F.col("vec_id").alias("neighbor")
-    )
-    cand = (
-        mem.select("vec_id", "gid")
-        .join(crank, "gid")
-        .join(mtop, "ngid")
-        .filter(F.col("neighbor") != F.col("vec_id"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= topk)
-        .select("vec_id", "neighbor", "cosine", "rank")
-        .orderBy("vec_id", "rank")
+    from .dedup import _expand_group_topk
+
+    return _expand_group_topk(
+        mem.withColumnRenamed("gid", "gkey"), cdir, "cosine", topk, "vec_id"
     )
 
 
@@ -1553,7 +1540,10 @@ def incremental_ivf_update(
     broadcast-centroid map over the NEW batch alone — O(|batch|·k·dim),
     independent of corpus size.
     """
-    fresh = new_vecs.join(existing.select("vec_id"), "vec_id", "left_anti")
+    fresh = (
+        new_vecs.dropDuplicates(["vec_id"])  # intra-batch redelivery guard
+        .join(existing.select("vec_id"), "vec_id", "left_anti")
+    )
     return existing.unionByName(_km_assign(fresh, cents))
 
 

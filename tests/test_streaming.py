@@ -368,18 +368,22 @@ def test_streaming_state_green_under_rocksdb_provider(spark, sf_dir):
     from data_pipeline_for_autonomous_vehicles_spark.session import get_spark
     from data_pipeline_for_autonomous_vehicles_spark.streaming import aggregates
 
-    key = "spark.sql.streaming.stateStore.providerClass"
+    keys = (
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+    )
     default_rows = aggregates.streaming_daily_event_counts(spark, sf_dir).collect()
-    prev = spark.conf.get(key, None)
-    get_spark(rocksdb_state_store=True)  # reuses the session, sets runtime conf
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    get_spark(rocksdb_state_store=True)  # reuses the session, sets runtime confs
     try:
-        assert "RocksDBStateStoreProvider" in spark.conf.get(key)
+        assert "RocksDBStateStoreProvider" in spark.conf.get(keys[0])
         rocks_rows = aggregates.streaming_daily_event_counts(spark, sf_dir).collect()
     finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+        for k, v in prev.items():  # restore BOTH confs — no cross-test leak
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     assert rocks_rows == default_rows
 
 

@@ -30,6 +30,8 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb
 
+from data_pipeline_for_autonomous_vehicles_spark.caching import release_plan_caches
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -104,7 +106,9 @@ def main() -> int:
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
             # release per-query .cache()s (LSH signatures, shingle frames, …)
-            # so a full-registry sweep doesn't accumulate executor memory
+            # so a full-registry sweep doesn't accumulate executor memory;
+            # the scoped release also keeps caching._PLAN_CACHES bounded
+            release_plan_caches()
             spark.catalog.clearCache()
         except Exception as e:
             failures.append(name)

@@ -39,6 +39,9 @@ def main() -> int:
             errors[name] = str(e).splitlines()[0][:200]
             print(f"FAIL {name}: {errors[name]}", flush=True)
         finally:
+            from data_pipeline_for_autonomous_vehicles_spark.caching import release_plan_caches
+
+            release_plan_caches()
             spark.catalog.clearCache()
     result = {
         "sf_dir": sf_dir,
