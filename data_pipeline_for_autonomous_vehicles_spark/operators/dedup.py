@@ -691,9 +691,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_lsh_cand_ctes() -> str:
-    """banded/kept/cand CTE block (assumes a preceding `sigs` CTE) — the SQL
-    twin of `_lsh_candidates`, shared by the pair report and the audit."""
+def _sql_banded_cte() -> str:
+    """`banded AS (...)` CTE (assumes a preceding `sigs` CTE) — the SQL twin
+    of `_banded`, shared by the candidate join and the delta probe."""
     band_selects = []
     for b in range(LSH_BANDS):
         concat = " || '_' || ".join(
@@ -702,9 +702,14 @@ def _sql_lsh_cand_ctes() -> str:
         band_selects.append(
             f"SELECT doc_id, {b} AS band_id, md5({concat}) AS band_hash FROM sigs"
         )
-    banded = " UNION ALL ".join(band_selects)
+    return "banded AS (" + " UNION ALL ".join(band_selects) + ")"
+
+
+def _sql_lsh_cand_ctes() -> str:
+    """banded/kept/cand CTE block (assumes a preceding `sigs` CTE) — the SQL
+    twin of `_lsh_candidates`, shared by the pair report and the audit."""
     return f"""
-banded AS ({banded}),
+{_sql_banded_cte()},
 kept AS (
   SELECT banded.* FROM banded
   JOIN (SELECT band_id, band_hash FROM banded
@@ -1386,6 +1391,162 @@ GROUP BY size ORDER BY size
 """
 
 
+def near_dup_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: for every near-dup cluster, the single
+    document a dedup stage KEEPS — the cluster member with the highest
+    heuristic quality score (doc_id ascending as the deterministic
+    tiebreak) — plus the cluster's size and how many docs selecting it
+    removes. `near_dup_clusters` answers "which docs are the same"; this
+    answers the curation question that follows: "which copy do we train
+    on". Keeping the best-quality copy (not the min-id one) is the policy
+    real corpus builds use — boilerplate mirrors often have truncated or
+    low-quality variants of the canonical page.
+
+    Scale: cluster labels come from the shared iterative component pass;
+    the keeper is ONE partial-aggregating `max(struct(quality, -doc_id))`
+    per cluster — no window, no second shuffle beyond the label join, and
+    the quality scan fuses with the `documents` read Catalyst already
+    plans for the label side."""
+    from .text import quality_scores
+
+    clusters = near_dup_clusters(spark, sf_dir)
+    quality = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    best = (
+        clusters.join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality_score").alias("q"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("best"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("best.neg_id")).alias("keeper_doc_id"),
+        F.col("best.q").alias("keeper_quality"),
+        "n_docs",
+        (F.col("n_docs") - F.lit(1)).cast("long").alias("n_removed"),
+    ).orderBy("cluster_id")
+
+
+def _sql_near_dup_canonicals() -> str:
+    from .text import _QUALITY_SQL
+
+    return f"""
+WITH RECURSIVE
+{_sql_minhash_cte()},
+{_sql_lsh_cand_ctes()},
+reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT CASE WHEN r.node = e.doc_a THEN e.doc_b ELSE e.doc_a END, r.root
+  FROM reach r JOIN cand e ON r.node = e.doc_a OR r.node = e.doc_b),
+labels AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node),
+quality AS (SELECT doc_id, quality_score FROM ({_QUALITY_SQL}) q),
+ranked AS (
+  SELECT l.cluster_id, l.doc_id, q.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                            ORDER BY q.quality_score DESC, l.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_docs
+  FROM labels l JOIN quality q USING (doc_id))
+SELECT cluster_id, doc_id AS keeper_doc_id, quality_score AS keeper_quality,
+       CAST(n_docs AS BIGINT) AS n_docs, CAST(n_docs - 1 AS BIGINT) AS n_removed
+FROM ranked WHERE rn = 1 ORDER BY cluster_id
+"""
+
+
+# --- incremental dedup: probe a delta batch against the corpus index --------
+
+DELTA_MOD = 5  # doc_id % DELTA_MOD == DELTA_MOD-1 plays the "new crawl" slice
+
+
+def minhash_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission: a DELTA batch of new documents
+    (here the deterministic doc_id % {DELTA_MOD} == {DELTA_MOD - 1} slice)
+    probed against the MinHash band INDEX of the already-ingested corpus
+    (the remaining docs), without ever comparing corpus docs to each other.
+    Per delta doc: how many corpus near-dup candidates it collides with,
+    the first (min-id) match, and whether it is novel — the keep/drop
+    signal a daily crawl ingest needs.
+
+    Scale: this is THE shape that makes dedup affordable on a growing
+    100 TB corpus — the corpus band table is built once and persisted as a
+    table bucketed by (band_id, band_hash), so each new batch's probe
+    shuffles ONLY the delta postings (corpus side reads pre-bucketed, no
+    shuffle, no rescan); cost is O(|delta| · bands) versus re-running the
+    full self-join. The degenerate-bucket cap is applied on the INDEX side
+    at build time, exactly as `_lsh_candidates` does for the batch path.
+    """
+    sigs = _register_cache(_minhash_signatures(spark, sf_dir).cache())
+    bands = _banded(sigs)
+    is_delta = (F.col("doc_id") % F.lit(DELTA_MOD)) == F.lit(DELTA_MOD - 1)
+    corpus = _cap_buckets(
+        bands.filter(~is_delta), ["band_id", "band_hash"], MAX_BUCKET
+    ).select(F.col("doc_id").alias("corpus_doc"), "band_id", "band_hash")
+    delta = bands.filter(is_delta).select(
+        F.col("doc_id").alias("delta_doc"), "band_id", "band_hash"
+    )
+    probe = (
+        delta.join(corpus, ["band_id", "band_hash"])
+        .select("delta_doc", "corpus_doc")
+        .distinct()
+    )
+    per_doc = probe.groupBy("delta_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus_matches"),
+        F.min("corpus_doc").alias("first_match_doc"),
+    )
+    delta_docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") % F.lit(DELTA_MOD)) == F.lit(DELTA_MOD - 1))
+    )
+    return (
+        delta_docs.join(per_doc, delta_docs.doc_id == per_doc.delta_doc, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_corpus_matches"), F.lit(0).cast("long")).alias(
+                "n_corpus_matches"
+            ),
+            "first_match_doc",
+            F.col("delta_doc").isNull().cast("int").alias("is_novel"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_delta_probe() -> str:
+    d = DELTA_MOD
+    return f"""
+WITH {_sql_minhash_cte()},
+{_sql_banded_cte()},
+corpus AS (SELECT * FROM banded WHERE doc_id % {d} <> {d - 1}),
+kept AS (
+  SELECT corpus.* FROM corpus
+  JOIN (SELECT band_id, band_hash FROM corpus
+        GROUP BY band_id, band_hash HAVING COUNT(*) <= {MAX_BUCKET}) ok
+    USING (band_id, band_hash)),
+delta AS (SELECT * FROM banded WHERE doc_id % {d} = {d - 1}),
+probe AS (
+  SELECT DISTINCT dl.doc_id AS delta_doc, c.doc_id AS corpus_doc
+  FROM delta dl JOIN kept c USING (band_id, band_hash)),
+agg AS (
+  SELECT delta_doc, CAST(COUNT(*) AS BIGINT) AS n_corpus_matches,
+         MIN(corpus_doc) AS first_match_doc
+  FROM probe GROUP BY delta_doc)
+SELECT dd.doc_id,
+       COALESCE(a.n_corpus_matches, 0) AS n_corpus_matches,
+       a.first_match_doc AS first_match_doc,
+       CAST(CASE WHEN a.delta_doc IS NULL THEN 1 ELSE 0 END AS INT) AS is_novel
+FROM (SELECT doc_id FROM documents WHERE doc_id % {d} = {d - 1}) dd
+LEFT JOIN agg a ON a.delta_doc = dd.doc_id
+ORDER BY dd.doc_id
+"""
+
+
 # --- corpus curation capstone: quality filter → dedup → split ---------------
 
 QUALITY_CUTOFF = 0.5
@@ -1527,6 +1688,8 @@ QUERIES = {
     "near_dup_clusters": near_dup_clusters,
     "frequent_shingles": frequent_shingles,
     "near_dup_cluster_sizes": near_dup_cluster_sizes,
+    "near_dup_canonicals": near_dup_canonicals,
+    "minhash_delta_probe": minhash_delta_probe,
     "training_corpus_mix": training_corpus_mix,
     "decontamination_report": decontamination_report,
 }
@@ -1548,6 +1711,8 @@ ORACLES = {
     "near_dup_clusters": _sql_near_dup_clusters(),
     "frequent_shingles": _FREQ_SHINGLES_SQL,
     "near_dup_cluster_sizes": _sql_near_dup_cluster_sizes(),
+    "near_dup_canonicals": _sql_near_dup_canonicals(),
+    "minhash_delta_probe": _sql_delta_probe(),
     "training_corpus_mix": _sql_training_corpus_mix(),
     "decontamination_report": _DECONTAM_SQL,
 }

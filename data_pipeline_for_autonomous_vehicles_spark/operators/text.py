@@ -101,6 +101,88 @@ ORDER BY doc_id
 """
 
 
+# --- model-based quality filtering (hashed linear classifier) --------------
+#
+# The heuristic `quality_scores` above is the C4-style rule filter; real
+# pipelines (CCNet, FineWeb-Edu) follow it with a MODEL-based filter — a
+# fastText-style linear classifier over hashed bag-of-words features. This
+# operator is that scoring pass with the weight table replaced by a
+# deterministic hash-derived weight (no external model file exists in this
+# container), so the Spark plan, feature hashing, and score algebra are the
+# real thing and the oracle twin can replay them bit-for-bit.
+#
+# Determinism contract: per-token weights are INTEGERS in [-500, 500]
+# (bucket = portable md5 hash mod CLF_BUCKETS, weight = affine-mod of the
+# bucket), summed exactly as BIGINT — no float accumulation order to drift
+# between engines. Only the final margin normalization is a single double
+# divide + round_half_up.
+
+CLF_BUCKETS = 4096  # hashed feature-table width (fastText's `-hash` dim)
+_CLF_A = 2654435761  # Knuth multiplicative constant: bucket -> weight mix
+_CLF_C = 40503
+_CLF_MOD = 1001  # weights span [-500, 500] after the -500 shift
+
+
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-linear quality score per document: each token
+    hashes into one of CLF_BUCKETS weight buckets; the doc's margin is the
+    exact integer weight sum normalized by tokens; clf_score = margin mapped
+    to [0, 1]; keep_flag = non-negative margin (the filter decision).
+
+    Scale: a pure per-row fold over the token array (`F.aggregate`) — NO
+    shuffle, no explode, no UDF; the weight table is arithmetic, but a real
+    learned table of CLF_BUCKETS floats would broadcast at ~16 KB. The
+    whole pass is map-only and codegen'd, so it runs at scan speed on
+    100 TB.
+    """
+    from ..functions.scalars import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens(), lambda t: t != F.lit(""))
+
+    def weight(t: F.Column) -> F.Column:
+        bucket = portable_hash(t) % F.lit(CLF_BUCKETS)
+        return (bucket * F.lit(_CLF_A) + F.lit(_CLF_C)) % F.lit(_CLF_MOD) - F.lit(500)
+
+    n = F.size(toks).cast("long")
+    s = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + weight(t))
+    margin = s.cast("double") / (n.cast("double") * F.lit(500.0))
+    clf_score = F.when(
+        n > 0, round_half_up(F.lit(0.5) + margin * F.lit(0.5), 4)
+    ).otherwise(F.lit(None).cast("double"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n.alias("n_scored_tokens"),
+        s.alias("weight_sum"),
+        clf_score.alias("clf_score"),
+        ((s >= 0) & (n > 0)).cast("int").alias("keep_flag"),
+    ).orderBy("doc_id")
+
+
+_CLF_W = (
+    f"((CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % {CLF_BUCKETS})"
+    f" * {_CLF_A} + {_CLF_C}) % {_CLF_MOD} - 500"
+)
+_CLF_SQL = f"""
+SELECT doc_id, lang,
+       CAST(n AS BIGINT) AS n_scored_tokens,
+       CAST(s AS BIGINT) AS weight_sum,
+       CASE WHEN n > 0 THEN
+         CAST(FLOOR((0.5::DOUBLE + (CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 500.0::DOUBLE)) * 0.5::DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+       ELSE NULL END AS clf_score,
+       CAST(CASE WHEN s >= 0 AND n > 0 THEN 1 ELSE 0 END AS INT) AS keep_flag
+FROM (
+  SELECT doc_id, lang,
+         len(list_filter({_SQL_TOKENS}, t -> t <> '')) AS n,
+         COALESCE(CAST(list_sum(list_transform(
+             list_filter({_SQL_TOKENS}, t -> t <> ''),
+             t -> {_CLF_W})) AS BIGINT), 0) AS s
+  FROM documents) f
+ORDER BY doc_id
+"""
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-vocabulary language ID: count distinct marker hits per language,
     predict the argmax (deterministic tiebreak: language code order)."""
@@ -956,6 +1038,7 @@ QUERIES = {
     "stratified_sample_report": stratified_sample_report,
     "token_budget_bins": token_budget_bins,
     "pii_redaction_stats": pii_redaction_stats,
+    "quality_classifier_scores": quality_classifier_scores,
 }
 
 ORACLES = {
@@ -977,4 +1060,5 @@ ORACLES = {
     "stratified_sample_report": _STRATIFIED_SQL,
     "token_budget_bins": _PACK_SQL,
     "pii_redaction_stats": _PII_SQL,
+    "quality_classifier_scores": _CLF_SQL,
 }

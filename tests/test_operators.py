@@ -1725,3 +1725,62 @@ def test_incremental_ivf_update_equals_rebuild_and_is_idempotent(spark, sf_dir):
     # replay: same batch again (plus an overlap with old) is a no-op
     replay = sim.incremental_ivf_update(incr, batch.unionByName(old.limit(5)), cents)
     assert _snap(replay) == _snap(full)
+
+
+def test_quality_classifier_decision_consistency(spark, sf_dir):
+    """clf_score is the normalized integer margin: keep_flag must agree
+    with the sign of weight_sum, scores stay in [0,1], and every document
+    is scored exactly once."""
+    out = text.quality_classifier_scores(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(out) == n_docs
+    for r in out:
+        assert r["keep_flag"] == int(
+            r["weight_sum"] >= 0 and r["n_scored_tokens"] > 0
+        )
+        if r["clf_score"] is not None:
+            assert 0.0 <= r["clf_score"] <= 1.0
+            assert abs(r["weight_sum"]) <= r["n_scored_tokens"] * 500
+
+
+def test_minhash_delta_probe_slices_and_novelty(spark, sf_dir):
+    """The probe reports exactly the delta slice; matches always point into
+    the corpus slice (never delta-vs-delta); is_novel <=> zero matches."""
+    out = dedup.minhash_delta_probe(spark, sf_dir).collect()
+    d = dedup.DELTA_MOD
+    delta_ids = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % d == d - 1)
+        .collect()
+    }
+    assert {r["doc_id"] for r in out} == delta_ids
+    for r in out:
+        assert (r["is_novel"] == 1) == (r["n_corpus_matches"] == 0)
+        if r["first_match_doc"] is not None:
+            assert r["first_match_doc"] % d != d - 1
+
+
+def test_near_dup_canonicals_pick_best_member(spark, sf_dir):
+    """One keeper per cluster; the keeper is a member of its cluster with
+    the cluster-max quality score; sizes partition the corpus."""
+    keep = {r["cluster_id"]: r for r in dedup.near_dup_canonicals(spark, sf_dir).collect()}
+    labels = dedup.near_dup_clusters(spark, sf_dir).collect()
+    quality = {
+        r["doc_id"]: r["quality_score"]
+        for r in text.quality_scores(spark, sf_dir).collect()
+    }
+    members: dict[int, list[int]] = {}
+    for r in labels:
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    assert set(keep) == set(members)
+    assert sum(r["n_docs"] for r in keep.values()) == len(labels)
+    for cid, r in keep.items():
+        assert r["keeper_doc_id"] in members[cid]
+        assert r["n_removed"] == r["n_docs"] - 1 == len(members[cid]) - 1
+        best_q = max(quality[m] for m in members[cid])
+        assert r["keeper_quality"] == best_q
+        # deterministic tiebreak: min doc_id among the max-quality members
+        assert r["keeper_doc_id"] == min(
+            m for m in members[cid] if quality[m] == best_q
+        )
