@@ -1292,8 +1292,17 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     edges: (a, b) undirected; nodes: (node) — superset of edge endpoints
     (isolated nodes become singleton clusters).
     """
-    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    # Materialize the symmetrized edge list ONCE before iterating: without
+    # this, every round's neighbor join re-executes the whole upstream
+    # edge-generation pipeline (the banded-LSH candidate join, or the
+    # geo-cell join for spatial callers) — O(rounds) re-reads of the corpus
+    # at 100 TB. The edge list is the small derived table; the corpus scan
+    # it derives from is the expensive one. (Measured at sf0.1:
+    # near_dup_clusters 9.0 s -> 3.5 s.)
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
     )
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
     for _ in range(CC_MAX_ITER):
