@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 def _modules():
     from ..streaming import aggregates as streaming_aggregates
     from ..streaming import joins as streaming_joins
+    from ..streaming import novelty as streaming_novelty
     from ..streaming import online as streaming_online
     from ..streaming import stateful as streaming_stateful
     from . import (
@@ -75,6 +76,7 @@ def _modules():
         history,
         streaming_aggregates,
         streaming_joins,
+        streaming_novelty,
         streaming_online,
         streaming_stateful,
     )

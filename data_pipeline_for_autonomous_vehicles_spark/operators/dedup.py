@@ -558,10 +558,13 @@ ORDER BY doc_id, rank
 # --- MinHash + LSH ---------------------------------------------------------
 
 
-def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sig[0..k-1]): min over shingles of (a_i*h + b_i) mod p, with
-    h = portable md5-based shingle hash. Pure expressions, one shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+def _signatures_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig[0..k-1]) for any (doc_id, text) frame: min over shingles
+    of (a_i*h + b_i) mod p, with h = portable md5-based shingle hash. Pure
+    expressions, one map-side-combined shuffle (a doc's shingles never leave
+    their input row's partition, so the min-agg moves ~1 row per doc).
+    Shared by the batch corpus path and the per-micro-batch streaming
+    probe (`streaming.novelty`)."""
     sh = _shingles_df(docs)
     from ..functions.scalars import portable_hash
 
@@ -571,6 +574,10 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(MINHASH_K)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signatures_of(load_table(spark, sf_dir, "documents"))
 
 
 def _sql_minhash_cte() -> str:
@@ -1473,6 +1480,56 @@ FROM ranked WHERE rn = 1 ORDER BY cluster_id
 DELTA_MOD = 5  # doc_id % DELTA_MOD == DELTA_MOD-1 plays the "new crawl" slice
 
 
+def _is_delta() -> F.Column:
+    return (F.col("doc_id") % F.lit(DELTA_MOD)) == F.lit(DELTA_MOD - 1)
+
+
+def corpus_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(corpus_doc, band_id, band_hash): the capped MinHash band postings of
+    the already-ingested corpus slice — the INDEX an incremental dedup
+    probes against. At 100 TB this is a persisted table bucketed by
+    (band_id, band_hash), appended per ingest; here it is derived on the
+    fly. The degenerate-bucket cap is applied at build time (index side),
+    exactly as `_lsh_candidates` does for the batch self-join. Shared by
+    `minhash_delta_probe` and the streaming probe."""
+    bands = _banded(_minhash_signatures(spark, sf_dir))
+    return _cap_buckets(
+        bands.filter(~_is_delta()), ["band_id", "band_hash"], MAX_BUCKET
+    ).select(F.col("doc_id").alias("corpus_doc"), "band_id", "band_hash")
+
+
+def probe_band_index(delta_docs: DataFrame, index: DataFrame) -> DataFrame:
+    """Per-doc novelty verdicts for any (doc_id, text) delta frame against a
+    band index: (doc_id, n_corpus_matches, first_match_doc, is_novel).
+    Candidate generation is the banded equi-join of the delta's postings
+    against the index — the delta side shuffles, the index side reads
+    pre-bucketed at scale."""
+    delta = _banded(_signatures_of(delta_docs)).select(
+        F.col("doc_id").alias("delta_doc"), "band_id", "band_hash"
+    )
+    probe = (
+        delta.join(index, ["band_id", "band_hash"])
+        .select("delta_doc", "corpus_doc")
+        .distinct()
+    )
+    per_doc = probe.groupBy("delta_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_corpus_matches"),
+        F.min("corpus_doc").alias("first_match_doc"),
+    )
+    ids = delta_docs.select("doc_id")
+    return (
+        ids.join(per_doc, ids.doc_id == per_doc.delta_doc, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_corpus_matches"), F.lit(0).cast("long")).alias(
+                "n_corpus_matches"
+            ),
+            "first_match_doc",
+            F.col("delta_doc").isNull().cast("int").alias("is_novel"),
+        )
+    )
+
+
 def minhash_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup admission: a DELTA batch of new documents
     (here the deterministic doc_id % {DELTA_MOD} == {DELTA_MOD - 1} slice)
@@ -1490,13 +1547,15 @@ def minhash_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     full self-join. The degenerate-bucket cap is applied on the INDEX side
     at build time, exactly as `_lsh_candidates` does for the batch path.
     """
+    # one cached signature pass feeds BOTH sides here (the batch shortcut);
+    # the streaming path (`streaming.novelty`) uses `corpus_band_index` +
+    # `probe_band_index`, which compute the same expressions per side
     sigs = _register_cache(_minhash_signatures(spark, sf_dir).cache())
     bands = _banded(sigs)
-    is_delta = (F.col("doc_id") % F.lit(DELTA_MOD)) == F.lit(DELTA_MOD - 1)
     corpus = _cap_buckets(
-        bands.filter(~is_delta), ["band_id", "band_hash"], MAX_BUCKET
+        bands.filter(~_is_delta()), ["band_id", "band_hash"], MAX_BUCKET
     ).select(F.col("doc_id").alias("corpus_doc"), "band_id", "band_hash")
-    delta = bands.filter(is_delta).select(
+    delta = bands.filter(_is_delta()).select(
         F.col("doc_id").alias("delta_doc"), "band_id", "band_hash"
     )
     probe = (
@@ -1509,9 +1568,7 @@ def minhash_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("corpus_doc").alias("first_match_doc"),
     )
     delta_docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .filter((F.col("doc_id") % F.lit(DELTA_MOD)) == F.lit(DELTA_MOD - 1))
+        load_table(spark, sf_dir, "documents").select("doc_id").filter(_is_delta())
     )
     return (
         delta_docs.join(per_doc, delta_docs.doc_id == per_doc.delta_doc, "left")

@@ -457,3 +457,46 @@ def test_stream_cdc_upsert_converges_and_replay_is_noop(spark, sf_dir, tmp_path)
     )
     q2.awaitTermination()
     assert _state(path_stream) == before
+
+
+def test_streaming_novelty_probe_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """The stream-static novelty probe must be chunking-invariant: the
+    delta docs split across 3 files, streamed one file per micro-batch
+    against the once-materialized corpus index, yields exactly the batch
+    minhash_delta_probe verdicts (and every batch saw only its own docs)."""
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.operators.dedup import (
+        _is_delta,
+        corpus_band_index,
+        minhash_delta_probe,
+    )
+    from data_pipeline_for_autonomous_vehicles_spark.streaming import novelty
+
+    delta = load_table(spark, sf_dir, "documents").where(_is_delta())
+    split_dir = tmp_path / "delta_files"
+    # three disjoint slices, one file each, so maxFilesPerTrigger=1 yields
+    # three genuine micro-batches
+    for i in range(3):
+        delta.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(split_dir))
+
+    index = corpus_band_index(spark, sf_dir).localCheckpoint(eager=True)
+    stream = (
+        spark.readStream.schema(novelty.DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(split_dir))
+    )
+    batches: list[tuple[int, list]] = []
+    novelty.run_novelty_probe(
+        stream, index, lambda df, bid: batches.append((bid, df.collect()))
+    )
+    assert len(batches) >= 3  # genuinely chunked
+    streamed = sorted(
+        tuple(r) for _, rows in batches for r in rows
+    )
+    expected = sorted(tuple(r) for r in minhash_delta_probe(spark, sf_dir).collect())
+    assert streamed == expected
+    # no doc is ever verdicted twice across batches
+    ids = [r[0] for _, rows in batches for r in rows]
+    assert len(ids) == len(set(ids))
