@@ -183,6 +183,81 @@ ORDER BY doc_id
 """
 
 
+# --- LM-proxy fluency scoring (corpus bigram statistics) -------------------
+
+_BIGRAMS = (
+    "transform(sequence(1, greatest(size(toks) - 1, 0)), "
+    "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+)
+_SQL_BIGRAMS = (
+    "list_transform(range(1, greatest(len(toks) - 1, 0) + 1), "
+    "i -> toks[i] || ' ' || toks[i + 1])"
+)
+
+
+def bigram_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency proxy from corpus bigram statistics — the
+    integer-exact stand-in for LM-perplexity filtering (CCNet's KenLM
+    pass): a document whose adjacent-word pairs are common in the corpus
+    reads like the corpus; one full of never-seen-again bigrams is noise.
+    Emits per doc: bigram occurrences, the corpus count of its RAREST
+    bigram, and the mean corpus-frequency of its bigrams (exact integer
+    sum, one final divide — no transcendental log to drift between
+    engines; same rationale as `token_collocations`' lift).
+
+    Scale: the bigram count table is dictionary-sized (distinct adjacent
+    pairs, heavy-tailed — a 100 TB run floors it at a minimum count or
+    sketches it with CMS; exact here). Doc postings join it on the bigram
+    key — hash-partitioned, map-side pre-aggregated by (doc, bigram) with
+    occurrence weights, so hot bigrams ship once per doc, not once per
+    occurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    posts = (
+        docs.select("doc_id", _tokens().alias("toks"))
+        .select("doc_id", F.explode(F.expr(_BIGRAMS)).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    counts = posts.groupBy("bigram").agg(F.sum("occ").alias("corpus_count"))
+    scored = posts.join(counts, "bigram").groupBy("doc_id").agg(
+        F.sum("occ").cast("long").alias("n_bigrams"),
+        F.min("corpus_count").cast("long").alias("rarest_count"),
+        F.sum(F.col("occ") * F.col("corpus_count")).cast("long").alias("count_sum"),
+    )
+    out = docs.select("doc_id").join(scored, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+        "rarest_count",
+        round_half_up(
+            F.col("count_sum").cast("double") / F.col("n_bigrams").cast("double"), 4
+        ).alias("fluency_score"),
+    ).orderBy("doc_id")
+
+
+_FLUENCY_SQL = f"""
+WITH posts AS (
+  SELECT doc_id, bigram, COUNT(*) AS occ
+  FROM (
+    SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bigram
+    FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents) base) b
+  GROUP BY doc_id, bigram),
+counts AS (SELECT bigram, SUM(occ) AS corpus_count FROM posts GROUP BY bigram),
+scored AS (
+  SELECT doc_id,
+         CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+         CAST(MIN(corpus_count) AS BIGINT) AS rarest_count,
+         CAST(SUM(occ * corpus_count) AS BIGINT) AS count_sum
+  FROM posts JOIN counts USING (bigram) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       s.rarest_count AS rarest_count,
+       CAST(FLOOR((CAST(s.count_sum AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE)) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS fluency_score
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-vocabulary language ID: count distinct marker hits per language,
     predict the argmax (deterministic tiebreak: language code order)."""
@@ -1039,6 +1114,7 @@ QUERIES = {
     "token_budget_bins": token_budget_bins,
     "pii_redaction_stats": pii_redaction_stats,
     "quality_classifier_scores": quality_classifier_scores,
+    "bigram_fluency_scores": bigram_fluency_scores,
 }
 
 ORACLES = {
@@ -1061,4 +1137,5 @@ ORACLES = {
     "token_budget_bins": _PACK_SQL,
     "pii_redaction_stats": _PII_SQL,
     "quality_classifier_scores": _CLF_SQL,
+    "bigram_fluency_scores": _FLUENCY_SQL,
 }

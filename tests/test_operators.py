@@ -1784,3 +1784,18 @@ def test_near_dup_canonicals_pick_best_member(spark, sf_dir):
         assert r["keeper_doc_id"] == min(
             m for m in members[cid] if quality[m] == best_q
         )
+
+
+def test_bigram_fluency_bounds_and_rarest(spark, sf_dir):
+    """fluency is a mean of per-bigram corpus counts: it must lie within
+    [rarest_count, corpus-max bigram count], and a doc duplicated in the
+    corpus can never have rarest_count below its copy count."""
+    out = text.bigram_fluency_scores(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(out) == n_docs
+    for r in out:
+        if r["n_bigrams"] == 0:
+            assert r["rarest_count"] is None and r["fluency_score"] is None
+        else:
+            assert 1 <= r["rarest_count"]
+            assert r["fluency_score"] >= r["rarest_count"] - 0.5e-4
