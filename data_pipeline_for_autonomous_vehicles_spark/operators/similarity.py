@@ -255,28 +255,17 @@ def _centroids(emb: DataFrame) -> DataFrame:
     ).select(F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"))
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: every corpus vector is assigned to its nearest centroid
-    (inverted list); each query probes only its NPROBE closest lists and
-    ranks exact cosine inside them.
-
-    Scale path: centroids broadcast (tiny); assignment is one map-side pass
-    over the corpus; the search join is keyed on cell id → a query touches
-    nprobe/N_CENTROIDS of the data. Written out as `partitionBy(cell)`, the
-    lists become prunable files and probes skip ~3/4 of the corpus on disk.
-    """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    cents = _centroids(emb)
-    # map-side argmax: centroids folded into one broadcast row; struct
-    # array_min over (-cosine, cent_id) = highest cosine, ties to lowest
-    # cent_id — the corpus never shuffles and never fans out K candidate
-    # rows (the previous row_number-over-(vec_id) form shuffled it)
-    # centroid norms ride in the broadcast array and the row's own norm is
-    # computed once outside the argmin, so the per-centroid work is ONE
-    # cross dot — cosine = dot/(row_norm·cent_norm) is the identical IEEE
-    # expression tree as _cosine, just with the two sqrt factors hoisted
+def _ivf_assigned(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, emb, cell): nearest-centroid assignment as a map-side
+    argmax — centroids folded into one broadcast row; struct array_min
+    over (-cosine, cent_id) = highest cosine, ties to lowest cent_id — the
+    corpus never shuffles and never fans out K candidate rows (the
+    previous row_number-over-(vec_id) form shuffled it). Centroid norms
+    ride in the broadcast array and the row's own norm is computed once
+    outside the argmin, so the per-centroid work is ONE cross dot —
+    cosine = dot/(row_norm·cent_norm) is the identical IEEE expression
+    tree as _cosine, just with the two sqrt factors hoisted. Shared by
+    `ann_ivf_topk` and `ann_nprobe_recall_curve`."""
     c_row = cents.agg(
         F.array_sort(
             F.collect_list(
@@ -298,20 +287,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    assigned = (
-        emb.crossJoin(F.broadcast(c_row))
-        .select("vec_id", "emb", best["cent_id"].alias("cell"))
+    return emb.crossJoin(F.broadcast(c_row)).select(
+        "vec_id", "emb", best["cent_id"].alias("cell")
     )
+
+
+def _ivf_probes(emb: DataFrame, cents: DataFrame, max_rn: int) -> DataFrame:
+    """(query_id, qemb, cell, rn): each query's `max_rn` closest inverted
+    lists, probe rank attached (rn = 1 is the nearest list)."""
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("cent_id"))
-    probes = (
+    return (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
         .crossJoin(F.broadcast(cents))
         .withColumn("c", _cosine(F.col("qemb"), F.col("cemb")))
         .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= NPROBE)
-        .select("query_id", "qemb", F.col("cent_id").alias("cell"))
+        .filter(F.col("rn") <= max_rn)
+        .select("query_id", "qemb", F.col("cent_id").alias("cell"), "rn")
     )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: every corpus vector is assigned to its nearest centroid
+    (inverted list); each query probes only its NPROBE closest lists and
+    ranks exact cosine inside them.
+
+    Scale path: centroids broadcast (tiny); assignment is one map-side pass
+    over the corpus; the search join is keyed on cell id → a query touches
+    nprobe/N_CENTROIDS of the data. Written out as `partitionBy(cell)`, the
+    lists become prunable files and probes skip ~3/4 of the corpus on disk.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cents = _centroids(emb)
+    assigned = _ivf_assigned(emb, cents)
+    probes = _ivf_probes(emb, cents, NPROBE).select("query_id", "qemb", "cell")
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         assigned.join(F.broadcast(probes), "cell")
@@ -419,6 +430,141 @@ SELECT t.query_id,
        {sql_round_half_up("CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_truth AS DOUBLE)", 4)} AS recall_at_k
 FROM truth t LEFT JOIN hits h USING (query_id)
 ORDER BY t.query_id
+"""
+
+
+NPROBE_SWEEP = (1, 2, 4, 8, 16)  # 16 = all lists -> the recall=1.0 anchor
+
+
+def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NPROBE sizing curve: micro-averaged recall@K and average scanned
+    candidates per query for each probe budget in NPROBE_SWEEP —
+    `ann_recall_audit` justifies ONE operating point; this is the
+    cost-vs-recall frontier an operator tunes against before fixing NPROBE
+    at scale (the last sweep value probes every list, so its recall row
+    must read 1.0 — a built-in self-check).
+
+    Scale: the whole sweep costs ONE search at the largest budget, not one
+    search per setting — every candidate is tagged with the probe rank
+    that admitted it (a corpus vector lives in exactly one list, so the
+    tag is unique per (query, vector)), and each budget's top-k is a
+    re-rank of that single candidate set filtered to rn <= budget.
+    Corpus-side work is identical to `ann_ivf_topk`: broadcast centroids,
+    map-side assignment, equi-join on cell id."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cents = _centroids(emb)
+    max_rn = max(NPROBE_SWEEP)
+    cand = (
+        _ivf_assigned(emb, cents)
+        .join(F.broadcast(_ivf_probes(emb, cents, max_rn)), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "rn",
+            round_half_up(_cosine(F.col("qemb"), F.col("emb")), 4).alias("cosine"),
+        )
+    )
+    budgets = F.explode(F.array(*[F.lit(p) for p in NPROBE_SWEEP])).alias("nprobe")
+    c2 = cand.select("*", budgets).filter(F.col("rn") <= F.col("nprobe"))
+    w_rank = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    topk = (
+        c2.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+        .select("nprobe", "query_id", "vec_id")
+    )
+    truth = ann_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        topk.join(truth, ["query_id", "vec_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    cand_counts = c2.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand")
+    )
+    truth_row = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+    )
+    return (
+        cand_counts.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(truth_row))
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "n_queries",
+            "n_truth",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            round_half_up(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double"),
+                4,
+            ).alias("micro_recall"),
+            round_half_up(
+                F.col("n_cand").cast("double") / F.col("n_queries").cast("double"), 4
+            ).alias("avg_candidates"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def _sql_nprobe_curve() -> str:
+    sweep = ", ".join(str(p) for p in NPROBE_SWEEP)
+    max_rn = max(NPROBE_SWEEP)
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, emb AS cemb FROM emb
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, emb, cent_id AS cell FROM (
+    SELECT e.vec_id, e.emb, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_cos('e.emb', 'c.cemb')} DESC, c.cent_id ASC) AS rn
+    FROM emb e CROSS JOIN cents c) t
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, qemb, cell, rn FROM (
+    SELECT e.vec_id AS query_id, e.emb AS qemb, c.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_cos('e.emb', 'c.cemb')} DESC, c.cent_id ASC) AS rn
+    FROM emb e CROSS JOIN cents c
+    WHERE e.vec_id < {N_QUERIES}) t
+  WHERE rn <= {max_rn}),
+cand AS (
+  SELECT p.query_id, a.vec_id, p.rn,
+         CAST(FLOOR({_sql_cos('p.qemb', 'a.emb')} * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS cosine
+  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id),
+c2 AS (
+  SELECT s.nprobe, c.query_id, c.vec_id, c.cosine
+  FROM cand c CROSS JOIN (SELECT unnest([{sweep}]) AS nprobe) s
+  WHERE c.rn <= s.nprobe),
+topk AS (
+  SELECT nprobe, query_id, vec_id FROM (
+    SELECT nprobe, query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM c2) t
+  WHERE rank <= {TOP_K}),
+bf AS ({_ANN_BF_SQL}),
+truth AS (SELECT query_id, vec_id FROM bf),
+hits AS (
+  SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM topk JOIN truth USING (query_id, vec_id) GROUP BY nprobe),
+candn AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_cand FROM c2 GROUP BY nprobe),
+tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+              CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries FROM truth)
+SELECT CAST(c.nprobe AS INT) AS nprobe,
+       tr.n_queries AS n_queries,
+       tr.n_truth AS n_truth,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       {sql_round_half_up("CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(tr.n_truth AS DOUBLE)", 4)} AS micro_recall,
+       {sql_round_half_up("CAST(c.n_cand AS DOUBLE) / CAST(tr.n_queries AS DOUBLE)", 4)} AS avg_candidates
+FROM candn c LEFT JOIN hits h USING (nprobe) CROSS JOIN tr
+ORDER BY nprobe
 """
 
 
@@ -1836,6 +1982,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_recall_audit": ann_recall_audit,
+    "ann_nprobe_recall_curve": ann_nprobe_recall_curve,
     "lsh_bucket_histogram": lsh_bucket_histogram,
     "embedding_near_dups": embedding_near_dups,
     "embedding_quantize_report": embedding_quantize_report,
@@ -1855,6 +2002,7 @@ ORACLES = {
     "ann_lsh_topk": _ANN_LSH_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
     "ann_recall_audit": _sql_ann_recall(),
+    "ann_nprobe_recall_curve": _sql_nprobe_curve(),
     "lsh_bucket_histogram": _LSH_HIST_SQL,
     "embedding_near_dups": _NEAR_DUP_SQL,
     "embedding_quantize_report": _QUANT_SQL,

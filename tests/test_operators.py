@@ -1799,3 +1799,15 @@ def test_bigram_fluency_bounds_and_rarest(spark, sf_dir):
         else:
             assert 1 <= r["rarest_count"]
             assert r["fluency_score"] >= r["rarest_count"] - 0.5e-4
+
+
+def test_nprobe_curve_monotone_with_full_probe_anchor(spark, sf_dir):
+    """Recall and scanned candidates must be non-decreasing in the probe
+    budget, and probing every list must recover brute-force exactly
+    (micro_recall == 1.0) — the curve's built-in self-check."""
+    rows = similarity.ann_nprobe_recall_curve(spark, sf_dir).collect()
+    assert [r["nprobe"] for r in rows] == sorted(similarity.NPROBE_SWEEP)
+    for a, b in zip(rows, rows[1:]):
+        assert b["micro_recall"] >= a["micro_recall"]
+        assert b["avg_candidates"] >= a["avg_candidates"]
+    assert rows[-1]["micro_recall"] == 1.0
