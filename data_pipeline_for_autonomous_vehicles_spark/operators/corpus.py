@@ -605,6 +605,104 @@ ORDER BY source
 """
 
 
+# --- the curation funnel: sequential survival through the filter ladder ----
+
+FLUENCY_FLOOR = 2.0  # mean corpus bigram count >= 2: not mostly-unique text
+
+
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-attributed survival counts through the full curation ladder,
+    per language — the funnel a corpus build publishes so each filter's
+    bite is visible (a stage that silently eats 90% of one language is a
+    mixture bug, not a quality win):
+
+      n_docs → n_canonical (kept as its near-dup cluster's best-quality
+      copy) → n_quality (≥ heuristic cutoff) → n_clf (hashed-classifier
+      keep) → n_fluent (corpus-bigram fluency ≥ floor).
+
+    Composes `near_dup_canonicals`, `quality_scores`,
+    `quality_classifier_scores`, and `bigram_fluency_scores` into ONE
+    declarative plan: Catalyst shares the `documents` scan across the
+    signal branches, and the funnel itself is conditional sums over one
+    joined row per doc — no per-stage rescans. Stages are cumulative
+    (each ANDs onto the previous), so columns are monotone non-increasing
+    left to right."""
+    from .dedup import QUALITY_CUTOFF, near_dup_canonicals
+    from .text import (
+        bigram_fluency_scores,
+        quality_classifier_scores,
+        quality_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    keepers = near_dup_canonicals(spark, sf_dir).select(
+        F.col("keeper_doc_id").alias("doc_id"), F.lit(1).alias("is_keeper")
+    )
+    joined = (
+        docs.join(keepers, "doc_id", "left")
+        .join(
+            quality_scores(spark, sf_dir).select("doc_id", "quality_score"), "doc_id"
+        )
+        .join(
+            quality_classifier_scores(spark, sf_dir).select("doc_id", "keep_flag"),
+            "doc_id",
+        )
+        .join(
+            bigram_fluency_scores(spark, sf_dir).select("doc_id", "fluency_score"),
+            "doc_id",
+            "left",
+        )
+    )
+    s1 = F.col("is_keeper").isNotNull()
+    s2 = s1 & (F.col("quality_score") >= F.lit(QUALITY_CUTOFF))
+    s3 = s2 & (F.col("keep_flag") == 1)
+    s4 = s3 & (F.col("fluency_score") >= F.lit(FLUENCY_FLOOR))
+
+    def n(cond: F.Column, name: str) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            n(s1, "n_canonical"),
+            n(s2, "n_quality"),
+            n(s3, "n_clf"),
+            n(s4, "n_fluent"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_curation_funnel() -> str:
+    from .dedup import QUALITY_CUTOFF, _sql_near_dup_canonicals
+    from .text import _CLF_SQL, _FLUENCY_SQL, _QUALITY_SQL
+
+    return f"""
+WITH keepers AS (SELECT keeper_doc_id AS doc_id FROM ({_sql_near_dup_canonicals()}) c),
+quality AS (SELECT doc_id, quality_score FROM ({_QUALITY_SQL}) q),
+clf AS (SELECT doc_id, keep_flag FROM ({_CLF_SQL}) c2),
+flu AS (SELECT doc_id, fluency_score FROM ({_FLUENCY_SQL}) f)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+       CAST(SUM(CASE WHEN k.doc_id IS NOT NULL AND q.quality_score >= {QUALITY_CUTOFF}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN k.doc_id IS NOT NULL AND q.quality_score >= {QUALITY_CUTOFF}
+                AND c2.keep_flag = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clf,
+       CAST(SUM(CASE WHEN k.doc_id IS NOT NULL AND q.quality_score >= {QUALITY_CUTOFF}
+                AND c2.keep_flag = 1 AND f.fluency_score >= {FLUENCY_FLOOR}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_fluent
+FROM documents d
+LEFT JOIN keepers k ON k.doc_id = d.doc_id
+JOIN quality q ON q.doc_id = d.doc_id
+JOIN clf c2 ON c2.doc_id = d.doc_id
+LEFT JOIN flu f ON f.doc_id = d.doc_id
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
 QUERIES = {
     "source_diversity_by_lang": source_diversity_by_lang,
     "mixture_temperature_weights": mixture_temperature_weights,
@@ -614,6 +712,7 @@ QUERIES = {
     "source_dedup_overlap": source_dedup_overlap,
     "lang_confusion_matrix": lang_confusion_matrix,
     "corpus_curation_report": corpus_curation_report,
+    "curation_funnel_report": curation_funnel_report,
 }
 
 ORACLES = {
@@ -625,4 +724,5 @@ ORACLES = {
     "source_dedup_overlap": _SOURCE_OVERLAP_SQL,
     "lang_confusion_matrix": _sql_lang_confusion(),
     "corpus_curation_report": _sql_curation_report(),
+    "curation_funnel_report": _sql_curation_funnel(),
 }

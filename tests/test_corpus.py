@@ -205,3 +205,23 @@ def test_mixture_temperature_weights_invariants(spark, sf_dir):
     for r in rows:
         expect = r["temp_share"] * MIX_TOKEN_BUDGET / r["n_tokens"]
         assert abs(r["effective_epochs"] - expect) < 1e-3
+
+
+def test_curation_funnel_monotone_and_partitions(spark, sf_dir):
+    """Funnel stages are cumulative: each count is <= the previous stage;
+    n_docs across languages partitions the corpus."""
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.operators import corpus
+
+    rows = corpus.curation_funnel_report(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    for r in rows:
+        assert (
+            r["n_docs"]
+            >= r["n_canonical"]
+            >= r["n_quality"]
+            >= r["n_clf"]
+            >= r["n_fluent"]
+            >= 0
+        )
