@@ -622,11 +622,12 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composes `near_dup_canonicals`, `quality_scores`,
     `quality_classifier_scores`, and `bigram_fluency_scores` into ONE
-    declarative plan: Catalyst shares the `documents` scan across the
-    signal branches, and the funnel itself is conditional sums over one
-    joined row per doc — no per-stage rescans. Stages are cumulative
-    (each ANDs onto the previous), so columns are monotone non-increasing
-    left to right."""
+    declarative plan: each signal branch scans only the parquet columns it
+    needs (pruned scans — the signals are independent passes over the
+    corpus, exactly as a production build schedules them), and the funnel
+    itself is conditional sums over one joined row per doc — no per-STAGE
+    rescans. Stages are cumulative (each ANDs onto the previous), so
+    columns are monotone non-increasing left to right."""
     from .dedup import QUALITY_CUTOFF, near_dup_canonicals
     from .text import (
         bigram_fluency_scores,
