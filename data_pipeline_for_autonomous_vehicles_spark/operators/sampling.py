@@ -69,5 +69,205 @@ LIMIT {SAMPLE_K}
 """
 
 
-QUERIES = {"weighted_sample_topk": weighted_sample_topk}
-ORACLES = {"weighted_sample_topk": _sql_weighted_sample()}
+# --- DSIR: Data Selection via Importance Resampling ------------------------
+#
+# Xie et al., "Data Selection for Language Models via Importance Resampling"
+# (NeurIPS 2023, public arXiv 2302.03169). The raw corpus is scored against a
+# TARGET domain with hashed-n-gram bag features: per doc,
+# log w = Σ_b c_doc[b] · (ln p_target[b] − ln q_raw[b]) over B hash buckets,
+# then a Gumbel-top-K draw resamples docs ∝ softmax(log w). Here the target
+# slice is the `en` documents (the "looks like my fine-tune domain" stand-in)
+# and features are hashed unigrams+bigrams, so the whole method is one
+# explode→hash-agg pass plus a ≤B-row broadcast — no model, no UDF.
+#
+# Exactness: bucket log-ratios are rounded to 1e-6 fixed point (int64) BEFORE
+# the per-doc sum, so every per-doc score is an exact integer dot product —
+# order-independent under any shuffle (same argument as exact_sum /
+# mixture_temperature_weights). The Gumbel keys reuse the portable-hash
+# uniform, also in e6 fixed point, so resampling is replayable across
+# engines, runs, and cluster sizes.
+
+DSIR_BUCKETS = 128
+DSIR_TARGET_LANG = "en"
+_DSIR_SALT = "dsir:"
+_DSIR_GUMBEL_SALT = "dsirg:"
+_DSIR_U_DENOM = 4294967297.0  # 2^32 + 1 — keeps u strictly inside (0, 1)
+
+
+def _dsir_doc_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, bucket, c): hashed unigram+bigram counts per doc.
+
+    One explode of the token array per doc; the bucket key is bounded
+    (< DSIR_BUCKETS) so the per-doc aggregation is fully map-side
+    combinable and the shuffle carries ≤ B cells per doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bigrams = F.expr(
+        "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)), "
+        "slice(toks, 2, greatest(size(toks) - 1, 0)), "
+        "(a, b) -> concat(a, ' ', b))"
+    )
+    bucket = (
+        portable_hash(F.concat(F.lit(_DSIR_SALT), F.col("gram"))) % DSIR_BUCKETS
+    ).alias("bucket")
+    return (
+        docs.select("doc_id", "lang", toks.alias("toks"))
+        .select("doc_id", "lang", F.explode(F.concat(F.col("toks"), bigrams)).alias("gram"))
+        .select("doc_id", "lang", bucket)
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, logw_e6): exact int64 importance score per doc."""
+    cells = _dsir_doc_cells(spark, sf_dir)
+    buckets = cells.groupBy("bucket").agg(
+        F.sum("c").alias("raw_c"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(F.lit(0))
+        ).alias("tgt_c"),
+    )
+    totals = buckets.agg(
+        F.sum("raw_c").alias("raw_tot"), F.sum("tgt_c").alias("tgt_tot")
+    )
+    smooth_b = F.lit(DSIR_BUCKETS / 2.0)  # Laplace 0.5 per bucket
+    log_p = F.log(
+        (F.col("tgt_c").cast("double") + F.lit(0.5))
+        / (F.col("tgt_tot").cast("double") + smooth_b)
+    )
+    log_q = F.log(
+        (F.col("raw_c").cast("double") + F.lit(0.5))
+        / (F.col("raw_tot").cast("double") + smooth_b)
+    )
+    delta = buckets.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.floor((log_p - log_q) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("delta_e6"),
+    )
+    return (
+        cells.join(F.broadcast(delta), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("c") * F.col("delta_e6")).alias("logw_e6"))
+    )
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance score vs the `en` target slice.
+
+    Output is O(n) — one row per doc. Scale: the corpus is scanned once
+    (explode → bounded-key hash agg); the bucket log-ratio table is ≤ B
+    rows, broadcast back; the per-doc score is an exact integer dot
+    product. Nothing shuffles more than (doc × ≤B) cells.
+    """
+    return (
+        _dsir_logweights(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("logw_e6").cast("double") / F.lit(1e6)).alias("log_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-K resample ∝ softmax(log_weight) — the DSIR selection
+    step, deterministic via the portable-hash uniform. The K winners are
+    found by TakeOrderedAndProject (per-partition heaps), so selection
+    costs one scan of the scored frame with zero extra shuffle.
+    """
+    logw = _dsir_logweights(spark, sf_dir)
+    u = (
+        portable_hash(F.concat(F.lit(_DSIR_GUMBEL_SALT), F.col("doc_id").cast("string")))
+        + F.lit(1)
+    ).cast("double") / F.lit(_DSIR_U_DENOM)
+    g_e6 = F.floor(-F.log(-F.log(u)) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    key_e6 = (F.col("logw_e6") + g_e6).alias("key_e6")
+    return (
+        logw.select("doc_id", "lang", "logw_e6", key_e6)
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("logw_e6").cast("double") / F.lit(1e6)).alias("log_weight"),
+            (F.col("key_e6").cast("double") / F.lit(1e6)).alias("gumbel_key"),
+            F.col("key_e6"),
+        )
+        .orderBy(F.desc("key_e6"), F.asc("doc_id"))
+        .limit(SAMPLE_K)
+        .drop("key_e6")
+    )
+
+
+_DSIR_CELLS_SQL = f"""
+  SELECT doc_id, lang,
+         CAST('0x' || substring(md5('{_DSIR_SALT}' || gram), 1, 8) AS BIGINT)
+           % {DSIR_BUCKETS} AS bucket,
+         COUNT(*) AS c
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_concat(t, list_transform(range(1, len(t)),
+                  i -> t[i] || ' ' || t[i+1]))) AS gram
+    FROM (SELECT doc_id, lang,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+          FROM documents) toks) grams
+  GROUP BY 1, 2, 3"""
+
+_DSIR_LOGW_SQL = f"""
+cells AS ({_DSIR_CELLS_SQL}),
+buckets AS (
+  SELECT bucket, SUM(c) AS raw_c,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN c ELSE 0 END) AS tgt_c
+  FROM cells GROUP BY 1),
+tot AS (SELECT SUM(raw_c) AS raw_tot, SUM(tgt_c) AS tgt_tot FROM buckets),
+delta AS (
+  SELECT bucket,
+         CAST(FLOOR((ln((CAST(tgt_c AS DOUBLE) + 0.5) / (CAST(tgt_tot AS DOUBLE) + {DSIR_BUCKETS / 2.0}))
+                   - ln((CAST(raw_c AS DOUBLE) + 0.5) / (CAST(raw_tot AS DOUBLE) + {DSIR_BUCKETS / 2.0})))
+                  * 1000000.0 + 0.5) AS BIGINT) AS delta_e6
+  FROM buckets, tot),
+logw AS (
+  SELECT c.doc_id, c.lang, SUM(c.c * d.delta_e6) AS logw_e6
+  FROM cells c JOIN delta d USING (bucket)
+  GROUP BY 1, 2)"""
+
+_DSIR_WEIGHTS_SQL = f"""
+WITH {_DSIR_LOGW_SQL}
+SELECT doc_id, lang, CAST(logw_e6 AS DOUBLE) / 1000000.0 AS log_weight
+FROM logw
+ORDER BY doc_id
+"""
+
+
+def _sql_dsir_resample() -> str:
+    h = sql_portable_hash(f"'{_DSIR_GUMBEL_SALT}' || CAST(doc_id AS VARCHAR)")
+    g_e6 = (
+        f"CAST(FLOOR(-ln(-ln((CAST({h} AS DOUBLE) + 1) / {_DSIR_U_DENOM!r}))"
+        f" * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    return f"""
+WITH {_DSIR_LOGW_SQL},
+keyed AS (
+  SELECT doc_id, lang, logw_e6, logw_e6 + {g_e6} AS key_e6
+  FROM logw)
+SELECT doc_id, lang,
+       CAST(logw_e6 AS DOUBLE) / 1000000.0 AS log_weight,
+       CAST(key_e6 AS DOUBLE) / 1000000.0 AS gumbel_key
+FROM keyed
+ORDER BY key_e6 DESC, doc_id ASC
+LIMIT {SAMPLE_K}
+"""
+
+
+QUERIES = {
+    "weighted_sample_topk": weighted_sample_topk,
+    "dsir_importance_weights": dsir_importance_weights,
+    "dsir_resample_topk": dsir_resample_topk,
+}
+ORACLES = {
+    "weighted_sample_topk": _sql_weighted_sample(),
+    "dsir_importance_weights": _DSIR_WEIGHTS_SQL,
+    "dsir_resample_topk": _sql_dsir_resample(),
+}

@@ -1977,6 +1977,148 @@ ORDER BY source_a, source_b
 """
 
 
+# --- contrastive-training mining -------------------------------------------
+#
+# Embedding-model training (contrastive / metric learning) needs mined
+# pairs: for each anchor, the most-similar vectors of a DIFFERENT class
+# ("hard negatives" — the examples the model currently confuses) and the
+# least-similar vector of the SAME class (the "hardest positive"). Both are
+# one broadcast-anchors scan over the corpus — the exact shape of
+# ann_bruteforce_topk — with a label predicate; at 100 TB the scorer swaps
+# in the IVF candidate path (broadcast centroids + NPROBE cells, see
+# ann_ivf_topk) unchanged, because the label filter composes with any
+# candidate generator.
+
+ANCHOR_MOD = 25  # vec_id % 25 == 0 → deterministic ~4% anchor sample
+
+
+def _anchor_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, query_label, vec_id, label, cosine) for every
+    (anchor, corpus) pair, self excluded. Anchors are a deterministic
+    modulo sample so the set is replayable and the broadcast side stays
+    bounded (|anchors| = n/ANCHOR_MOD; cap or re-mod at larger n)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    anchors = emb.filter(F.col("vec_id") % ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("emb").alias("qemb"),
+    )
+    return (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            "label",
+            round_half_up(_cosine(F.col("qemb"), F.col("emb")), 4).alias("cosine"),
+        )
+    )
+
+
+def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor top-k most-similar OTHER-class vectors — the hard
+    negatives a contrastive batch builder samples. Output is O(|anchors|·k)
+    by construction; the per-anchor window groups on ≤ |anchors| keys
+    (WindowGroupLimit prunes per partition before the shuffle)."""
+    scored = _anchor_scored(spark, sf_dir).filter(
+        F.col("label") != F.col("query_label")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            "cosine",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def triplet_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor (hardest positive, hardest negative, margin) — the
+    triplet-mining table: margin = cos(anchor, hardest same-class) −
+    cos(anchor, closest other-class); margin < 0 flags an active triplet
+    (the anchor's nearest neighbor is currently the wrong class). One
+    aggregation pass over the scored pairs — min/max of (cosine, vec_id)
+    structs, deterministic under ties — so the result is one row per
+    anchor regardless of corpus size."""
+    scored = _anchor_scored(spark, sf_dir)
+    same = F.col("label") == F.col("query_label")
+    agg = scored.groupBy("query_id", "query_label").agg(
+        F.min(
+            F.when(same, F.struct(F.col("cosine"), F.col("vec_id")))
+        ).alias("pos"),
+        F.min(
+            F.when(~same, F.struct((-F.col("cosine")).alias("nc"), F.col("vec_id")))
+        ).alias("neg"),
+    )
+    return (
+        agg.select(
+            "query_id",
+            "query_label",
+            F.col("pos.vec_id").alias("pos_vec_id"),
+            F.col("pos.cosine").alias("pos_cosine"),
+            F.col("neg.vec_id").alias("neg_vec_id"),
+            (-F.col("neg.nc")).alias("neg_cosine"),
+            round_half_up(F.col("pos.cosine") + F.col("neg.nc"), 4).alias("margin"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_HARD_NEG_SQL = f"""
+WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+scored AS (
+  SELECT b.vec_id AS query_id, b.label AS query_label,
+         a.vec_id AS vec_id, a.label AS neg_label,
+         CAST(FLOOR(({_SQL_DOT_AB} / ({_sql_norm('a')} * {_sql_norm('b')})) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS cosine
+  FROM emb a
+  JOIN emb b ON b.vec_id % {ANCHOR_MOD} = 0 AND a.vec_id <> b.vec_id
+            AND a.label <> b.label)
+SELECT query_id, query_label, vec_id, neg_label, cosine, rank FROM (
+  SELECT query_id, query_label, vec_id, neg_label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+_TRIPLET_SQL = f"""
+WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+scored AS (
+  SELECT b.vec_id AS query_id, b.label AS query_label,
+         a.vec_id AS vec_id, a.label AS label,
+         CAST(FLOOR(({_SQL_DOT_AB} / ({_sql_norm('a')} * {_sql_norm('b')})) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS cosine
+  FROM emb a
+  JOIN emb b ON b.vec_id % {ANCHOR_MOD} = 0 AND a.vec_id <> b.vec_id),
+pos AS (
+  SELECT query_id, query_label, vec_id AS pos_vec_id, cosine AS pos_cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine ASC, vec_id ASC) AS rn
+  FROM scored WHERE label = query_label),
+neg AS (
+  SELECT query_id, vec_id AS neg_vec_id, cosine AS neg_cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored WHERE label <> query_label)
+SELECT p.query_id, p.query_label, p.pos_vec_id, p.pos_cosine,
+       n.neg_vec_id, n.neg_cosine,
+       CAST(FLOOR((p.pos_cosine - n.neg_cosine) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS margin
+FROM pos p JOIN neg n ON n.query_id = p.query_id AND n.rn = 1
+WHERE p.rn = 1
+ORDER BY p.query_id
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -1995,6 +2137,8 @@ QUERIES = {
     "source_centroid_similarity": source_centroid_similarity,
     "embedding_norm_audit": embedding_norm_audit,
     "embedding_dim_stats": embedding_dim_stats,
+    "hard_negative_topk": hard_negative_topk,
+    "triplet_margin_report": triplet_margin_report,
 }
 
 ORACLES = {
@@ -2015,4 +2159,6 @@ ORACLES = {
     "source_centroid_similarity": _CENTROID_SIM_SQL,
     "embedding_norm_audit": _NORM_AUDIT_SQL,
     "embedding_dim_stats": _DIM_STATS_SQL,
+    "hard_negative_topk": _HARD_NEG_SQL,
+    "triplet_margin_report": _TRIPLET_SQL,
 }

@@ -429,6 +429,32 @@ def test_weighted_sample_deterministic_and_sorted(spark, sf_dir):
         assert r["log_priority"] <= 0.0 and r["weight"] >= 1
 
 
+def test_dsir_weights_favor_target_language(spark, sf_dir):
+    """The DSIR construction working = target-slice docs score higher on
+    the hashed-n-gram log-ratio than any other language, and the Gumbel
+    resample is enriched in the target language vs its base rate."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import sampling
+
+    w = sampling.dsir_importance_weights(spark, sf_dir).collect()
+    by_lang: dict[str, list[float]] = {}
+    for r in w:
+        by_lang.setdefault(r["lang"], []).append(r["log_weight"])
+    means = {k: sum(v) / len(v) for k, v in by_lang.items()}
+    tgt = sampling.DSIR_TARGET_LANG
+    assert all(means[tgt] > m for k, m in means.items() if k != tgt)
+
+    sample = sampling.dsir_resample_topk(spark, sf_dir).collect()
+    assert len(sample) == min(sampling.SAMPLE_K, len(w))
+    keys = [r["gumbel_key"] for r in sample]
+    assert keys == sorted(keys, reverse=True)
+    base_rate = len(by_lang[tgt]) / len(w)
+    sample_rate = sum(1 for r in sample if r["lang"] == tgt) / len(sample)
+    assert sample_rate > base_rate
+    # replayable: the selected ids are a pure function of the data
+    again = sampling.dsir_resample_topk(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in sample]
+
+
 def test_approx_percentiles_bounded_error(spark, sf_dir):
     from data_pipeline_for_autonomous_vehicles_spark.operators import olap
 
@@ -1725,6 +1751,39 @@ def test_incremental_ivf_update_equals_rebuild_and_is_idempotent(spark, sf_dir):
     # replay: same batch again (plus an overlap with old) is a no-op
     replay = sim.incremental_ivf_update(incr, batch.unionByName(old.limit(5)), cents)
     assert _snap(replay) == _snap(full)
+
+
+def test_contrastive_mining_consistency(spark, sf_dir):
+    """hard_negative_topk and triplet_margin_report agree: the rank-1 hard
+    negative IS the triplet's hardest negative, labels respect the
+    cross-class/same-class contracts, and margin = pos − neg at e4."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import similarity as sim
+
+    negs = sim.hard_negative_topk(spark, sf_dir).collect()
+    trip = sim.triplet_margin_report(spark, sf_dir).collect()
+
+    by_q: dict[int, list] = {}
+    for r in negs:
+        assert r["neg_label"] != r["query_label"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        cosines = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert len(rows) <= sim.TOP_K
+
+    n_anchors = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % sim.ANCHOR_MOD == 0)
+        .count()
+    )
+    assert len(trip) == n_anchors
+    for t in trip:
+        rank1 = next(r for r in by_q[t["query_id"]] if r["rank"] == 1)
+        assert t["neg_vec_id"] == rank1["vec_id"]
+        assert t["neg_cosine"] == rank1["cosine"]
+        assert abs(t["margin"] - (t["pos_cosine"] - t["neg_cosine"])) < 1e-9
+        # anchors never pick themselves
+        assert t["pos_vec_id"] != t["query_id"]
 
 
 def test_quality_classifier_decision_consistency(spark, sf_dir):
