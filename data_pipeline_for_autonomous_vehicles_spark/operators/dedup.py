@@ -1737,8 +1737,90 @@ ORDER BY doc_id
 """
 
 
+# --- cross-validation fold leakage ------------------------------------------
+
+N_FOLDS = 5
+_FOLD_SALT = "fold:"
+
+
+def cv_fold_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold contamination audit for a deterministic K-fold split:
+    fold = portable_hash(doc_id) % K, leakage = a doc whose normalized
+    fingerprint (dedup_fingerprint's token-set digest) also appears in a
+    DIFFERENT fold — i.e. training folds contain (near-)copies of the
+    held-out fold's rows, the silent eval-inflation bug. Reports per fold:
+    docs, leaked docs, distinct leaked fingerprints, leak fraction.
+
+    A random split leaks by construction whenever duplicates exist — the
+    fix is splitting by fingerprint GROUP (training_corpus_mix does) —
+    and this report is the audit that says whether you must.
+
+    Scale: fingerprints are md5 digests, so both aggregations shuffle
+    32-byte keys; the fold-spread table joins back on digest (shuffle
+    join, same key — one exchange reused). Output is K rows.
+    """
+    from ..functions.scalars import portable_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(_tokens())), " "))
+    fold = (
+        portable_hash(F.concat(F.lit(_FOLD_SALT), F.col("doc_id").cast("string")))
+        % N_FOLDS
+    )
+    keyed = docs.select(
+        "doc_id", fold.alias("fold"), fp.alias("fingerprint")
+    )
+    spread = keyed.groupBy("fingerprint").agg(
+        F.countDistinct("fold").alias("n_folds")
+    )
+    return (
+        keyed.join(spread, "fingerprint")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_folds") > 1, 1).otherwise(0)).alias("n_leaked_docs"),
+            F.countDistinct(
+                F.when(F.col("n_folds") > 1, F.col("fingerprint"))
+            ).alias("n_leaked_fingerprints"),
+        )
+        .select(
+            "fold",
+            "n_docs",
+            "n_leaked_docs",
+            "n_leaked_fingerprints",
+            round_half_up(
+                F.col("n_leaked_docs").cast("double") / F.col("n_docs").cast("double"),
+                4,
+            ).alias("leak_frac"),
+        )
+        .orderBy("fold")
+    )
+
+
+_CV_LEAK_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {sql_portable_hash(f"'{_FOLD_SALT}' || CAST(doc_id AS VARCHAR)")} % {N_FOLDS} AS fold,
+         md5(array_to_string(list_sort(list_distinct({_SQL_TOKENS})), ' ')) AS fingerprint
+  FROM documents),
+spread AS (
+  SELECT fingerprint, COUNT(DISTINCT fold) AS n_folds
+  FROM keyed GROUP BY fingerprint)
+SELECT fold,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_folds > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_docs,
+       COUNT(DISTINCT CASE WHEN n_folds > 1 THEN fingerprint END) AS n_leaked_fingerprints,
+       CAST(FLOOR(CAST(SUM(CASE WHEN n_folds > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS leak_frac
+FROM keyed JOIN spread USING (fingerprint)
+GROUP BY fold
+ORDER BY fold
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "cv_fold_leakage_report": cv_fold_leakage_report,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_token_savings": dedup_token_savings,
     "doc_ngram_novelty": doc_ngram_novelty,
@@ -1762,6 +1844,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": _DEDUP_EXACT_SQL,
+    "cv_fold_leakage_report": _CV_LEAK_SQL,
     "dedup_fingerprint": _DEDUP_FP_SQL,
     "dedup_token_savings": _DEDUP_SAVINGS_SQL,
     "doc_ngram_novelty": _NOVELTY_SQL,

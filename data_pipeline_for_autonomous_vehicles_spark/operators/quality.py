@@ -642,9 +642,96 @@ ORDER BY event_type
 """
 
 
+# --- k-anonymity -------------------------------------------------------------
+
+K_ANON_THRESHOLDS = (2, 5, 10)
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk audit over the events table: the
+    quasi-identifier tuple is (event_type, event date, value decile band
+    floor(value/10)) — the combination an adversary with side knowledge
+    could match. For each k in {2, 5, 10}: how many QI equivalence
+    classes have fewer than k rows, and how many rows sit in them (the
+    rows a release at that k-anonymity level must suppress or
+    generalize).
+
+    Scale: one hash aggregation on the QI key (map-side combined), then
+    the class-size histogram is a ≤threshold-count cross of a tiny
+    aggregate — the fact table is scanned once regardless of how many k
+    levels are reported.
+    """
+    events = load_table(spark, sf_dir, "events")
+    classes = (
+        events.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") / F.lit(10.0)).alias("value_band"),
+        )
+        .groupBy("event_type", "day", "value_band")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in K_ANON_THRESHOLDS], "k int"
+    )
+    total = classes.agg(
+        F.sum("class_size").alias("_total_rows"),
+        F.count(F.lit(1)).alias("_total_classes"),
+    )
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("class_size") < F.col("k"), 1).otherwise(0)).alias(
+                "n_classes_below"
+            ),
+            F.sum(
+                F.when(F.col("class_size") < F.col("k"), F.col("class_size")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_rows_at_risk"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "n_classes_below",
+            "n_rows_at_risk",
+            F.col("_total_classes").alias("n_classes_total"),
+            round_half_up(
+                F.col("n_rows_at_risk").cast("double")
+                / F.col("_total_rows").cast("double"),
+                4,
+            ).alias("frac_rows_at_risk"),
+        )
+        .orderBy("k")
+    )
+
+
+_K_ANON_SQL = f"""
+WITH classes AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(FLOOR(value / 10.0) AS BIGINT) AS value_band,
+         COUNT(*) AS class_size
+  FROM events GROUP BY 1, 2, 3),
+ks AS (SELECT unnest({list(K_ANON_THRESHOLDS)}) AS k),
+tot AS (SELECT SUM(class_size) AS total_rows, COUNT(*) AS total_classes FROM classes)
+SELECT CAST(k AS INTEGER) AS k,
+       CAST(SUM(CASE WHEN class_size < k THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_below,
+       CAST(SUM(CASE WHEN class_size < k THEN class_size ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       CAST(MIN(total_classes) AS BIGINT) AS n_classes_total,
+       CAST(FLOOR(CAST(SUM(CASE WHEN class_size < k THEN class_size ELSE 0 END) AS DOUBLE)
+                  / CAST(MIN(total_rows) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+         AS frac_rows_at_risk
+FROM classes CROSS JOIN ks CROSS JOIN tot
+GROUP BY k
+ORDER BY k
+"""
+
+
 QUERIES = {
     "table_profile": table_profile,
     "dq_checks": dq_checks,
+    "k_anonymity_report": k_anonymity_report,
     "benford_audit": benford_audit,
     "value_winsorized_stats": value_winsorized_stats,
     "value_mad_outliers": value_mad_outliers,
@@ -654,6 +741,7 @@ QUERIES = {
 ORACLES = {
     "table_profile": _sql_profile(),
     "dq_checks": _sql_dq(),
+    "k_anonymity_report": _K_ANON_SQL,
     "benford_audit": _sql_benford(),
     "value_winsorized_stats": _WINSOR_SQL,
     "value_mad_outliers": _MAD_SQL,

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import register_plan_cache as _register_cache
 from ..catalog import load_table
 from ..functions.scalars import portable_hash, round_half_up, sql_portable_hash
 
@@ -121,8 +122,12 @@ def _dsir_doc_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang, logw_e6): exact int64 importance score per doc."""
-    cells = _dsir_doc_cells(spark, sf_dir)
+    """(doc_id, lang, logw_e6): exact int64 importance score per doc.
+
+    The cell frame feeds two branches (bucket marginals and the per-doc
+    dot product); caching it makes the explode→hash-agg pass run once —
+    scoped release via release_plan_caches (caching.py policy)."""
+    cells = _register_cache(_dsir_doc_cells(spark, sf_dir).cache())
     buckets = cells.groupBy("bucket").agg(
         F.sum("c").alias("raw_c"),
         F.sum(

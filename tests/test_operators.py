@@ -455,6 +455,41 @@ def test_dsir_weights_favor_target_language(spark, sf_dir):
     assert [r["doc_id"] for r in again] == [r["doc_id"] for r in sample]
 
 
+def test_cv_fold_leakage_consistent_with_fingerprint_groups(spark, sf_dir):
+    """Fold totals cover the corpus; leaked docs are exactly the members
+    of multi-member fingerprint groups that straddle folds, so the leaked
+    count is bounded by the duplicate mass."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import dedup
+
+    rep = dedup.cv_fold_leakage_report(spark, sf_dir).collect()
+    assert sorted(r["fold"] for r in rep) == list(range(dedup.N_FOLDS))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rep) == n_docs
+    dup_mass = sum(
+        r["n_members"]
+        for r in dedup.dedup_fingerprint(spark, sf_dir).collect()
+        if r["n_members"] > 1
+    )
+    assert sum(r["n_leaked_docs"] for r in rep) <= dup_mass
+    for r in rep:
+        assert 0 <= r["n_leaked_docs"] <= r["n_docs"]
+        assert 0.0 <= r["leak_frac"] <= 1.0
+
+
+def test_k_anonymity_monotone_in_k(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import quality
+
+    rep = quality.k_anonymity_report(spark, sf_dir).collect()
+    assert [r["k"] for r in rep] == list(quality.K_ANON_THRESHOLDS)
+    below = [r["n_classes_below"] for r in rep]
+    at_risk = [r["n_rows_at_risk"] for r in rep]
+    assert below == sorted(below) and at_risk == sorted(at_risk)
+    assert len({r["n_classes_total"] for r in rep}) == 1
+    for r in rep:
+        assert 0.0 <= r["frac_rows_at_risk"] <= 1.0
+        assert r["n_classes_below"] <= r["n_classes_total"]
+
+
 def test_approx_percentiles_bounded_error(spark, sf_dir):
     from data_pipeline_for_autonomous_vehicles_spark.operators import olap
 
