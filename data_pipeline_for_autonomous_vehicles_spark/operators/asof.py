@@ -330,8 +330,130 @@ ORDER BY bucket
 """
 
 
+# --- multi-touch attribution -------------------------------------------------
+
+ATTR_WINDOW_DAYS = 7
+ATTR_TOUCH_TYPES = ("view", "click")
+
+
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel attributed revenue under two standard multi-touch
+    models. A conversion is a purchase event; its touches are the same
+    user's view/click events in the trailing ATTR_WINDOW_DAYS. Linear
+    splits the purchase value evenly across touches; position-based (the
+    "U-shape" model) gives 40% to the first touch, 40% to the last, and
+    splits 20% across the middle (n=1 → 100%, n=2 → 50/50).
+
+    Exactness: purchase value is scaled to int64 cents, weights to 1e-6
+    fixed point via integer division, so every attributed amount and
+    channel sum is exact integer arithmetic — order-independent.
+
+    Scale: one shuffle on user_id for the touch join (the sessionization
+    key — co-partitioned with user_sessions et al. under bucketing), one
+    window shuffle on conversion id (≤ touches rows), then a 2-key
+    channel rollup. A touch may legitimately fund multiple conversions
+    inside the window; output is |channels| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("value_e2"),
+    )
+    touch = ev.filter(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    pairs = conv.join(touch, "user_id").filter(
+        (F.col("touch_ts") <= F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            > F.col("conv_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+        )
+    )
+    w = Window.partitionBy("conv_id")
+    wo = w.orderBy(F.asc("touch_ts"), F.asc("touch_id"))
+    ranked = pairs.select(
+        "conv_id",
+        "channel",
+        "value_e2",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.row_number().over(wo).alias("rnk"),
+    )
+    lin_e6 = F.expr("1000000 DIV n")
+    pos_e6 = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when((F.col("rnk") == 1) | (F.col("rnk") == F.col("n")), F.lit(400000))
+        .otherwise(F.expr("200000 DIV (n - 2)"))
+    )
+    return (
+        ranked.select(
+            "channel",
+            "conv_id",
+            (F.col("value_e2") * lin_e6).alias("lin_e8"),
+            (F.col("value_e2") * pos_e6).alias("pos_e8"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("conv_id").alias("n_conversions"),
+            F.sum("lin_e8").alias("_lin"),
+            F.sum("pos_e8").alias("_pos"),
+        )
+        .select(
+            "channel",
+            "n_touches",
+            "n_conversions",
+            (F.col("_lin").cast("double") / F.lit(1e8)).alias("linear_value"),
+            (F.col("_pos").cast("double") / F.lit(1e8)).alias("positional_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+_ATTR_SQL = f"""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS value_e2
+  FROM events WHERE event_type = 'purchase'),
+touch AS (
+  SELECT event_id AS touch_id, user_id, ts AS touch_ts, event_type AS channel
+  FROM events WHERE event_type IN {ATTR_TOUCH_TYPES!r}),
+pairs AS (
+  SELECT c.conv_id, t.channel, c.value_e2, t.touch_ts, t.touch_id
+  FROM conv c JOIN touch t ON t.user_id = c.user_id
+   AND t.touch_ts <= c.conv_ts
+   AND t.touch_ts > c.conv_ts - INTERVAL {ATTR_WINDOW_DAYS} DAYS),
+ranked AS (
+  SELECT conv_id, channel, value_e2,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY touch_ts ASC, touch_id ASC) AS rnk
+  FROM pairs)
+SELECT channel,
+       COUNT(*) AS n_touches,
+       COUNT(DISTINCT conv_id) AS n_conversions,
+       CAST(SUM(value_e2 * (1000000 // n)) AS DOUBLE) / 100000000.0 AS linear_value,
+       CAST(SUM(value_e2 * (CASE WHEN n = 1 THEN 1000000
+                                 WHEN n = 2 THEN 500000
+                                 WHEN rnk = 1 OR rnk = n THEN 400000
+                                 ELSE 200000 // (n - 2) END)) AS DOUBLE)
+         / 100000000.0 AS positional_value
+FROM ranked
+GROUP BY channel
+ORDER BY channel
+"""
+
+
 QUERIES = {
     "view_to_purchase_latency": view_to_purchase_latency,
+    "multi_touch_attribution": multi_touch_attribution,
     "purchases_with_last_view": purchases_with_last_view,
     "telemetry_at_event": telemetry_at_event,
     "view_to_purchase_funnel": view_to_purchase_funnel,
@@ -339,6 +461,7 @@ QUERIES = {
 
 ORACLES = {
     "view_to_purchase_latency": _LATENCY_SQL,
+    "multi_touch_attribution": _ATTR_SQL,
     "purchases_with_last_view": _ASOF_SQL,
     "telemetry_at_event": _TELEMETRY_AT_EVENT_SQL,
     "view_to_purchase_funnel": _FUNNEL_SQL,

@@ -1201,8 +1201,151 @@ ORDER BY month
 """
 
 
+# --- Kaplan–Meier cohort survival --------------------------------------------
+
+KM_VALUE_THRESHOLD = 80.0  # a "premium" purchase = the event under study
+
+
+def cohort_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-conversion curve per weekly signup cohort:
+    the event under study is the user's first premium purchase (value >
+    KM_VALUE_THRESHOLD); users who never convert are right-censored at
+    their last observed day. KM handles that censoring correctly, which
+    the naive "% converted by day N" number cannot (it counts users who
+    simply haven't had a chance to convert yet as non-converters).
+
+    Per user: duration = days from first event to conversion (or to last
+    activity if censored). Per (cohort, duration): deaths d_t, censored
+    c_t, at-risk n_t = cohort size minus everyone who left earlier;
+    S(t) = Π_{s≤t} (1 − d_s/n_s), with the standard same-time convention
+    (censored-at-t still count in n_t).
+
+    Exactness: each factor's ln is rounded to 1e-9 fixed point and summed
+    as int64 (order-independent); S = exp(cum/1e9) rounded to 1e-6. A
+    cohort absorbed at t (d_t = n_t) gets survival exactly 0 from the
+    flag, never ln(0).
+
+    Scale: the fact table collapses to one row per user in the first
+    aggregation; every window is partitioned by cohort over per-day cells
+    (≤ calendar-days rows per cohort). Nothing global, nothing driver-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hit_day = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") > KM_VALUE_THRESHOLD),
+            F.to_date("ts"),
+        )
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+        hit_day.alias("hit_day"),
+    )
+    tagged = per_user.select(
+        F.to_date(F.date_trunc("week", F.col("first_day"))).alias("cohort_week"),
+        F.datediff(
+            F.coalesce(F.col("hit_day"), F.col("last_day")), F.col("first_day")
+        )
+        .cast("long")
+        .alias("duration"),
+        F.when(F.col("hit_day").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    cells = tagged.groupBy("cohort_week", "duration").agg(
+        F.sum("observed").alias("d"),
+        F.sum(F.lit(1) - F.col("observed")).alias("c"),
+    )
+    per_cohort = Window.partitionBy("cohort_week")
+    ordered = per_cohort.orderBy("duration")
+    upto = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prior = ordered.rowsBetween(Window.unboundedPreceding, -1)
+    n_at_risk = (
+        F.sum(F.col("d") + F.col("c")).over(per_cohort)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(prior), F.lit(0))
+    )
+    with_risk = cells.withColumn("n_at_risk", n_at_risk)
+    term_e9 = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        F.floor(
+            F.log(
+                (F.col("n_at_risk") - F.col("d")).cast("double")
+                / F.col("n_at_risk").cast("double")
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    absorbed = F.max(
+        F.when(F.col("d") >= F.col("n_at_risk"), 1).otherwise(0)
+    ).over(upto)
+    cum_e9 = F.sum(term_e9).over(upto)
+    survival = F.when(absorbed == 1, F.lit(0.0)).otherwise(
+        round_half_up(F.exp(cum_e9.cast("double") / F.lit(1e9)), 6)
+    )
+    return (
+        with_risk.select(
+            "cohort_week",
+            "duration",
+            "n_at_risk",
+            F.col("d").alias("n_deaths"),
+            F.col("c").alias("n_censored"),
+            survival.alias("survival"),
+        )
+        .orderBy("cohort_week", "duration")
+    )
+
+
+_KM_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day,
+         MAX(CAST(ts AS DATE)) AS last_day,
+         MIN(CASE WHEN event_type = 'purchase' AND value > {KM_VALUE_THRESHOLD}
+                  THEN CAST(ts AS DATE) END) AS hit_day
+  FROM events GROUP BY user_id),
+tagged AS (
+  SELECT CAST(date_trunc('week', first_day) AS DATE) AS cohort_week,
+         date_diff('day', first_day, COALESCE(hit_day, last_day)) AS duration,
+         CASE WHEN hit_day IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM per_user),
+cells AS (
+  SELECT cohort_week, duration,
+         SUM(observed) AS d, SUM(1 - observed) AS c
+  FROM tagged GROUP BY 1, 2),
+risk AS (
+  SELECT cohort_week, duration, d, c,
+         SUM(d + c) OVER (PARTITION BY cohort_week)
+         - COALESCE(SUM(d + c) OVER (PARTITION BY cohort_week ORDER BY duration
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_at_risk
+  FROM cells),
+terms AS (
+  SELECT cohort_week, duration, d, c, n_at_risk,
+         CASE WHEN d < n_at_risk
+              THEN CAST(FLOOR(ln(CAST(n_at_risk - d AS DOUBLE)
+                                 / CAST(n_at_risk AS DOUBLE)) * 1000000000.0 + 0.5)
+                        AS BIGINT)
+              ELSE 0 END AS term_e9,
+         CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS dead
+  FROM risk)
+SELECT cohort_week, CAST(duration AS BIGINT) AS duration,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_deaths, CAST(c AS BIGINT) AS n_censored,
+       CASE WHEN MAX(dead) OVER (PARTITION BY cohort_week ORDER BY duration
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+            THEN 0.0
+            ELSE {sql_round_half_up(
+                "exp(CAST(SUM(term_e9) OVER (PARTITION BY cohort_week ORDER BY duration "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000000.0)",
+                6,
+            )} END AS survival
+FROM terms
+ORDER BY cohort_week, duration
+"""
+
+
 QUERIES = {
     "daily_peak_concurrency": daily_peak_concurrency,
+    "cohort_survival_km": cohort_survival_km,
     "monthly_order_spine": monthly_order_spine,
     "orders_monthly_yoy": orders_monthly_yoy,
     "weekly_growth_accounting": weekly_growth_accounting,
@@ -1224,6 +1367,7 @@ QUERIES = {
 
 ORACLES = {
     "daily_peak_concurrency": _PEAK_CONC_SQL,
+    "cohort_survival_km": _KM_SQL,
     "monthly_order_spine": _MONTH_SPINE_SQL,
     "orders_monthly_yoy": _YOY_SQL,
     "weekly_growth_accounting": _GROWTH_SQL,

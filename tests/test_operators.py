@@ -490,6 +490,65 @@ def test_k_anonymity_monotone_in_k(spark, sf_dir):
         assert r["n_classes_below"] <= r["n_classes_total"]
 
 
+def test_cohort_survival_km_invariants(spark, sf_dir):
+    """KM bookkeeping: the risk set shrinks by exactly the deaths+censored
+    of the prior row, survival is non-increasing within a cohort, and the
+    per-user tally covers every user once."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import timeseries as ts
+
+    rows = ts.cohort_survival_km(spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    for curve in by_cohort.values():
+        curve.sort(key=lambda r: r["duration"])
+        for prev, cur in zip(curve, curve[1:]):
+            assert (
+                cur["n_at_risk"]
+                == prev["n_at_risk"] - prev["n_deaths"] - prev["n_censored"]
+            )
+            assert cur["survival"] <= prev["survival"] + 1e-9
+        assert all(0.0 <= r["survival"] <= 1.0 for r in curve)
+        assert all(r["n_deaths"] + r["n_censored"] >= 1 for r in curve)
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["n_deaths"] + r["n_censored"] for r in rows) == n_users
+
+
+def test_multi_touch_attribution_conserves_value(spark, sf_dir):
+    """Both models distribute (almost) exactly the touched conversions'
+    total value — the integer-division remainder is the only loss — and
+    channels stay within the configured touch types."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import asof
+
+    out = asof.multi_touch_attribution(spark, sf_dir).collect()
+    assert {r["channel"] for r in out} <= set(asof.ATTR_TOUCH_TYPES)
+    lin = sum(r["linear_value"] for r in out)
+    pos = sum(r["positional_value"] for r in out)
+    # ground truth: total value of purchases that have >= 1 touch in window
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("cts"), "value"
+    )
+    touch = ev.filter(F.col("event_type").isin(*asof.ATTR_TOUCH_TYPES)).select(
+        "user_id", F.col("ts").alias("tts")
+    )
+    touched = (
+        conv.join(touch, "user_id")
+        .filter(
+            (F.col("tts") <= F.col("cts"))
+            & (F.col("tts") > F.col("cts") - F.expr(f"INTERVAL {asof.ATTR_WINDOW_DAYS} DAYS"))
+        )
+        .select("cid", "value")
+        .distinct()
+    )
+    truth = sum(r["value"] for r in touched.collect())
+    assert abs(lin - truth) / truth < 0.001
+    assert abs(pos - truth) / truth < 0.001
+
+
 def test_approx_percentiles_bounded_error(spark, sf_dir):
     from data_pipeline_for_autonomous_vehicles_spark.operators import olap
 
