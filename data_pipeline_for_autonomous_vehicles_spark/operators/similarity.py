@@ -2119,8 +2119,102 @@ ORDER BY p.query_id
 """
 
 
+# --- active learning: uncertainty (margin) sampling --------------------------
+
+UNCERTAIN_K = 20
+
+
+def uncertainty_sampling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based uncertainty sampling over the k-means geometry: per
+    vector, the gap between its nearest and second-nearest centroid
+    distance — the smallest margins are the most cluster-ambiguous points,
+    the ones an active-learning loop sends for labeling first. Returns the
+    UNCERTAIN_K most ambiguous vectors.
+
+    Same fixed-point integer Lloyd's as kmeans_cluster_stats (two rounds,
+    first-K seed), so the margin is an exact int64 difference. Selection
+    orders on the raw integer margin (ties → vec_id), so the pick is
+    deterministic even where the e6-rounded display value ties.
+
+    Scale: assignment is the broadcast-codebook argmin — taking the top-2
+    instead of the min is the same one-row array expression — and the
+    selection is TakeOrderedAndProject. One corpus scan per Lloyd round +
+    one for the margin; nothing shuffles but k·dim cells.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _scaled_vec(F.col("embedding")).alias("sx"))
+    cents = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("sx").alias("c")
+    )
+    for _ in range(2):
+        cents = _km_update(_km_assign(vecs, cents))
+    cb = cents.agg(F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("_cb"))
+    ranked = F.array_sort(
+        F.transform(
+            F.col("_cb"),
+            lambda e: F.struct(
+                _sq_dist(F.col("sx"), e["c"]).alias("sqdist"), e["cid"].alias("cid")
+            ),
+        )
+    )
+    two = vecs.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        ranked[0]["cid"].alias("best_cid"),
+        ranked[0]["sqdist"].alias("_d1"),
+        ranked[1]["cid"].alias("second_cid"),
+        ranked[1]["sqdist"].alias("_d2"),
+    )
+    return (
+        two.select(
+            "vec_id",
+            "best_cid",
+            "second_cid",
+            (F.col("_d2") - F.col("_d1")).alias("_margin_raw"),
+            round_half_up(
+                (F.col("_d2") - F.col("_d1")).cast("double")
+                / F.lit(_KM_SCALE * _KM_SCALE),
+                6,
+            ).alias("margin"),
+        )
+        .orderBy(F.asc("_margin_raw"), F.asc("vec_id"))
+        .limit(UNCERTAIN_K)
+        .drop("_margin_raw")
+    )
+
+
+def _sql_uncertainty() -> str:
+    dist = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_zip(v.sx, c.c), x -> (x[1] - x[2]) * (x[1] - x[2]))), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"""
+WITH {_sql_km_chain()},
+two AS (
+  SELECT vec_id, cid, sqdist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sqdist, cid) AS rn
+  FROM (SELECT v.vec_id, c.cid, {dist} AS sqdist
+        FROM vecs v CROSS JOIN c2 c) t
+  QUALIFY rn <= 2),
+wide AS (
+  SELECT vec_id,
+         MAX(CASE WHEN rn = 1 THEN cid END) AS best_cid,
+         MAX(CASE WHEN rn = 2 THEN cid END) AS second_cid,
+         MAX(CASE WHEN rn = 2 THEN sqdist END)
+           - MAX(CASE WHEN rn = 1 THEN sqdist END) AS margin_raw
+  FROM two GROUP BY vec_id)
+SELECT vec_id, best_cid, second_cid,
+       {sql_round_half_up(f"CAST(margin_raw AS DOUBLE) / {_KM_SCALE * _KM_SCALE}", 6)}
+         AS margin
+FROM wide
+ORDER BY margin_raw ASC, vec_id ASC
+LIMIT {UNCERTAIN_K}
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "uncertainty_sampling_topk": uncertainty_sampling_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_recall_audit": ann_recall_audit,
@@ -2143,6 +2237,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_bruteforce_topk": _ANN_BF_SQL,
+    "uncertainty_sampling_topk": _sql_uncertainty(),
     "ann_lsh_topk": _ANN_LSH_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
     "ann_recall_audit": _sql_ann_recall(),

@@ -1880,6 +1880,29 @@ def test_contrastive_mining_consistency(spark, sf_dir):
         assert t["pos_vec_id"] != t["query_id"]
 
 
+def test_uncertainty_sampling_margins_are_true_top2_gaps(spark, sf_dir):
+    """The selected vectors carry the smallest best-vs-second centroid
+    gaps, the two centroids differ, and margins are non-negative and
+    sorted ascending."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import similarity as sim
+
+    out = sim.uncertainty_sampling_topk(spark, sf_dir).collect()
+    assert len(out) == sim.UNCERTAIN_K
+    margins = [r["margin"] for r in out]
+    assert margins == sorted(margins)
+    for r in out:
+        assert r["margin"] >= 0.0
+        assert r["best_cid"] != r["second_cid"]
+    # cross-check one selected vector against the shared final assignment:
+    # its best centroid must equal the k-means assignment's winner
+    final = {
+        r["vec_id"]: r["cid"]
+        for r in sim._km_final_assignment(spark, sf_dir).collect()
+    }
+    for r in out:
+        assert final[r["vec_id"]] == r["best_cid"]
+
+
 def test_quality_classifier_decision_consistency(spark, sf_dir):
     """clf_score is the normalized integer margin: keep_flag must agree
     with the sign of weight_sum, scores stay in [0,1], and every document
