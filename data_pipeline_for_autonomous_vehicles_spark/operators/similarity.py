@@ -2212,9 +2212,185 @@ LIMIT {UNCERTAIN_K}
 """
 
 
+# --- MMR diversified retrieval ------------------------------------------------
+
+MMR_CANDIDATES = 20
+MMR_K = 5  # λ = 0.5: rank on sim(q,d) − max sim(d, selected), ×2 implied
+
+
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    from each query's top-MMR_CANDIDATES cosine candidates, greedily pick
+    MMR_K results maximizing λ·sim(query, d) − (1−λ)·max sim(d, already
+    picked) with λ = 0.5 — the standard redundancy-pruning re-rank that
+    keeps a near-duplicate of an already-returned hit from wasting a
+    result slot.
+
+    Exactness: similarities are e4 fixed-point int64, and at λ = 0.5 the
+    MMR objective is order-equivalent to the integer sq_e4 − max_sel_e4,
+    so every greedy pick is exact integer argmax (ties → lower vec_id).
+
+    Scale: candidate generation is the ANN shape (broadcast queries, one
+    corpus scan, per-query top-C); everything after operates on
+    |queries|·C rows — the candidate and pairwise frames are cached
+    (scoped, see caching.py) and each of the K−1 greedy steps is a join +
+    argmax over those tiny frames, independent of corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    sq_e4 = (
+        F.floor(_cosine(F.col("qemb"), F.col("emb")) * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("sq_e4")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sq_e4, "emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sq_e4"), F.asc("vec_id"))
+    cand = _register_cache(
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_CANDIDATES)
+        .drop("rn")
+        .cache()
+    )
+    a = cand.select("query_id", F.col("vec_id").alias("va"), F.col("emb").alias("ea"))
+    b = cand.select("query_id", F.col("vec_id").alias("vb"), F.col("emb").alias("eb"))
+    s_e4 = (
+        F.floor(_cosine(F.col("ea"), F.col("eb")) * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("s_e4")
+    )
+    pair = _register_cache(
+        a.join(b, "query_id").filter(F.col("va") != F.col("vb"))
+        .select("query_id", "va", "vb", s_e4)
+        .cache()
+    )
+    # step 1: pure relevance argmax
+    p1 = cand.groupBy("query_id").agg(
+        F.min(F.struct((-F.col("sq_e4")).alias("ns"), F.col("vec_id"))).alias("p")
+    )
+    sel = p1.select(
+        "query_id",
+        F.col("p.vec_id").alias("vec_id"),
+        (-F.col("p.ns")).alias("sq_e4"),
+        F.lit(0).cast("long").alias("msel_e4"),
+        F.lit(1).alias("rank"),
+    )
+    for k in range(2, MMR_K + 1):
+        chosen = sel.select("query_id", "vec_id")
+        msel = (
+            pair.join(
+                chosen.select("query_id", F.col("vec_id").alias("vb")),
+                ["query_id", "vb"],
+            )
+            .groupBy("query_id", "va")
+            .agg(F.max("s_e4").alias("msel_e4"))
+        )
+        msel = msel.select(
+            F.col("query_id").alias("_mq"), "va", "msel_e4"
+        )
+        pick = (
+            cand.join(chosen, ["query_id", "vec_id"], "left_anti")
+            .join(
+                msel,
+                (F.col("query_id") == F.col("_mq")) & (F.col("vec_id") == F.col("va")),
+            )
+            .groupBy("query_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (F.col("msel_e4") - F.col("sq_e4")).alias("nscore"),
+                        F.col("vec_id"),
+                        F.col("sq_e4"),
+                        F.col("msel_e4"),
+                    )
+                ).alias("p")
+            )
+            .select(
+                "query_id",
+                F.col("p.vec_id").alias("vec_id"),
+                F.col("p.sq_e4").alias("sq_e4"),
+                F.col("p.msel_e4").alias("msel_e4"),
+                F.lit(k).alias("rank"),
+            )
+        )
+        # truncate lineage each round (the graph.py per-round pattern):
+        # sel is referenced twice per step, so without this the plan tree
+        # doubles per iteration — ≤ |queries|·K rows, trivially small
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select(
+        "query_id",
+        "rank",
+        "vec_id",
+        (F.col("sq_e4").cast("double") / F.lit(10000.0)).alias("relevance"),
+        (F.col("msel_e4").cast("double") / F.lit(10000.0)).alias("max_sim_selected"),
+    ).orderBy("query_id", "rank")
+
+
+def _sql_mmr() -> str:
+    cos_qa = (
+        f"CAST(FLOOR(({_SQL_DOT_AB} / ({_sql_norm('a')} * {_sql_norm('b')}))"
+        " * 10000.0 + 0.5) AS BIGINT)"
+    )
+    steps = []
+    prev = "s1"
+    for k in range(2, MMR_K + 1):
+        steps.append(f"""
+s{k} AS (
+  SELECT query_id, vec_id, sq_e4, msel_e4, {k} AS rank FROM (
+    SELECT c.query_id, c.vec_id, c.sq_e4, m.msel_e4,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+                              ORDER BY m.msel_e4 - c.sq_e4 ASC, c.vec_id ASC) AS rn
+    FROM cand c
+    JOIN (SELECT p.query_id, p.va, MAX(p.s_e4) AS msel_e4
+          FROM pair p JOIN {prev} s ON s.query_id = p.query_id AND s.vec_id = p.vb
+          GROUP BY 1, 2) m
+      ON m.query_id = c.query_id AND m.va = c.vec_id
+    WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                      WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id)) t
+  WHERE rn = 1),
+sel{k} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM s{k})""")
+        prev = f"sel{k}"
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cand AS MATERIALIZED (
+  SELECT query_id, vec_id, sq_e4, emb FROM (
+    SELECT b.vec_id AS query_id, a.vec_id AS vec_id, {cos_qa} AS sq_e4,
+           a.emb AS emb,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY {cos_qa} DESC, a.vec_id ASC) AS rn
+    FROM emb a JOIN emb b ON b.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id) t
+  WHERE rn <= {MMR_CANDIDATES}),
+pair AS MATERIALIZED (
+  SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+         CAST(FLOOR(({_sql_fold_sum("list_transform(list_zip(a.emb, b.emb), x -> x[1] * x[2])")}
+              / ({_sql_norm('a')} * {_sql_norm('b')})) * 10000.0 + 0.5) AS BIGINT) AS s_e4
+  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+s1 AS (
+  SELECT query_id, vec_id, sq_e4, CAST(0 AS BIGINT) AS msel_e4, 1 AS rank FROM (
+    SELECT query_id, vec_id, sq_e4,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sq_e4 DESC, vec_id ASC) AS rn
+    FROM cand) t
+  WHERE rn = 1),{",".join(steps)}
+SELECT query_id, rank, vec_id,
+       CAST(sq_e4 AS DOUBLE) / 10000.0 AS relevance,
+       CAST(msel_e4 AS DOUBLE) / 10000.0 AS max_sim_selected
+FROM sel{MMR_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "uncertainty_sampling_topk": uncertainty_sampling_topk,
+    "mmr_diversified_topk": mmr_diversified_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_recall_audit": ann_recall_audit,
@@ -2238,6 +2414,7 @@ QUERIES = {
 ORACLES = {
     "ann_bruteforce_topk": _ANN_BF_SQL,
     "uncertainty_sampling_topk": _sql_uncertainty(),
+    "mmr_diversified_topk": _sql_mmr(),
     "ann_lsh_topk": _ANN_LSH_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
     "ann_recall_audit": _sql_ann_recall(),

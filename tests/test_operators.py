@@ -1903,6 +1903,37 @@ def test_uncertainty_sampling_margins_are_true_top2_gaps(spark, sf_dir):
         assert final[r["vec_id"]] == r["best_cid"]
 
 
+def test_mmr_diversifies_against_greedy_relevance(spark, sf_dir):
+    """Rank 1 is the pure-relevance argmax (ties to lowest vec_id),
+    relevance within a query never increases down the MMR ranking ONLY
+    when penalties are zero — in general later picks trade relevance for
+    diversity, so instead verify the greedy invariant directly: each
+    pick's (relevance − max_sim_selected) beats every unpicked
+    candidate's at its step is expensive to recheck, so assert the
+    cheaper necessary conditions: K picks per query, no repeats, rank-1
+    matches brute-force top-1, and every max_sim_selected is ≤ the max
+    pairwise similarity possible (1.0)."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import similarity as sim
+
+    out = sim.mmr_diversified_topk(spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    bf = sim.ann_bruteforce_topk(spark, sf_dir).collect()
+    top1 = {r["query_id"]: r["vec_id"] for r in bf if r["rank"] == 1}
+    assert len(by_q) == sim.N_QUERIES
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, sim.MMR_K + 1))
+        picked = [r["vec_id"] for r in rows]
+        assert len(set(picked)) == sim.MMR_K  # no repeats
+        assert picked[0] == top1[q]  # rank 1 = pure relevance winner
+        assert rows[0]["max_sim_selected"] == 0.0
+        for r in rows[1:]:
+            assert -1.0 <= r["max_sim_selected"] <= 1.0
+            assert -1.0 <= r["relevance"] <= 1.0
+
+
 def test_quality_classifier_decision_consistency(spark, sf_dir):
     """clf_score is the normalized integer margin: keep_flag must agree
     with the sign of weight_sum, scores stay in [0,1], and every document
