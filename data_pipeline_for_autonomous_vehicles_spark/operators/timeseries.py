@@ -1343,9 +1343,112 @@ ORDER BY cohort_week, duration
 """
 
 
+# --- forecast backtest --------------------------------------------------------
+
+BACKTEST_DAYS = 7  # held-out evaluation window (the trailing week)
+
+
+def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: per event type, each held-out
+    day's count is predicted by the mean count of the SAME ISO weekday in
+    the training window (everything before the trailing BACKTEST_DAYS),
+    and the report is MAPE and WAPE per event type over the held-out week
+    — the sanity baseline every fancier forecaster must beat, and the
+    drift alarm when yesterday's model stops fitting.
+
+    Exactness: prediction = train_sum/train_n stays a rational; each
+    absolute percentage error is the integer |a·n − s| · 1e6 DIV (a·n)
+    and WAPE numerators |a·n − s| · 1e6 DIV n, so both metrics are exact
+    integer arithmetic until the final display division. Zero-actual days
+    are excluded from MAPE (the standard convention) and counted.
+
+    Scale: the fact table collapses to (type, day) cells in one map-side
+    combined pass; everything after runs on ≤ |types|·days rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            (F.expr("weekday(ts)") + F.lit(1)).cast("long").alias("dow_iso"),
+        )
+        .groupBy("event_type", "day", "dow_iso")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    horizon = daily.agg(F.max("day").alias("hmax"))
+    tagged = daily.crossJoin(F.broadcast(horizon)).withColumn(
+        "is_test", (F.datediff(F.col("hmax"), F.col("day")) < BACKTEST_DAYS)
+    )
+    train = (
+        tagged.filter(~F.col("is_test"))
+        .groupBy("event_type", "dow_iso")
+        .agg(F.sum("n").alias("s"), F.count(F.lit(1)).alias("cnt"))
+    )
+    test = tagged.filter(F.col("is_test")).join(
+        F.broadcast(train), ["event_type", "dow_iso"]
+    )
+    err = F.abs(F.col("n") * F.col("cnt") - F.col("s"))
+    ape_e6 = F.expr("(err * 1000000) DIV (n * cnt)")
+    abs_e6 = F.expr("(err * 1000000) DIV cnt")
+    scored = test.withColumn("err", err).select(
+        "event_type",
+        "n",
+        F.when(F.col("n") > 0, ape_e6).alias("ape_e6"),
+        abs_e6.alias("abs_e6"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_days"),
+            F.sum(F.when(F.col("n") == 0, 1).otherwise(0)).alias("n_zero_days"),
+            F.expr("SUM(ape_e6) DIV COUNT(ape_e6)").alias("_mape_e6"),
+            F.expr("SUM(abs_e6) DIV SUM(n)").alias("_wape_e6"),
+        )
+        .select(
+            "event_type",
+            "n_test_days",
+            "n_zero_days",
+            (F.col("_mape_e6").cast("double") / F.lit(1e6)).alias("mape"),
+            (F.col("_wape_e6").cast("double") / F.lit(1e6)).alias("wape"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_BACKTEST_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, isodow(ts) AS dow_iso,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3),
+horizon AS (SELECT MAX(day) AS hmax FROM daily),
+tagged AS (
+  SELECT d.*, date_diff('day', day, hmax) < {BACKTEST_DAYS} AS is_test
+  FROM daily d CROSS JOIN horizon),
+train AS (
+  SELECT event_type, dow_iso, SUM(n) AS s, COUNT(*) AS cnt
+  FROM tagged WHERE NOT is_test GROUP BY 1, 2),
+scored AS (
+  SELECT t.event_type, t.n,
+         CASE WHEN t.n > 0
+              THEN (abs(t.n * tr.cnt - tr.s) * 1000000) // (t.n * tr.cnt) END AS ape_e6,
+         (abs(t.n * tr.cnt - tr.s) * 1000000) // tr.cnt AS abs_e6
+  FROM tagged t JOIN train tr USING (event_type, dow_iso)
+  WHERE t.is_test)
+SELECT event_type,
+       COUNT(*) AS n_test_days,
+       CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_days,
+       CAST((SUM(ape_e6) // COUNT(ape_e6)) AS DOUBLE) / 1000000.0 AS mape,
+       CAST((SUM(abs_e6) // SUM(n)) AS DOUBLE) / 1000000.0 AS wape
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "daily_peak_concurrency": daily_peak_concurrency,
     "cohort_survival_km": cohort_survival_km,
+    "forecast_backtest_mape": forecast_backtest_mape,
     "monthly_order_spine": monthly_order_spine,
     "orders_monthly_yoy": orders_monthly_yoy,
     "weekly_growth_accounting": weekly_growth_accounting,
@@ -1368,6 +1471,7 @@ QUERIES = {
 ORACLES = {
     "daily_peak_concurrency": _PEAK_CONC_SQL,
     "cohort_survival_km": _KM_SQL,
+    "forecast_backtest_mape": _BACKTEST_SQL,
     "monthly_order_spine": _MONTH_SPINE_SQL,
     "orders_monthly_yoy": _YOY_SQL,
     "weekly_growth_accounting": _GROWTH_SQL,

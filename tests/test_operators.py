@@ -549,6 +549,23 @@ def test_multi_touch_attribution_conserves_value(spark, sf_dir):
     assert abs(pos - truth) / truth < 0.001
 
 
+def test_forecast_backtest_covers_holdout_week(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators import timeseries as ts
+
+    out = ts.forecast_backtest_mape(spark, sf_dir).collect()
+    types = {
+        r["event_type"]
+        for r in load_table(spark, sf_dir, "events").select("event_type").distinct().collect()
+    }
+    assert {r["event_type"] for r in out} == types
+    for r in out:
+        assert 1 <= r["n_test_days"] <= ts.BACKTEST_DAYS
+        assert 0 <= r["n_zero_days"] <= r["n_test_days"]
+        assert r["mape"] >= 0.0 and r["wape"] >= 0.0
+        # WAPE is a volume-weighted MAPE: both zero together
+        assert (r["mape"] == 0.0) == (r["wape"] == 0.0)
+
+
 def test_approx_percentiles_bounded_error(spark, sf_dir):
     from data_pipeline_for_autonomous_vehicles_spark.operators import olap
 
