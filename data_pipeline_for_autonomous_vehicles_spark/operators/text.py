@@ -1094,8 +1094,125 @@ ORDER BY shard
 """
 
 
+# --- Zipf rank-frequency fit ---------------------------------------------------
+
+ZIPF_TOP = 1000
+
+
+def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution: least-squares
+    slope of ln(frequency) on ln(rank) across the top-ZIPF_TOP tokens —
+    natural text sits near slope −1; a much flatter or steeper slope
+    flags template/boilerplate or truncated corpora. One row: corpus
+    token mass, vocabulary size, fitted slope and intercept.
+
+    Exactness: ln(rank) and ln(freq) are e6 fixed-point int64 per token,
+    so all five regression sums are exact integers; the closed-form
+    slope/intercept then divide identical doubles in both engines.
+    Rank ties break on the token string, so the kept set and ranks are
+    deterministic.
+
+    Scale: one explode → token hash-agg (the tfidf shuffle), a top-K
+    TakeOrderedAndProject, and a 1-row reduction over K cells.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    totals = freqs.agg(
+        F.sum("freq").alias("n_token_mass"), F.count(F.lit(1)).alias("vocab_size")
+    )
+    # rank WITHOUT a global window (the registry-wide plan pin): the kept
+    # frame is ≤ ZIPF_TOP rows, so rank = 1 + count-of-better via a
+    # broadcast self-comparison over K² bounded cells (theilsen's
+    # cells-first O(K²) argument; K is a constant, not data-sized)
+    kept = freqs.orderBy(F.desc("freq"), F.asc("token")).limit(ZIPF_TOP)
+    other = kept.select(F.col("freq").alias("f2"), F.col("token").alias("k2"))
+    better = (F.col("f2") > F.col("freq")) | (
+        (F.col("f2") == F.col("freq")) & (F.col("k2") < F.col("token"))
+    )
+    top = (
+        kept.crossJoin(F.broadcast(other))
+        .groupBy("token", "freq")
+        .agg((F.sum(F.when(better, 1).otherwise(0)) + F.lit(1)).alias("rank"))
+    )
+    x = F.floor(F.log(F.col("rank").cast("double")) * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    y = F.floor(F.log(F.col("freq").cast("double")) * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    cells = top.select(
+        x.alias("x"), y.alias("y"), (x * y).alias("xy"), (x * x).alias("xx")
+    )
+    sums = cells.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+    )
+    kd = F.col("k").cast("double")
+    sxd = F.col("sx").cast("double") / F.lit(1e6)
+    syd = F.col("sy").cast("double") / F.lit(1e6)
+    sxyd = F.col("sxy").cast("double") / F.lit(1e12)
+    sxxd = F.col("sxx").cast("double") / F.lit(1e12)
+    slope = (kd * sxyd - sxd * syd) / (kd * sxxd - sxd * sxd)
+    return (
+        sums.crossJoin(F.broadcast(totals))
+        .select(
+            "n_token_mass",
+            "vocab_size",
+            F.col("k").alias("n_fit_tokens"),
+            round_half_up(slope, 6).alias("slope"),
+            round_half_up((syd - slope * sxd) / kd, 6).alias("intercept"),
+        )
+    )
+
+
+_ZIPF_SQL = f"""
+WITH freqs AS (
+  SELECT token, COUNT(*) AS freq FROM (
+    SELECT unnest({_SQL_TOKENS}) AS token
+    FROM documents WHERE trim(text) <> '') t
+  GROUP BY token),
+totals AS (SELECT SUM(freq) AS n_token_mass, COUNT(*) AS vocab_size FROM freqs),
+top AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rank
+  FROM freqs ORDER BY freq DESC, token ASC LIMIT {ZIPF_TOP}),
+cells AS (
+  SELECT CAST(FLOOR(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(ln(CAST(freq AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+  FROM top),
+sums AS (
+  SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM cells)
+SELECT CAST(n_token_mass AS BIGINT) AS n_token_mass,
+       CAST(vocab_size AS BIGINT) AS vocab_size,
+       CAST(k AS BIGINT) AS n_fit_tokens,
+       {sql_round_half_up(
+           "(CAST(k AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)"
+           " - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))"
+           " / (CAST(k AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)"
+           " - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))", 6)} AS slope,
+       {sql_round_half_up(
+           "((CAST(sy AS DOUBLE) / 1e6)"
+           " - ((CAST(k AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)"
+           "     - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))"
+           "    / (CAST(k AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)"
+           "       - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6)))"
+           " * (CAST(sx AS DOUBLE) / 1e6)) / CAST(k AS DOUBLE)", 6)} AS intercept
+FROM sums CROSS JOIN totals
+"""
+
+
 QUERIES = {
     "token_counts": token_counts,
+    "zipf_fit_report": zipf_fit_report,
     "bpe_token_estimate": bpe_token_estimate,
     "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
     "bpe_merge_candidates": bpe_merge_candidates,
@@ -1119,6 +1236,7 @@ QUERIES = {
 
 ORACLES = {
     "token_counts": _TOKEN_COUNTS_SQL,
+    "zipf_fit_report": _ZIPF_SQL,
     "bpe_token_estimate": _BPE_SQL,
     "tokenizer_fertility_by_lang": _FERTILITY_SQL,
     "bpe_merge_candidates": _BPE_MERGE_SQL,

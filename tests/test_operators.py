@@ -549,6 +549,21 @@ def test_multi_touch_attribution_conserves_value(spark, sf_dir):
     assert abs(pos - truth) / truth < 0.001
 
 
+def test_zipf_fit_flags_flat_synthetic_vocabulary(spark, sf_dir):
+    """The driver corpus is word-salad over a tiny vocabulary, so the
+    rank-frequency slope must be far flatter than natural text's ≈ −1 —
+    exactly the boilerplate signature the operator exists to flag — and
+    the bookkeeping columns must be consistent."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import text
+
+    [r] = text.zipf_fit_report(spark, sf_dir).collect()
+    assert r["n_fit_tokens"] == min(text.ZIPF_TOP, r["vocab_size"])
+    assert r["slope"] < 0.0  # frequency still decreases in rank
+    assert r["slope"] > -0.8  # …but far flatter than natural language
+    assert r["n_token_mass"] >= r["vocab_size"]
+    assert r["intercept"] > 0.0
+
+
 def test_forecast_backtest_covers_holdout_week(spark, sf_dir):
     from data_pipeline_for_autonomous_vehicles_spark.operators import timeseries as ts
 
