@@ -2387,10 +2387,146 @@ ORDER BY query_id, rank
 """
 
 
+# --- distributed PCA: anisotropy audit by power iteration ----------------------
+
+PCA_ITERS = 8
+
+
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy audit: fixed-iteration power iteration
+    on the uncentered d×d Gram matrix, reporting the current iterate's
+    loadings, its Rayleigh quotient (a lower bound on the top eigenvalue
+    that the iteration improves monotonically), the EXACT mean eigenvalue
+    (trace/d — a pure diagonal sum, no iteration), and their ratio. An
+    anisotropy ratio ≫ 1 means the cloud has collapsed toward a dominant
+    direction — the known failure mode that degrades cosine retrieval;
+    ≈ 1 (as on the driver's isotropic synthetic vectors, λ2/λ1 ≈ 0.93)
+    means no direction dominates. On such near-degenerate spectra the
+    VECTOR converges arbitrarily slowly by construction — the audit's
+    decision number is the ratio, which is already meaningful after a few
+    rounds; the iterate is reported as the current search direction, not
+    claimed as the converged eigenvector. Returns 64 rows
+    (dim, loading, eigenvalue, mean_eigenvalue, anisotropy_ratio).
+
+    Spark-first linear algebra: the corpus collapses to the d×d Gram in
+    ONE pass (double posexplode → map-side-combined (i, j) cells — the
+    only stage that touches data); each power step is a join+agg over
+    d² + d rows, lineage-truncated per round. Everything is exact int64:
+    Gram cells are e6-vector products, rescaled to e3 by a mirrored
+    double-floor; normalization divides by max|w| (exact integer DIV —
+    valid for the PSD Gram, no sign oscillation), so every iterate is
+    bit-identical across engines and cluster sizes.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(_scaled_vec(F.col("embedding")).alias("sx"))
+    e1 = vecs.select(F.posexplode("sx").alias("i", "xi"), F.col("sx"))
+    cells = e1.select("i", "xi", F.posexplode("sx").alias("j", "xj"))
+    gram = cells.groupBy("i", "j").agg(
+        F.sum(F.col("xi") * F.col("xj")).alias("g_e12")
+    )
+    g = _register_cache(
+        gram.select(
+            "i",
+            "j",
+            F.floor(F.col("g_e12").cast("double") / F.lit(1e9) + F.lit(0.5))
+            .cast("long")
+            .alias("g_e3"),
+        ).cache()
+    )
+    v = spark.range(DIM).select(
+        F.col("id").cast("int").alias("j"), F.lit(1000).cast("long").alias("v_e3")
+    )
+    for _ in range(PCA_ITERS):
+        w = g.join(v, "j").groupBy("i").agg(
+            F.sum(F.col("g_e3") * F.col("v_e3")).alias("w")
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(F.col("i").alias("j"), F.expr("(w * 1000) DIV m").alias("v_e3"))
+            .localCheckpoint()
+        )
+    wf = g.join(v, "j").groupBy("i").agg(
+        F.sum(F.col("g_e3") * F.col("v_e3")).alias("w")
+    )
+    ray = wf.join(v.withColumnRenamed("j", "i"), "i").agg(
+        F.sum(F.col("v_e3") * F.col("w")).alias("num"),
+        F.sum(F.col("v_e3") * F.col("v_e3")).alias("den"),
+    )
+    trace = g.filter(F.col("i") == F.col("j")).agg(
+        F.sum("g_e3").alias("tr_e3")
+    )
+    eig = F.col("num").cast("double") / F.col("den").cast("double") / F.lit(1000.0)
+    mean_eig = F.col("tr_e3").cast("double") / F.lit(1000.0 * DIM)
+    return (
+        v.crossJoin(F.broadcast(ray))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            F.col("j").cast("long").alias("dim"),
+            (F.col("v_e3").cast("double") / F.lit(1000.0)).alias("loading"),
+            round_half_up(eig, 4).alias("eigenvalue"),
+            round_half_up(mean_eig, 4).alias("mean_eigenvalue"),
+            round_half_up(eig / mean_eig, 4).alias("anisotropy_ratio"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _sql_pca() -> str:
+    sx = (
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> CAST(FLOOR(x * {_KM_SCALE} + 0.5) AS BIGINT))"
+    )
+    steps = []
+    prev = "v0"
+    for k in range(1, PCA_ITERS + 1):
+        steps.append(f"""
+w{k} AS MATERIALIZED (
+  SELECT g.i, SUM(g.g_e3 * v.v_e3) AS w
+  FROM g JOIN {prev} v USING (j) GROUP BY g.i),
+m{k} AS (SELECT MAX(ABS(w)) AS m FROM w{k}),
+v{k} AS MATERIALIZED (
+  SELECT i AS j, (w * 1000) // m AS v_e3 FROM w{k} CROSS JOIN m{k})""")
+        prev = f"v{k}"
+    return f"""
+WITH vecs AS (SELECT {sx} AS sx FROM embeddings),
+cells AS MATERIALIZED (
+  SELECT a.i - 1 AS i, b.j - 1 AS j, SUM(sx[a.i] * sx[b.j]) AS g_e12
+  FROM vecs, generate_series(1, {DIM}) AS a(i), generate_series(1, {DIM}) AS b(j)
+  GROUP BY 1, 2),
+g AS MATERIALIZED (
+  SELECT i, j,
+         CAST(FLOOR(CAST(g_e12 AS DOUBLE) / 1000000000.0 + 0.5) AS BIGINT) AS g_e3
+  FROM cells),
+v0 AS (SELECT j, CAST(1000 AS BIGINT) AS v_e3
+       FROM (SELECT unnest(range({DIM})) AS j)),{",".join(steps)},
+wf AS (
+  SELECT g.i, SUM(g.g_e3 * v.v_e3) AS w
+  FROM g JOIN {prev} v USING (j) GROUP BY g.i),
+ray AS (
+  SELECT SUM(v.v_e3 * w.w) AS num, SUM(v.v_e3 * v.v_e3) AS den
+  FROM wf w JOIN {prev} v ON v.j = w.i),
+tr AS (SELECT SUM(g_e3) AS tr_e3 FROM g WHERE i = j)
+SELECT CAST(v.j AS BIGINT) AS dim,
+       CAST(v.v_e3 AS DOUBLE) / 1000.0 AS loading,
+       {sql_round_half_up("CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1000.0", 4)}
+         AS eigenvalue,
+       {sql_round_half_up(f"CAST(tr_e3 AS DOUBLE) / {1000.0 * DIM}", 4)}
+         AS mean_eigenvalue,
+       {sql_round_half_up(
+           "(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1000.0)"
+           f" / (CAST(tr_e3 AS DOUBLE) / {1000.0 * DIM})", 4)}
+         AS anisotropy_ratio
+FROM {prev} v CROSS JOIN ray CROSS JOIN tr
+ORDER BY dim
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "uncertainty_sampling_topk": uncertainty_sampling_topk,
     "mmr_diversified_topk": mmr_diversified_topk,
+    "embedding_pca_top_component": embedding_pca_top_component,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_recall_audit": ann_recall_audit,
@@ -2415,6 +2551,7 @@ ORACLES = {
     "ann_bruteforce_topk": _ANN_BF_SQL,
     "uncertainty_sampling_topk": _sql_uncertainty(),
     "mmr_diversified_topk": _sql_mmr(),
+    "embedding_pca_top_component": _sql_pca(),
     "ann_lsh_topk": _ANN_LSH_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
     "ann_recall_audit": _sql_ann_recall(),

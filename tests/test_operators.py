@@ -1966,6 +1966,44 @@ def test_mmr_diversifies_against_greedy_relevance(spark, sf_dir):
             assert -1.0 <= r["relevance"] <= 1.0
 
 
+def test_pca_anisotropy_audit_against_numpy_spectrum(spark, sf_dir):
+    """Independent linear-algebra check: the Rayleigh estimate must sit
+    inside numpy's [λ_min, λ_max] of the same uncentered Gram (guaranteed
+    for ANY nonzero iterate), the exact mean eigenvalue must equal
+    numpy's trace/d, and the anisotropy ratio must read ≈ 1 on the
+    driver's isotropic synthetic vectors (the healthy-space verdict).
+    The vector itself is the current iterate, max-normalized."""
+    import numpy as np
+
+    from data_pipeline_for_autonomous_vehicles_spark.operators import similarity as sim
+
+    rows = sim.embedding_pca_top_component(spark, sf_dir).collect()
+    assert len(rows) == sim.DIM
+    v = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
+    assert np.max(np.abs(v)) == 1.0  # max-normalized iterate
+    lam = rows[0]["eigenvalue"]
+    assert len({r["eigenvalue"] for r in rows}) == 1
+
+    X = np.array(
+        [
+            r["embedding"]
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        ],
+        dtype=np.float64,
+    )
+    G = X.T @ X
+    evals = np.linalg.eigvalsh(G)
+    assert float(evals[0]) - 0.01 <= lam <= float(evals[-1]) + 0.01
+    mean_eig = rows[0]["mean_eigenvalue"]
+    assert abs(mean_eig - float(np.trace(G)) / sim.DIM) < 0.01
+    ratio = rows[0]["anisotropy_ratio"]
+    assert abs(ratio - lam / mean_eig) < 1e-3
+    # isotropic synthetic cloud → no dominant direction: the ratio stays
+    # near the Marchenko–Pastur bulk edge (1+sqrt(d/n))² ≈ 1.8, nowhere
+    # near the ≫ 2 a collapsed space would read
+    assert 0.9 <= ratio <= 2.0
+
+
 def test_quality_classifier_decision_consistency(spark, sf_dir):
     """clf_score is the normalized integer margin: keep_flag must agree
     with the sign of weight_sum, scores stay in [0,1], and every document
