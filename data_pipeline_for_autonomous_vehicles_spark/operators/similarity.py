@@ -1989,18 +1989,24 @@ ORDER BY source_a, source_b
 # ann_ivf_topk) unchanged, because the label filter composes with any
 # candidate generator.
 
-ANCHOR_MOD = 25  # vec_id % 25 == 0 → deterministic ~4% anchor sample
+ANCHOR_MOD = 25
+ANCHOR_CAP = 500  # anchors = vec_id % 25 == 0 AND vec_id < 500 → exactly 20
 
 
 def _anchor_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, query_label, vec_id, label, cosine) for every
-    (anchor, corpus) pair, self excluded. Anchors are a deterministic
-    modulo sample so the set is replayable and the broadcast side stays
-    bounded (|anchors| = n/ANCHOR_MOD; cap or re-mod at larger n)."""
+    (anchor, corpus) pair, self excluded. Anchors are a FIXED-SIZE
+    deterministic panel (modulo sample capped by id), so |anchors| is a
+    constant and the pair stage is O(n·A) — linear in the corpus. The
+    first cut used an uncapped modulo sample: anchors grew WITH the
+    corpus and the scale gate flagged 119×/52× wall for 10× data — the
+    quadratic-by-construction class the pair-report rework eliminated."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
-    anchors = emb.filter(F.col("vec_id") % ANCHOR_MOD == 0).select(
+    anchors = emb.filter(
+        (F.col("vec_id") % ANCHOR_MOD == 0) & (F.col("vec_id") < ANCHOR_CAP)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
         F.col("emb").alias("qemb"),
@@ -2081,8 +2087,8 @@ scored AS (
          a.vec_id AS vec_id, a.label AS neg_label,
          CAST(FLOOR(({_SQL_DOT_AB} / ({_sql_norm('a')} * {_sql_norm('b')})) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS cosine
   FROM emb a
-  JOIN emb b ON b.vec_id % {ANCHOR_MOD} = 0 AND a.vec_id <> b.vec_id
-            AND a.label <> b.label)
+  JOIN emb b ON b.vec_id % {ANCHOR_MOD} = 0 AND b.vec_id < {ANCHOR_CAP}
+            AND a.vec_id <> b.vec_id AND a.label <> b.label)
 SELECT query_id, query_label, vec_id, neg_label, cosine, rank FROM (
   SELECT query_id, query_label, vec_id, neg_label, cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2099,7 +2105,7 @@ scored AS (
          a.vec_id AS vec_id, a.label AS label,
          CAST(FLOOR(({_SQL_DOT_AB} / ({_sql_norm('a')} * {_sql_norm('b')})) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS cosine
   FROM emb a
-  JOIN emb b ON b.vec_id % {ANCHOR_MOD} = 0 AND a.vec_id <> b.vec_id),
+  JOIN emb b ON b.vec_id % {ANCHOR_MOD} = 0 AND b.vec_id < {ANCHOR_CAP} AND a.vec_id <> b.vec_id),
 pos AS (
   SELECT query_id, query_label, vec_id AS pos_vec_id, cosine AS pos_cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id

@@ -1899,7 +1899,10 @@ def test_contrastive_mining_consistency(spark, sf_dir):
 
     n_anchors = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % sim.ANCHOR_MOD == 0)
+        .filter(
+            (F.col("vec_id") % sim.ANCHOR_MOD == 0)
+            & (F.col("vec_id") < sim.ANCHOR_CAP)
+        )
         .count()
     )
     assert len(trip) == n_anchors
