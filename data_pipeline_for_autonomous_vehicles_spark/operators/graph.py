@@ -202,15 +202,18 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         # read by the degree agg, the orientation join, and the count —
-        # materialize once (narrow int64 pairs)
-        .localCheckpoint(eager=False)
+        # materialize once EAGERLY (narrow int64 pairs): the lazy form let
+        # each downstream branch race to materialize it and re-derived the
+        # pair expansion along the way (measured 105 s vs 60 s staged at
+        # ~sf1 for the whole census)
+        .localCheckpoint(eager=True)
     )
     nodes = edges.select(F.col("p1").alias("p")).unionByName(
         edges.select(F.col("p2").alias("p"))
     )
     deg = nodes.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
-    # orient u -> v iff (deg(u), u) < (deg(v), v); carry the target's key so
-    # the wedge join can order its two spokes without another lookup
+    # orient u -> v iff (deg(u), u) < (deg(v), v) — every wedge pivots on
+    # its lowest-degree vertex, so out-degrees are O(√m)-bounded
     du = deg.select(F.col("p").alias("p1"), F.col("deg").alias("deg1"))
     dv = deg.select(F.col("p").alias("p2"), F.col("deg").alias("deg2"))
     directed = (
@@ -220,43 +223,38 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 (F.col("deg1") < F.col("deg2"))
                 | ((F.col("deg1") == F.col("deg2")) & (F.col("p1") < F.col("p2"))),
-                F.struct(
-                    F.col("p1").alias("u"),
-                    F.col("p2").alias("v"),
-                    F.col("deg2").alias("vdeg"),
-                ),
+                F.struct(F.col("p1").alias("u"), F.col("p2").alias("v")),
             )
-            .otherwise(
-                F.struct(
-                    F.col("p2").alias("u"),
-                    F.col("p1").alias("v"),
-                    F.col("deg1").alias("vdeg"),
-                )
-            )
+            .otherwise(F.struct(F.col("p2").alias("u"), F.col("p1").alias("v")))
             .alias("e")
         )
-        .select("e.u", "e.v", "e.vdeg")
-        .localCheckpoint(eager=False)
+        .select("e.u", "e.v")
+        .localCheckpoint(eager=True)
     )
-    x, y, z = directed.alias("x"), directed.alias("y"), directed.alias("z")
-    # wedge (u->b, u->c) with b before c in the same (deg, id) order; the
-    # closing edge b->c is directed exactly that way, so one equi-join probes it
-    tris = (
-        x.join(
-            y,
-            (F.col("y.u") == F.col("x.u"))
-            & (
-                (F.col("x.vdeg") < F.col("y.vdeg"))
-                | (
-                    (F.col("x.vdeg") == F.col("y.vdeg"))
-                    & (F.col("x.v") < F.col("y.v"))
-                )
-            ),
-        )
-        .join(z, (F.col("z.u") == F.col("x.v")) & (F.col("z.v") == F.col("y.v")))
+    # edge-iterator with neighborhood intersection (the round-4 rewrite of
+    # the explicit wedge join): per directed edge (u, v), the triangles it
+    # closes are |N⁺(u) ∩ N⁺(v)| — the orientation is a total order, so
+    # each triangle is counted exactly once at its (source, mid) edge.
+    # The wedge relation (Σ C(outdeg, 2) rows ≈ 3.5·10⁸ at ~sf1) is never
+    # materialized or shuffled: adjacency arrays are built once (outdeg is
+    # O(√m)-bounded by the orientation, so arrays stay small) and the
+    # intersection is a per-row JVM array op on the m-row edge frame.
+    # Measured at ~sf1: 139.6 s (wedge join) → 59 s cold / 37 s warm.
+    adj = (
+        directed.groupBy("u")
+        .agg(F.array_sort(F.collect_list("v")).alias("nbrs"))
+        .localCheckpoint(eager=True)  # read twice by the closing joins
+    )
+    tri_per_edge = (
+        directed.select("u", "v")
+        .join(adj.select(F.col("u").alias("eu"), F.col("nbrs").alias("nu")),
+              F.col("u") == F.col("eu"))
+        .join(adj.select(F.col("u").alias("ev"), F.col("nbrs").alias("nv")),
+              F.col("v") == F.col("ev"))
+        .select(F.size(F.array_intersect(F.col("nu"), F.col("nv"))).alias("t"))
     )
     return (
-        tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+        tri_per_edge.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("n_triangles"))
         .crossJoin(F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges"))))
         .crossJoin(F.broadcast(nodes.distinct().agg(F.count(F.lit(1)).alias("n_nodes"))))
         .select("n_nodes", "n_edges", "n_triangles")
