@@ -266,13 +266,113 @@ LIMIT {SAMPLE_K}
 """
 
 
+DSIR_FOLDS = 10
+_DSIR_FOLD_SALT = "dsirfold:"
+
+
+def dsir_heldout_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold DSIR: bucket log-ratios are fit on the 90% TRAIN fold
+    and the held-out 10% is scored against that FROZEN model — the
+    train/serve hygiene version of dsir_importance_weights (in-sample
+    scoring lets a doc's own n-grams inflate its score; the held-out
+    score is what a production selector applying yesterday's model to
+    today's crawl actually computes, the same O(new-batch) contract as
+    incremental_minhash_update / incremental_ivf_update).
+
+    Same exactness and scale shape as the in-sample pass: one cached
+    explode→bounded-key agg over the corpus, a ≤B-row broadcast ratio
+    table from the train slice, exact int64 per-doc dot products for
+    the held-out slice.
+
+    On the driver's synthetic word-salad corpus the held-out scores show
+    exactly why this pass matters: the in-sample `en` advantage (+0.18
+    mean at sf0.01) nearly vanishes out-of-fold (−0.13) — most of the
+    in-sample signal WAS self-influence, which a production selector
+    must not credit. Pinned in tests.
+    """
+    cells = _register_cache(_dsir_doc_cells(spark, sf_dir).cache())
+    fold = (
+        portable_hash(
+            F.concat(F.lit(_DSIR_FOLD_SALT), F.col("doc_id").cast("string"))
+        )
+        % DSIR_FOLDS
+    )
+    train = cells.filter(fold != 0)
+    held = cells.filter(fold == 0)
+    buckets = train.groupBy("bucket").agg(
+        F.sum("c").alias("raw_c"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(F.lit(0))
+        ).alias("tgt_c"),
+    )
+    totals = buckets.agg(
+        F.sum("raw_c").alias("raw_tot"), F.sum("tgt_c").alias("tgt_tot")
+    )
+    smooth_b = F.lit(DSIR_BUCKETS / 2.0)
+    log_p = F.log(
+        (F.col("tgt_c").cast("double") + F.lit(0.5))
+        / (F.col("tgt_tot").cast("double") + smooth_b)
+    )
+    log_q = F.log(
+        (F.col("raw_c").cast("double") + F.lit(0.5))
+        / (F.col("raw_tot").cast("double") + smooth_b)
+    )
+    delta = buckets.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.floor((log_p - log_q) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("delta_e6"),
+    )
+    return (
+        held.join(F.broadcast(delta), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("c") * F.col("delta_e6")).alias("logw_e6"))
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("logw_e6").cast("double") / F.lit(1e6)).alias("log_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_dsir_heldout() -> str:
+    fold = (
+        sql_portable_hash(f"'{_DSIR_FOLD_SALT}' || CAST(doc_id AS VARCHAR)")
+        + f" % {DSIR_FOLDS}"
+    )
+    return f"""
+WITH cells AS ({_DSIR_CELLS_SQL}),
+folded AS (SELECT *, {fold} AS fold FROM cells),
+buckets AS (
+  SELECT bucket, SUM(c) AS raw_c,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN c ELSE 0 END) AS tgt_c
+  FROM folded WHERE fold <> 0 GROUP BY 1),
+tot AS (SELECT SUM(raw_c) AS raw_tot, SUM(tgt_c) AS tgt_tot FROM buckets),
+delta AS (
+  SELECT bucket,
+         CAST(FLOOR((ln((CAST(tgt_c AS DOUBLE) + 0.5) / (CAST(tgt_tot AS DOUBLE) + {DSIR_BUCKETS / 2.0}))
+                   - ln((CAST(raw_c AS DOUBLE) + 0.5) / (CAST(raw_tot AS DOUBLE) + {DSIR_BUCKETS / 2.0})))
+                  * 1000000.0 + 0.5) AS BIGINT) AS delta_e6
+  FROM buckets, tot)
+SELECT f.doc_id, f.lang,
+       CAST(SUM(f.c * d.delta_e6) AS DOUBLE) / 1000000.0 AS log_weight
+FROM folded f JOIN delta d USING (bucket)
+WHERE f.fold = 0
+GROUP BY 1, 2
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "weighted_sample_topk": weighted_sample_topk,
     "dsir_importance_weights": dsir_importance_weights,
     "dsir_resample_topk": dsir_resample_topk,
+    "dsir_heldout_scores": dsir_heldout_scores,
 }
 ORACLES = {
     "weighted_sample_topk": _sql_weighted_sample(),
     "dsir_importance_weights": _DSIR_WEIGHTS_SQL,
     "dsir_resample_topk": _sql_dsir_resample(),
+    "dsir_heldout_scores": _sql_dsir_heldout(),
 }

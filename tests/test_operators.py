@@ -454,6 +454,19 @@ def test_dsir_weights_favor_target_language(spark, sf_dir):
     again = sampling.dsir_resample_topk(spark, sf_dir).collect()
     assert [r["doc_id"] for r in again] == [r["doc_id"] for r in sample]
 
+    # out-of-fold scoring: the held-out slice is disjoint and ~1/DSIR_FOLDS
+    # of the corpus, and removing self-influence DEFLATES the target
+    # language's mean score (each in-sample target doc's own grams inflate
+    # p_target) — the inflation the held-out pass exists to expose; on
+    # this synthetic corpus the cross-doc signal all but vanishes
+    held = sampling.dsir_heldout_scores(spark, sf_dir).collect()
+    held_ids = {r["doc_id"] for r in held}
+    assert held_ids and held_ids < {r["doc_id"] for r in w}
+    assert len(held) < len(w) / 2
+    h_tgt = [r["log_weight"] for r in held if r["lang"] == tgt]
+    if h_tgt:
+        assert means[tgt] > sum(h_tgt) / len(h_tgt)
+
 
 def test_cv_fold_leakage_consistent_with_fingerprint_groups(spark, sf_dir):
     """Fold totals cover the corpus; leaked docs are exactly the members
