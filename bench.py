@@ -1,7 +1,8 @@
 """Benchmark harness (driver contract).
 
-Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default: the
+~sf1 replica, see below) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query executes its full physical plan into the `noop` sink (no
@@ -9,14 +10,15 @@ collect cost, no driver materialization) — the same way a cluster job would
 be measured. A warmup pass on sf0.001 first pays JVM/codegen startup so the
 numbers reflect steady-state execution.
 
-sf1 mode (round-3 verdict task 4): ``python bench.py sf1`` measures the
-same headline set at ~sf1 — the FK-consistent 10x replica of sf0.1
-(tools/scale_data.py; generated on first use) — where per-query times are
-100x better separated than at sf0.1's 0.3-0.7 s plan-submit floor.
-BASELINE.md carries the sf1 anchors. The env-var/driver default stays
-sf0.1 so BENCH_r{N}.json remains comparable with rounds 1-3 and with the
-driver's BASELINE.json contract; if /root/testdata/sf1 ever exists it is
-preferred automatically.
+The headline scale is **~sf1** as of round 5 (round-4 verdict task 1): the
+FK-consistent 10x replica of sf0.1 (tools/scale_data.py; generated on
+first use at /tmp/sf_scaled_10x, or /root/testdata/sf1 if the driver ever
+materializes it). At sf0.1 the 0.3-0.7 s plan-submit floor and this
+microVM's 42-75 s identical-code noise band hid real regressions; at ~sf1
+per-query times are ~10x better separated. BASELINE.md carries the sf1
+anchor band (~310-380 s for this 64-query set). ``python bench.py sf0.1``
+still runs the legacy sf0.1 measurement for cross-round comparability
+with rounds 1-4.
 """
 
 from __future__ import annotations
@@ -109,22 +111,23 @@ SF1_REPLICA = "/tmp/sf_scaled_10x"
 
 
 def _resolve_sf_dir() -> tuple[str, str]:
-    """(sf_dir, sf_label). Precedence: explicit `sf1` argv -> the 10x
-    replica (generated if missing); $SPARK_GRAFT_SF_DIR; /root/testdata/sf1
-    if the driver ever materializes it; else the sf0.1 default."""
-    if len(sys.argv) > 1 and sys.argv[1] == "sf1":
-        if not os.path.isdir(SF1_REPLICA):
-            from tools.scale_data import scale
-
-            sys.stderr.write(f"generating {SF1_REPLICA} (10x of sf0.1)...\n")
-            scale(10, "/root/testdata/sf0.1", SF1_REPLICA)
-        return SF1_REPLICA, "1"
+    """(sf_dir, sf_label). Precedence: explicit `sf0.1` argv (legacy
+    rounds-1-4 scale) -> sf0.1; $SPARK_GRAFT_SF_DIR; /root/testdata/sf1
+    if the driver ever materializes it; else the ~sf1 default (the 10x
+    replica, generated on first use)."""
+    if len(sys.argv) > 1 and sys.argv[1] in ("sf0.1", "sf01"):
+        return "/root/testdata/sf0.1", "0.1"
     env = os.environ.get("SPARK_GRAFT_SF_DIR")
     if env:
         return env, env.rstrip("/").rsplit("sf", 1)[-1]
     if os.path.isdir("/root/testdata/sf1"):
         return "/root/testdata/sf1", "1"
-    return "/root/testdata/sf0.1", "0.1"
+    if not os.path.isdir(SF1_REPLICA):
+        from tools.scale_data import scale
+
+        sys.stderr.write(f"generating {SF1_REPLICA} (10x of sf0.1)...\n")
+        scale(10, "/root/testdata/sf0.1", SF1_REPLICA)
+    return SF1_REPLICA, "1"
 
 
 def main() -> None:
@@ -143,15 +146,18 @@ def main() -> None:
     ):
         _execute(queries[name](spark, "/root/testdata/sf0.001"))
 
-    # three measured runs per query, report the min: steady-state execution
+    # repeated runs per query, report the min: steady-state execution
     # time (codegen/broadcast caches warm), the number that scales with
     # data rather than with JVM compilation or host-scheduling noise
     # (BASELINE.md documents a 42.6-74.9 s spread across identical-code
-    # runs on this microVM; min-of-3 tightens the estimator)
+    # runs on this microVM; min-of-N tightens the estimator). At ~sf1
+    # real execution dominates and 2 runs suffice; at the sub-second
+    # sf0.1 floor keep 3.
+    n_runs = 2 if sf == "1" else 3
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = float("inf")
-        for _ in range(3):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             _execute(queries[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

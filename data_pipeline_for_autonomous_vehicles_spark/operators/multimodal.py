@@ -256,12 +256,205 @@ ORDER BY media_type
 """
 
 
+# --- perceptual near-dup (pHash-style banded Hamming) ------------------------
+
+# 32-bit gradient hash (dHash shape: bit_j = feat[j] > feat[(j+1) mod 32])
+# over a 32-bin HASHED-SHINGLE histogram: every 4-byte window of the
+# payload hashes (Knuth multiplicative, top-5-bit bucket) into one of 32
+# bins. Shingle hashing makes the features content-driven and
+# shift-robust — a plain byte-value histogram is NOT discriminative for
+# text-like payloads (every doc shares the language's letter frequencies;
+# measured: ~40% of all pairs collide at Hamming ≤ 3, vs O(n) pairs with
+# shingle bins). Fingerprints split into 4 bands of 8 bits; pigeonhole:
+# Hamming ≤ 3 flips at most 3 bands, so every true pair shares at least
+# one identical band — same recall guarantee as `simhash_hamming_pairs`
+# (dedup.py:1050), reapplied to the media decode path. All-integer bit
+# derivation (count_j > count_next), so the Python decoder and the ANSI
+# oracle agree bit-for-bit with no float hazard.
+PHASH_BITS = 32
+PHASH_BAND_BITS = 8
+PHASH_N_BANDS = PHASH_BITS // PHASH_BAND_BITS
+PHASH_HAMMING_MAX = 3
+_PHASH_KNUTH = 2654435761  # 2^32 / golden ratio, the classic mixer
+
+
+def media_phash(media: DataFrame) -> DataFrame:
+    """mapInPandas perceptual fingerprint: payload → 32-bit gradient hash
+    over hashed 4-byte-shingle histogram bins. A real deployment swaps the
+    shingle histogram for DCT coefficients of the decoded image (classic
+    pHash) — same signature, same downstream banding."""
+    schema = "media_id long, media_type string, phash long"
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def ph(payload: bytes) -> int:
+            counts = [0] * PHASH_BITS
+            for i in range(len(payload) - 3):
+                w = (
+                    (payload[i] << 24)
+                    | (payload[i + 1] << 16)
+                    | (payload[i + 2] << 8)
+                    | payload[i + 3]
+                )
+                counts[((w * _PHASH_KNUTH) % 4294967296) >> 27] += 1
+            v = 0
+            for j in range(PHASH_BITS):
+                if counts[j] > counts[(j + 1) % PHASH_BITS]:
+                    v |= 1 << j
+            return v
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "phash": pdf["payload"].map(lambda p: ph(bytes(p))),
+                }
+            )
+
+    return media.mapInPandas(_hash, schema)
+
+
+def media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs per media type: payloads whose gradient
+    hashes differ by ≤ PHASH_HAMMING_MAX bits, found via banded Hamming
+    buckets — the post-decode complement of `media_exact_dedup` (which only
+    catches byte-identical payloads; a re-encoded or lightly edited asset
+    hashes differently byte-wise but lands within a few perceptual bits).
+
+    Scale (100 TB): one narrow (int64 fingerprint) row per asset; the
+    self-join key is (media_type, band_id, band_value) — per-bucket cross
+    products only, never all-pairs — with the shared MAX_BUCKET cap
+    guarding degenerate buckets (a near-monoculture corpus collapses 8-bit
+    bands). Payload bytes never shuffle: the fingerprint is computed in
+    the Arrow scan pass and only 8-byte hashes move.
+    """
+    from .dedup import MAX_BUCKET, _cap_buckets
+
+    from ..caching import register_plan_cache
+
+    fps = register_plan_cache(media_phash(media_table(spark, sf_dir)).cache())
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("phash"), b * PHASH_BAND_BITS)
+                .bitwiseAND(F.lit((1 << PHASH_BAND_BITS) - 1))
+                .alias("band_value"),
+            )
+            for b in range(PHASH_N_BANDS)
+        ]
+    )
+    banded = fps.select("media_id", "media_type", F.explode(bands).alias("bb")).select(
+        "media_id",
+        "media_type",
+        F.col("bb.band_id").alias("band_id"),
+        F.col("bb.band_value").alias("band_value"),
+    )
+    banded = _cap_buckets(banded, ["media_type", "band_id", "band_value"], MAX_BUCKET)
+    a = banded.select(
+        F.col("media_id").alias("media_a"), "media_type", "band_id", "band_value"
+    )
+    b2 = banded.select(
+        F.col("media_id").alias("media_b"), "media_type", "band_id", "band_value"
+    )
+    cand = (
+        a.join(b2, ["media_type", "band_id", "band_value"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_type", "media_a", "media_b")
+        .distinct()
+    )
+    fa = fps.select(F.col("media_id").alias("media_a"), F.col("phash").alias("fp_a"))
+    fb = fps.select(F.col("media_id").alias("media_b"), F.col("phash").alias("fp_b"))
+    return (
+        cand.join(fa, "media_a")
+        .join(fb, "media_b")
+        .select(
+            "media_type",
+            "media_a",
+            "media_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .orderBy("media_type", "media_a", "media_b")
+    )
+
+
+def _sql_media_near_dups() -> str:
+    from .dedup import MAX_BUCKET
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT media_id, media_type, {b} AS band_id, "
+        f"(phash // {1 << (b * PHASH_BAND_BITS)}) % {1 << PHASH_BAND_BITS} "
+        f"AS band_value FROM fps"
+        for b in range(PHASH_N_BANDS)
+    )
+    return f"""
+WITH docs_m AS MATERIALIZED (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         text
+  FROM documents),
+counts AS (
+  SELECT media_id,
+         ((unicode(substring(g, 1, 1)) * 16777216
+           + unicode(substring(g, 2, 1)) * 65536
+           + unicode(substring(g, 3, 1)) * 256
+           + unicode(substring(g, 4, 1))) * {_PHASH_KNUTH})
+          % 4294967296 // 134217728 AS bin,
+         COUNT(*) AS c
+  FROM (SELECT media_id, substring(text, CAST(i AS INTEGER), 4) AS g
+        FROM docs_m, LATERAL unnest(range(1, length(text) - 2)) t(i)) x
+  GROUP BY 1, 2),
+grid AS (
+  SELECT d.media_id, b.bin, COALESCE(c.c, 0) AS c
+  FROM docs_m d
+  CROSS JOIN (SELECT unnest(range(0, {PHASH_BITS})) AS bin) b
+  LEFT JOIN counts c ON c.media_id = d.media_id AND c.bin = b.bin),
+-- dHash bit j = c_j > c_(j+1 mod N): lead() with first_value wraparound,
+-- one window pass instead of an N-way grid self-join
+gradient AS (
+  SELECT media_id, bin, c,
+         COALESCE(LEAD(c) OVER w, FIRST_VALUE(c) OVER w) AS c_next
+  FROM grid
+  WINDOW w AS (PARTITION BY media_id ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+fps AS MATERIALIZED (
+  SELECT g.media_id, d.media_type,
+         CAST(SUM(CASE WHEN c > c_next
+                       THEN CAST(1 AS BIGINT) << bin ELSE 0 END) AS BIGINT) AS phash
+  FROM gradient g JOIN docs_m d USING (media_id)
+  GROUP BY g.media_id, d.media_type),
+banded AS ({band_rows}),
+kept AS (
+  SELECT banded.* FROM banded
+  JOIN (SELECT media_type, band_id, band_value FROM banded
+        GROUP BY media_type, band_id, band_value HAVING COUNT(*) <= {MAX_BUCKET}) ok
+    USING (media_type, band_id, band_value)),
+cand AS (
+  SELECT DISTINCT a.media_type, a.media_id AS media_a, b.media_id AS media_b
+  FROM kept a JOIN kept b
+    ON a.media_type = b.media_type AND a.band_id = b.band_id
+   AND a.band_value = b.band_value AND a.media_id < b.media_id)
+SELECT c.media_type, media_a, media_b,
+       CAST(bit_count(xor(fa.phash, fb.phash)) AS INTEGER) AS hamming
+FROM cand c
+JOIN fps fa ON fa.media_id = media_a
+JOIN fps fb ON fb.media_id = media_b
+WHERE bit_count(xor(fa.phash, fb.phash)) <= {PHASH_HAMMING_MAX}
+ORDER BY c.media_type, media_a, media_b
+"""
+
+
 QUERIES = {
     "media_metadata": media_metadata,
     "media_features": media_features,
     "media_frame_samples": media_frame_samples,
     "media_feature_bins": media_feature_bins,
     "media_exact_dedup": media_exact_dedup,
+    "media_near_dups": media_near_dups,
 }
 
 ORACLES = {
@@ -271,4 +464,5 @@ ORACLES = {
     "media_frame_samples": _FRAMES_SQL,
     "media_feature_bins": _FEATURE_BINS_SQL,
     "media_exact_dedup": _MEDIA_DEDUP_SQL,
+    "media_near_dups": _sql_media_near_dups(),
 }

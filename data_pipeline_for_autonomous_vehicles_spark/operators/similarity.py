@@ -2055,7 +2055,11 @@ def triplet_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the anchor's nearest neighbor is currently the wrong class). One
     aggregation pass over the scored pairs — min/max of (cosine, vec_id)
     structs, deterministic under ties — so the result is one row per
-    anchor regardless of corpus size."""
+    anchor regardless of corpus size. Anchors missing either peer kind
+    (no same-class or no other-class vector in the corpus) are dropped:
+    a triplet needs both ends, and the explicit filter keeps the Spark
+    output aligned with the oracle's pos⋈neg join even on degenerate
+    label distributions (r4 ADVICE)."""
     scored = _anchor_scored(spark, sf_dir)
     same = F.col("label") == F.col("query_label")
     agg = scored.groupBy("query_id", "query_label").agg(
@@ -2067,7 +2071,8 @@ def triplet_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("neg"),
     )
     return (
-        agg.select(
+        agg.where(F.col("pos").isNotNull() & F.col("neg").isNotNull())
+        .select(
             "query_id",
             "query_label",
             F.col("pos.vec_id").alias("pos_vec_id"),

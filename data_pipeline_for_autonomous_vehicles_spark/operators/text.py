@@ -900,6 +900,137 @@ LIMIT {BPE_MERGE_TOP_K}
 """
 
 
+# --- BPE vocab induction: K merge rounds ------------------------------------
+
+BPE_INDUCT_ROUNDS = 6
+
+
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round BPE vocabulary induction (Sennrich et al. 2016): start
+    from the word-frequency table with words as character sequences; each
+    round counts adjacent symbol pairs weighted by word frequency, adopts
+    the most frequent pair (ties → lexicographic) as a merge rule, applies
+    it leftmost-greedy to every word, and recounts. Output: one row per
+    round — the learned merge table, the actual artifact a tokenizer
+    trainer produces (`bpe_merge_candidates` is this loop's first
+    iteration statistic).
+
+    Scale (100 TB): the corpus collapses to the WORD-FREQUENCY table in
+    one hash-agg (the classic BPE trick — |vocab| ≪ corpus), and every
+    round is one pair hash-agg (alphabet²-bounded key space, map-side
+    combined) + a TakeOrderedAndProject top-1 + a per-row array fold;
+    the winning pair re-enters as a 1-row broadcast crossJoin, never a
+    driver value. Per-round `localCheckpoint` cuts the iterative lineage
+    (same guard as PageRank / MMR — the vocab feeds both the pair count
+    and the merge each round).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_tokens()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .select(F.split("word", "").alias("syms"), "wn")
+        .localCheckpoint(eager=True)
+    )
+    merge_expr = F.expr(
+        """
+        aggregate(syms, CAST(array() AS ARRAY<STRING>),
+          (acc, x) -> IF(size(acc) > 0 AND element_at(acc, -1) = pa AND x = pb,
+            concat(slice(acc, 1, size(acc) - 1), array(concat(pa, pb))),
+            concat(acc, array(x))))
+        """
+    )
+    rounds = []
+    for r in range(1, BPE_INDUCT_ROUNDS + 1):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS a, "
+                        "element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("p"),
+                "wn",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wn").cast("long").alias("n"))
+        )
+        best = (
+            pairs.orderBy(F.desc("n"), "a", "b").limit(1).localCheckpoint(eager=True)
+        )
+        rounds.append(
+            best.select(
+                F.lit(r).alias("round"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                "n",
+            )
+        )
+        if r < BPE_INDUCT_ROUNDS:
+            vocab = (
+                vocab.crossJoin(
+                    F.broadcast(
+                        best.select(F.col("a").alias("pa"), F.col("b").alias("pb"))
+                    )
+                )
+                .select(merge_expr.alias("syms"), "wn")
+                .localCheckpoint(eager=True)
+            )
+    out = rounds[0]
+    for frame in rounds[1:]:
+        out = out.unionByName(frame)
+    return out.orderBy("round")
+
+
+# DuckDB twin: the K rounds unroll into K materialized CTE stages (the
+# AS MATERIALIZED is load-bearing — without it DuckDB re-inlines each
+# round's vocab into every later round). Symbol sequences travel as a
+# separator-framed string (every symbol wrapped as SEP||sym||SEP) so the
+# leftmost-greedy merge is a plain non-overlapping replace() — framing
+# each symbol individually makes runs like [a,a,a,a] merge pairwise
+# exactly like the Spark array fold (shared-separator framing would not).
+_BPE_SEP = "\x1f"  # U+001F unit separator: absent from the corpus by design
+
+
+def _sql_bpe_merge_rounds() -> str:
+    s = _BPE_SEP
+    ctes = [
+        f"""v0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', '{s}\\1{s}', 'g') AS rep, COUNT(*) AS wn
+  FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents) w
+  WHERE word <> ''
+  GROUP BY word)"""
+    ]
+    for r in range(1, BPE_INDUCT_ROUNDS + 1):
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(wn) AS BIGINT) AS n
+  FROM (SELECT string_split(trim(rep, '{s}'), '{s}{s}') AS syms, wn FROM v{r - 1}) t,
+       LATERAL unnest(range(1, len(syms))) AS u(i)
+  GROUP BY a, b)"""
+        )
+        ctes.append(
+            f"""b{r} AS MATERIALIZED (
+  SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1)"""
+        )
+        if r < BPE_INDUCT_ROUNDS:
+            ctes.append(
+                f"""v{r} AS MATERIALIZED (
+  SELECT replace(rep, '{s}' || bk.a || '{s}{s}' || bk.b || '{s}',
+                 '{s}' || bk.a || bk.b || '{s}') AS rep, wn
+  FROM v{r - 1} CROSS JOIN b{r} bk)"""
+            )
+    unions = "\nUNION ALL ".join(
+        f"SELECT {r} AS round, a AS left_sym, b AS right_sym, a || b AS merged, n FROM b{r}"
+        for r in range(1, BPE_INDUCT_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM (\n{unions})\nORDER BY round"
+
+
 # --- collocation mining --------------------------------------------------------
 
 COLLOC_MIN_COUNT = 10
@@ -1216,6 +1347,7 @@ QUERIES = {
     "bpe_token_estimate": bpe_token_estimate,
     "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
     "bpe_merge_candidates": bpe_merge_candidates,
+    "bpe_merge_rounds": bpe_merge_rounds,
     "training_shards": training_shards,
     "oov_rate_report": oov_rate_report,
     "token_collocations": token_collocations,
@@ -1240,6 +1372,7 @@ ORACLES = {
     "bpe_token_estimate": _BPE_SQL,
     "tokenizer_fertility_by_lang": _FERTILITY_SQL,
     "bpe_merge_candidates": _BPE_MERGE_SQL,
+    "bpe_merge_rounds": _sql_bpe_merge_rounds(),
     "training_shards": _SHARDS_SQL,
     "oov_rate_report": _OOV_SQL,
     "token_collocations": _COLLOC_SQL,

@@ -1359,11 +1359,17 @@ def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: prediction = train_sum/train_n stays a rational; each
     absolute percentage error is the integer |a·n − s| · 1e6 DIV (a·n)
     and WAPE numerators |a·n − s| · 1e6 DIV n, so both metrics are exact
-    integer arithmetic until the final display division. Zero-actual days
-    are excluded from MAPE (the standard convention) and counted.
+    integer arithmetic until the final display division. The holdout is
+    DENSIFIED to the full |types|×BACKTEST_DAYS grid (r4 ADVICE): a day
+    with zero events for a type is a real test row with actual 0, so it
+    contributes to WAPE's numerator and is counted in n_zero_days while
+    staying excluded from MAPE (the standard zero-actual convention) —
+    without the grid, missing days silently vanish from the holdout and
+    MAPE/WAPE overstate forecast quality for sparse types.
 
     Scale: the fact table collapses to (type, day) cells in one map-side
-    combined pass; everything after runs on ≤ |types|·days rows.
+    combined pass; the densification grid is |types|×7 rows built from a
+    broadcast 1-row horizon; everything after runs on ≤ |types|·days rows.
     """
     ev = load_table(spark, sf_dir, "events")
     daily = (
@@ -1384,8 +1390,20 @@ def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "dow_iso")
         .agg(F.sum("n").alias("s"), F.count(F.lit(1)).alias("cnt"))
     )
-    test = tagged.filter(F.col("is_test")).join(
-        F.broadcast(train), ["event_type", "dow_iso"]
+    # dense holdout grid: every (type, day) cell of the trailing week, with
+    # actual 0 where the type logged nothing that day
+    hold_days = horizon.select(
+        F.explode(
+            F.sequence(
+                F.date_sub(F.col("hmax"), BACKTEST_DAYS - 1), F.col("hmax")
+            )
+        ).alias("day")
+    ).select("day", (F.expr("weekday(day)") + F.lit(1)).cast("long").alias("dow_iso"))
+    grid = daily.select("event_type").distinct().crossJoin(F.broadcast(hold_days))
+    test = (
+        grid.join(daily.select("event_type", "day", "n"), ["event_type", "day"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .join(F.broadcast(train), ["event_type", "dow_iso"])
     )
     err = F.abs(F.col("n") * F.col("cnt") - F.col("s"))
     ape_e6 = F.expr("(err * 1000000) DIV (n * cnt)")
@@ -1402,7 +1420,9 @@ def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_test_days"),
             F.sum(F.when(F.col("n") == 0, 1).otherwise(0)).alias("n_zero_days"),
             F.expr("SUM(ape_e6) DIV COUNT(ape_e6)").alias("_mape_e6"),
-            F.expr("SUM(abs_e6) DIV SUM(n)").alias("_wape_e6"),
+            F.expr("CASE WHEN SUM(n) > 0 THEN SUM(abs_e6) DIV SUM(n) END").alias(
+                "_wape_e6"
+            ),
         )
         .select(
             "event_type",
@@ -1427,18 +1447,30 @@ tagged AS (
 train AS (
   SELECT event_type, dow_iso, SUM(n) AS s, COUNT(*) AS cnt
   FROM tagged WHERE NOT is_test GROUP BY 1, 2),
+hold_days AS (
+  SELECT CAST(hmax AS DATE) - CAST({BACKTEST_DAYS} - 1 - i.range AS INTEGER) AS day,
+         isodow(CAST(hmax AS DATE) - CAST({BACKTEST_DAYS} - 1 - i.range AS INTEGER))
+           AS dow_iso
+  FROM horizon CROSS JOIN range({BACKTEST_DAYS}) i),
+grid AS (
+  SELECT t.event_type, h.day, h.dow_iso
+  FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN hold_days h),
+test AS (
+  SELECT g.event_type, g.dow_iso, COALESCE(d.n, 0) AS n
+  FROM grid g LEFT JOIN daily d
+    ON d.event_type = g.event_type AND d.day = g.day),
 scored AS (
   SELECT t.event_type, t.n,
          CASE WHEN t.n > 0
               THEN (abs(t.n * tr.cnt - tr.s) * 1000000) // (t.n * tr.cnt) END AS ape_e6,
          (abs(t.n * tr.cnt - tr.s) * 1000000) // tr.cnt AS abs_e6
-  FROM tagged t JOIN train tr USING (event_type, dow_iso)
-  WHERE t.is_test)
+  FROM test t JOIN train tr USING (event_type, dow_iso))
 SELECT event_type,
        COUNT(*) AS n_test_days,
        CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_days,
        CAST((SUM(ape_e6) // COUNT(ape_e6)) AS DOUBLE) / 1000000.0 AS mape,
-       CAST((SUM(abs_e6) // SUM(n)) AS DOUBLE) / 1000000.0 AS wape
+       CASE WHEN SUM(n) > 0
+            THEN CAST((SUM(abs_e6) // SUM(n)) AS DOUBLE) / 1000000.0 END AS wape
 FROM scored
 GROUP BY event_type
 ORDER BY event_type

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.timeseries import BACKTEST_DAYS
 from .rules import stream_events
 
 _SEQ = 0
@@ -190,29 +191,39 @@ ORDER BY event_type
 def streaming_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static anomaly gate: each event is enriched (broadcast
     stream-static join) with its (event_type, ISO weekday, hour-of-day)
-    seasonal baseline — batch-derived total count s over n_days matching
-    weekdays — then counted into watermarked hourly tumbling windows and
-    flagged 'high' when the hour runs > 2× its baseline mean, 'low' under
-    half, else 'normal'. The flag is exact integer cross-multiplication
-    (n·n_days vs 2·s), never a float rate.
+    seasonal baseline — derived from the TRAINING window only (everything
+    before the trailing BACKTEST_DAYS, the same holdout convention as
+    forecast_backtest_mape) so an evaluated hour never contributes to its
+    own baseline (r4 ADVICE: the old full-table baseline let a 3× hour
+    damp its own gate). Hourly tumbling-window counts are flagged 'high'
+    when the hour runs > 2× its baseline mean, 'low' under half, 'novel'
+    when the (type, weekday, hour) cell never occurred in training, else
+    'normal'. The flag is exact integer cross-multiplication (n·n_days vs
+    2·s), never a float rate.
 
     This is the on-arrival twin of forecast_backtest_mape's offline
-    check: same baseline, evaluated inside the stream. Scale: the
-    baseline is |types|·168 rows (broadcast); streaming state is one
-    (window, type) count per open hour, watermark-bounded.
+    check: same frozen baseline, evaluated inside the stream — the
+    production shape, where the baseline snapshot predates every arriving
+    hour by construction. Scale: the baseline is |types|·168 rows
+    (broadcast); streaming state is one (window, type) count per open
+    hour, watermark-bounded.
     """
     from ..catalog import load_table
 
     ev_b = load_table(spark, sf_dir, "events")
+    hmax = ev_b.agg(F.max(F.to_date("ts")).alias("hmax"))
+    train = ev_b.crossJoin(F.broadcast(hmax)).where(
+        F.datediff(F.col("hmax"), F.to_date("ts")) >= BACKTEST_DAYS
+    )
     days = (
-        ev_b.select(F.to_date("ts").alias("day"))
+        train.select(F.to_date("ts").alias("day"))
         .distinct()
         .select((F.expr("weekday(day)") + F.lit(1)).cast("long").alias("dow_iso"))
         .groupBy("dow_iso")
         .agg(F.count(F.lit(1)).alias("n_days"))
     )
     cells = (
-        ev_b.select(
+        train.select(
             "event_type",
             (F.expr("weekday(ts)") + F.lit(1)).cast("long").alias("dow_iso"),
             F.hour("ts").cast("long").alias("hod"),
@@ -228,7 +239,7 @@ def streaming_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.expr("weekday(ts)") + F.lit(1)).cast("long").alias("dow_iso"),
         F.hour("ts").cast("long").alias("hod"),
-    ).join(F.broadcast(base), ["event_type", "dow_iso", "hod"])
+    ).join(F.broadcast(base), ["event_type", "dow_iso", "hod"], "left")
     agg = enriched.groupBy(
         F.window("ts", "1 hour").alias("win"), "event_type"
     ).agg(
@@ -238,7 +249,8 @@ def streaming_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(agg)
     flag = (
-        F.when(F.col("n_events") * F.col("nd") > F.lit(2) * F.col("s"), "high")
+        F.when(F.col("s").isNull(), "novel")
+        .when(F.col("n_events") * F.col("nd") > F.lit(2) * F.col("s"), "high")
         .when(F.lit(2) * F.col("n_events") * F.col("nd") < F.col("s"), "low")
         .otherwise("normal")
     )
@@ -255,15 +267,19 @@ def streaming_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("win_start", "event_type")
 
 
-STREAMING_SEASONAL_SQL = """
-WITH days AS (
+STREAMING_SEASONAL_SQL = f"""
+WITH horizon AS (SELECT MAX(CAST(ts AS DATE)) AS hmax FROM events),
+train AS (
+  SELECT e.* FROM events e CROSS JOIN horizon
+  WHERE date_diff('day', CAST(ts AS DATE), hmax) >= {BACKTEST_DAYS}),
+days AS (
   SELECT isodow(day) AS dow_iso, COUNT(*) AS n_days
-  FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) t
+  FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM train) t
   GROUP BY 1),
 cells AS (
   SELECT event_type, isodow(ts) AS dow_iso, EXTRACT(hour FROM ts) AS hod,
          COUNT(*) AS s
-  FROM events GROUP BY 1, 2, 3),
+  FROM train GROUP BY 1, 2, 3),
 hourly AS (
   SELECT date_trunc('hour', ts) AS win_start, event_type,
          isodow(ts) AS dow_iso, EXTRACT(hour FROM ts) AS hod,
@@ -272,12 +288,13 @@ hourly AS (
 SELECT h.win_start, h.event_type, h.n AS n_events,
        CAST(FLOOR(CAST(c.s AS DOUBLE) / CAST(d.n_days AS DOUBLE) * 10000.0 + 0.5)
             AS DOUBLE) / 10000.0 AS baseline,
-       CASE WHEN h.n * d.n_days > 2 * c.s THEN 'high'
+       CASE WHEN c.s IS NULL THEN 'novel'
+            WHEN h.n * d.n_days > 2 * c.s THEN 'high'
             WHEN 2 * h.n * d.n_days < c.s THEN 'low'
             ELSE 'normal' END AS flag
 FROM hourly h
-JOIN cells c USING (event_type, dow_iso, hod)
-JOIN days d USING (dow_iso)
+LEFT JOIN cells c USING (event_type, dow_iso, hod)
+LEFT JOIN days d USING (dow_iso)
 ORDER BY win_start, event_type
 """
 

@@ -102,15 +102,22 @@ def streaming_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch probe against the static corpus index; verdicts are
     identical to the batch `minhash_delta_probe` — same columns, same
     values, same DuckDB oracle."""
+    import tempfile
+
     index = corpus_band_index(spark, sf_dir).localCheckpoint(eager=True)
     stream = stream_documents(spark, sf_dir).where(_is_delta())
-    collected: list = []
+    # Verdicts append to a scratch parquet dir inside each micro-batch —
+    # executor-side writes, nothing funnels through the driver (r4 verdict
+    # task 3 removed the collect() this adapter used to do). At 100 TB this
+    # IS the production sink shape: append to the verdict table, then read
+    # it back for downstream admission joins.
+    out_dir = tempfile.mkdtemp(prefix="novelty_verdicts_")
 
     def _sink(verdicts: DataFrame, batch_id: int) -> None:
-        collected.extend(verdicts.collect())
+        verdicts.write.mode("append").parquet(out_dir)
 
     run_novelty_probe(stream, index, _sink)
-    out = spark.createDataFrame(collected, VERDICT_SCHEMA)
+    out = spark.read.schema(VERDICT_SCHEMA).parquet(out_dir)
     return out.select(
         "doc_id",
         "n_corpus_matches",

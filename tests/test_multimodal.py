@@ -1,0 +1,112 @@
+"""Multimodal near-dup + BPE induction twins: brute-force / literal-Python
+reference implementations checked against the distributed operators."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+from data_pipeline_for_autonomous_vehicles_spark.operators import multimodal, text
+
+
+def _ph(payload: bytes) -> int:
+    """Literal re-statement of the stub perceptual hash."""
+    counts = [0] * multimodal.PHASH_BITS
+    for i in range(len(payload) - 3):
+        w = (
+            (payload[i] << 24)
+            | (payload[i + 1] << 16)
+            | (payload[i + 2] << 8)
+            | payload[i + 3]
+        )
+        counts[((w * multimodal._PHASH_KNUTH) % 4294967296) >> 27] += 1
+    v = 0
+    for j in range(multimodal.PHASH_BITS):
+        if counts[j] > counts[(j + 1) % multimodal.PHASH_BITS]:
+            v |= 1 << j
+    return v
+
+
+def test_media_near_dups_matches_bruteforce(spark, sf_dir):
+    """Banded-LSH pair set == all-pairs Hamming scan over driver-computed
+    fingerprints (recall is exact for Hamming ≤ PHASH_HAMMING_MAX by the
+    pigeonhole band argument; precision is exact by the verify step)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    fp = {}
+    for r in docs:
+        mt = ("image/png", "audio/wav", "video/mp4")[r["doc_id"] % 3]
+        fp[r["doc_id"]] = (mt, _ph(r["text"].encode("utf-8")))
+    ids = sorted(fp)
+    expect = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if fp[a][0] != fp[b][0]:
+                continue
+            h = bin(fp[a][1] ^ fp[b][1]).count("1")
+            if h <= multimodal.PHASH_HAMMING_MAX:
+                expect.add((fp[a][0], a, b, h))
+    got = {
+        (r["media_type"], r["media_a"], r["media_b"], r["hamming"])
+        for r in multimodal.media_near_dups(spark, sf_dir).collect()
+    }
+    # LSH may only lose pairs to the MAX_BUCKET cap; on this data no
+    # bucket overflows, so the sets must be identical.
+    assert got == expect
+    assert got  # the gate actually finds near-dups on the driver data
+
+
+def test_media_phash_empty_and_short_payloads(spark):
+    """Payloads shorter than one 4-byte shingle hash to 0 (no bits set)."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b""), "image/png"), (2, bytearray(b"abc"), "image/png")],
+        "media_id long, payload binary, media_type string",
+    )
+    out = {r["media_id"]: r["phash"] for r in multimodal.media_phash(df).collect()}
+    assert out == {1: 0, 2: 0}
+
+
+def _bpe_reference(docs: list[str], rounds: int) -> list[tuple[int, str, str, int]]:
+    """Literal BPE trainer (Sennrich 2016): word-frequency table, K rounds
+    of count-best-merge with leftmost-greedy application."""
+    vocab = Counter()
+    for t in docs:
+        for w in t.strip().lower().split():
+            if w:
+                vocab[w] += 1
+    reps = {w: list(w) for w in vocab}
+    out = []
+    for r in range(1, rounds + 1):
+        pairs = Counter()
+        for w, syms in reps.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += vocab[w]
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((r, a, b, n))
+        for w, syms in reps.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            reps[w] = merged
+    return out
+
+
+def test_bpe_merge_rounds_matches_reference(spark, sf_dir):
+    docs = [r["text"] for r in load_table(spark, sf_dir, "documents").select("text").collect()]
+    expect = _bpe_reference(docs, text.BPE_INDUCT_ROUNDS)
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["n"])
+        for r in text.bpe_merge_rounds(spark, sf_dir).collect()
+    ]
+    assert got == expect
+    # merge table invariant: the merged token is the concatenation and the
+    # first round agrees with the single-round candidate statistic
+    first = text.bpe_merge_candidates(spark, sf_dir).collect()[0]
+    assert expect[0][1] + expect[0][2] == first["pair"]
+    assert expect[0][3] == first["n"]

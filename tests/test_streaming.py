@@ -66,9 +66,12 @@ def test_streaming_seasonal_anomalies_flags_consistent(spark, sf_dir):
     n_events = load_table(spark, sf_dir, "events").count()
     assert sum(r["n_events"] for r in out) == n_events
     flags = {r["flag"] for r in out}
-    assert "normal" in flags and flags <= {"high", "low", "normal"}
+    assert "normal" in flags and flags <= {"high", "low", "normal", "novel"}
     assert flags != {"normal"}  # the gate actually fires on this data
     for r in out:
+        if r["flag"] == "novel":
+            assert r["baseline"] is None  # cell absent from the training window
+            continue
         ratio = r["n_events"] / r["baseline"]
         if r["flag"] == "high":
             assert ratio > 1.99
