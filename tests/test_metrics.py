@@ -196,3 +196,37 @@ def test_chart_frames_render_harness(spark, sf_dir):
     )
     assert len(frames["events_bar"]) == metrics.driving_event_counts(spark, sf_dir).count()
     dashboard.release(spark)
+
+
+def test_dashboard_app_contract_and_graceful_degrade(spark, sf_dir):
+    """The runnable Streamlit entry (scripts/dashboard_app.py) consumes
+    exactly the chart_frames payload — its REQUIRED_FRAME_KEYS must stay
+    in lockstep — and exits with a clear message (code 2) when streamlit
+    is absent, which is this container's documented state."""
+    import importlib.util
+    import subprocess
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "dashboard_app", "/root/repo/scripts/dashboard_app.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)  # import must not require streamlit
+
+    from data_pipeline_for_autonomous_vehicles_spark import dashboard
+
+    frames = dashboard.chart_frames(spark, sf_dir)
+    assert mod.REQUIRED_FRAME_KEYS == set(frames)
+    dashboard.release(spark)
+
+    try:
+        import streamlit  # noqa: F401
+    except ImportError:
+        proc = subprocess.run(
+            [_sys.executable, "/root/repo/scripts/dashboard_app.py"],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        assert proc.returncode == 2
+        assert "streamlit" in proc.stderr
