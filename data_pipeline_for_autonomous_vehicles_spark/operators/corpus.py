@@ -15,6 +15,10 @@ C4- and Gopher-style corpus filtering:
   else in the corpus (the within-corpus exact-substring dedup signal).
 * `token_entropy` — per-document Shannon entropy of the unigram
   distribution (low entropy ⇒ repetitive/low-information text).
+* `substring_dup_spans` — the SLIDING-window (stride 1) cross-document
+  twin of `passage_dedup_stats`: catches duplicated spans at any offset
+  and reports the longest duplicated span per doc (the distributable
+  ExactSubstr-dedup signal, Lee et al. 2021).
 
 Scale notes. All three are explode → hash-aggregate shapes: the unit of
 shuffle is a (doc_id, token/passage-digest) pair, partial aggregation is
@@ -206,6 +210,111 @@ SELECT doc_id,
 FROM wins JOIN total USING (digest)
 GROUP BY doc_id
 ORDER BY doc_id
+"""
+
+
+# --- sliding-window cross-doc substring spans --------------------------------
+
+
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplication at SLIDING 8-token
+    granularity — the distributable analogue of suffix-array ExactSubstr
+    dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better"): `passage_dedup_stats`' disjoint passages miss a
+    duplicated span that straddles a passage boundary or starts at any
+    offset ≢ 0 (mod 8); stride-1 windows catch every ≥8-token exact
+    overlap. Per document: window count, how many windows also occur in
+    at least one OTHER document (cross-doc only — within-doc repetition is
+    `repetition_ratios`' signal), the duplicated share, and the longest
+    duplicated span in tokens (consecutive dup-window run + W − 1 — the
+    number ExactSubstr would cut).
+
+    Scale (100 TB): stride-1 windows are the same row volume MinHash
+    shingling already shuffles; the cross-doc test is a hash-aggregate on
+    the 32-char digest (COUNT DISTINCT doc_id) — **no pairwise join at
+    all**, so no bucket caps are needed; the run/island detection windows
+    partition by doc_id (bounded by document length, never data-sized).
+    """
+    docs = _nonempty(load_table(spark, sf_dir, "documents"))
+    w = PASSAGE_TOKENS
+    wins_expr = F.expr(
+        f"transform(sequence(1, size(toks) - {w} + 1), "
+        f"i -> md5(array_join(slice(toks, i, {w}), ' ')))"
+    )
+    wins = (
+        docs.select("doc_id", _toks().alias("toks"))
+        .filter(F.size("toks") >= w)
+        .select("doc_id", F.posexplode(wins_expr).alias("pos", "digest"))
+    )
+    nd = wins.groupBy("digest").agg(F.count_distinct("doc_id").alias("nd"))
+    flagged = wins.join(nd, "digest").select(
+        "doc_id", "pos", (F.col("nd") >= 2).alias("dup")
+    )
+    per = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup_windows"),
+    )
+    from pyspark.sql import Window
+
+    runw = Window.partitionBy("doc_id").orderBy("pos")
+    longest = (
+        flagged.filter(F.col("dup"))
+        .withColumn("grp", F.col("pos") - F.row_number().over(runw))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("doc_id")
+        .agg(F.max("run").alias("max_run"))
+    )
+    return (
+        per.join(longest, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            round_half_up(
+                F.col("n_dup_windows").cast("double")
+                / F.col("n_windows").cast("double"),
+                4,
+            ).alias("dup_share"),
+            F.coalesce(F.col("max_run") + F.lit(w - 1), F.lit(0))
+            .cast("long")
+            .alias("longest_dup_span"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SUBSTRING_SPANS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, toks
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE trim(text) <> '') t
+  WHERE len(toks) >= {PASSAGE_TOKENS}),
+wins AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         md5(array_to_string(toks[i : i + {PASSAGE_TOKENS} - 1], ' ')) AS digest
+  FROM base, LATERAL unnest(range(1, len(toks) - {PASSAGE_TOKENS} + 2)) u(i)),
+nd AS (SELECT digest, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY digest),
+flagged AS (
+  SELECT w.doc_id, w.pos, (n.nd >= 2) AS dup
+  FROM wins w JOIN nd n USING (digest)),
+per AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+  FROM flagged GROUP BY doc_id),
+runs AS (
+  SELECT doc_id, grp, COUNT(*) AS run
+  FROM (SELECT doc_id,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM flagged WHERE dup) r
+  GROUP BY doc_id, grp),
+longest AS (SELECT doc_id, MAX(run) AS max_run FROM runs GROUP BY doc_id)
+SELECT p.doc_id, p.n_windows, p.n_dup_windows,
+       {sql_round_half_up('CAST(p.n_dup_windows AS DOUBLE) / CAST(p.n_windows AS DOUBLE)', 4)}
+         AS dup_share,
+       CAST(COALESCE(l.max_run + {PASSAGE_TOKENS} - 1, 0) AS BIGINT) AS longest_dup_span
+FROM per p LEFT JOIN longest l USING (doc_id)
+ORDER BY p.doc_id
 """
 
 
@@ -709,6 +818,7 @@ QUERIES = {
     "mixture_temperature_weights": mixture_temperature_weights,
     "repetition_ratios": repetition_ratios,
     "passage_dedup_stats": passage_dedup_stats,
+    "substring_dup_spans": substring_dup_spans,
     "token_entropy": token_entropy,
     "source_dedup_overlap": source_dedup_overlap,
     "lang_confusion_matrix": lang_confusion_matrix,
@@ -721,6 +831,7 @@ ORACLES = {
     "mixture_temperature_weights": _MIXTURE_SQL,
     "repetition_ratios": _REPETITION_SQL,
     "passage_dedup_stats": _PASSAGE_SQL,
+    "substring_dup_spans": _SUBSTRING_SPANS_SQL,
     "token_entropy": _ENTROPY_SQL,
     "source_dedup_overlap": _SOURCE_OVERLAP_SQL,
     "lang_confusion_matrix": _sql_lang_confusion(),

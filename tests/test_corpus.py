@@ -225,3 +225,42 @@ def test_curation_funnel_monotone_and_partitions(spark, sf_dir):
             >= r["n_fluent"]
             >= 0
         )
+
+
+def test_substring_dup_spans_matches_bruteforce(spark, sf_dir):
+    """Sliding-window cross-doc dup stats equal a literal Python recount,
+    including the longest-consecutive-run span arithmetic."""
+    from collections import defaultdict
+
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        PASSAGE_TOKENS as W,
+        substring_dup_spans,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].strip().lower().split()
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r["text"].strip()
+    }
+    owners = defaultdict(set)
+    for did, toks in docs.items():
+        for i in range(len(toks) - W + 1):
+            owners[" ".join(toks[i : i + W])].add(did)
+    expect = {}
+    for did, toks in docs.items():
+        n = len(toks) - W + 1
+        if n < 1:
+            continue
+        dup = [len(owners[" ".join(toks[i : i + W])]) >= 2 for i in range(n)]
+        best = run = 0
+        for d in dup:
+            run = run + 1 if d else 0
+            best = max(best, run)
+        expect[did] = (n, sum(dup), (best + W - 1) if best else 0)
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["longest_dup_span"])
+        for r in substring_dup_spans(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(v[1] > 0 for v in got.values())  # the signal fires on driver data
