@@ -250,23 +250,29 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = wins.join(nd, "digest").select(
         "doc_id", "pos", (F.col("nd") >= 2).alias("dup")
     )
-    per = flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_windows"),
-        F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup_windows"),
-    )
     from pyspark.sql import Window
 
+    # single pass over the flagged windows: a running count of dup rows
+    # turns consecutive dup positions into one island key (pos − rank),
+    # non-dup rows share the NULL island — so ONE (doc, island) aggregate
+    # yields window counts, dup counts, and run lengths together, and the
+    # digest join above executes once (the two-branch version re-ran it)
     runw = Window.partitionBy("doc_id").orderBy("pos")
-    longest = (
-        flagged.filter(F.col("dup"))
-        .withColumn("grp", F.col("pos") - F.row_number().over(runw))
+    rn_dup = F.sum(F.when(F.col("dup"), 1).otherwise(0)).over(runw)
+    cells = (
+        flagged.withColumn("grp", F.when(F.col("dup"), F.col("pos") - rn_dup))
         .groupBy("doc_id", "grp")
-        .agg(F.count(F.lit(1)).alias("run"))
-        .groupBy("doc_id")
-        .agg(F.max("run").alias("max_run"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return (
-        per.join(longest, "doc_id", "left")
+        cells.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("grp").isNotNull(), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.max(F.when(F.col("grp").isNotNull(), F.col("cnt"))).alias("max_run"),
+        )
         .select(
             "doc_id",
             "n_windows",
@@ -297,24 +303,26 @@ nd AS (SELECT digest, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY digest),
 flagged AS (
   SELECT w.doc_id, w.pos, (n.nd >= 2) AS dup
   FROM wins w JOIN nd n USING (digest)),
+cells AS (
+  SELECT doc_id, grp, COUNT(*) AS cnt
+  FROM (SELECT doc_id,
+               CASE WHEN dup THEN pos - SUM(CASE WHEN dup THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY pos) END AS grp
+        FROM flagged) r
+  GROUP BY doc_id, grp),
 per AS (
   SELECT doc_id,
-         CAST(COUNT(*) AS BIGINT) AS n_windows,
-         CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
-  FROM flagged GROUP BY doc_id),
-runs AS (
-  SELECT doc_id, grp, COUNT(*) AS run
-  FROM (SELECT doc_id,
-               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        FROM flagged WHERE dup) r
-  GROUP BY doc_id, grp),
-longest AS (SELECT doc_id, MAX(run) AS max_run FROM runs GROUP BY doc_id)
-SELECT p.doc_id, p.n_windows, p.n_dup_windows,
-       {sql_round_half_up('CAST(p.n_dup_windows AS DOUBLE) / CAST(p.n_windows AS DOUBLE)', 4)}
+         CAST(SUM(cnt) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN grp IS NOT NULL THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_dup_windows,
+         MAX(CASE WHEN grp IS NOT NULL THEN cnt END) AS max_run
+  FROM cells GROUP BY doc_id)
+SELECT doc_id, n_windows, n_dup_windows,
+       {sql_round_half_up('CAST(n_dup_windows AS DOUBLE) / CAST(n_windows AS DOUBLE)', 4)}
          AS dup_share,
-       CAST(COALESCE(l.max_run + {PASSAGE_TOKENS} - 1, 0) AS BIGINT) AS longest_dup_span
-FROM per p LEFT JOIN longest l USING (doc_id)
-ORDER BY p.doc_id
+       CAST(COALESCE(max_run + {PASSAGE_TOKENS} - 1, 0) AS BIGINT) AS longest_dup_span
+FROM per
+ORDER BY doc_id
 """
 
 
