@@ -15,10 +15,13 @@ FK-consistent 10x replica of sf0.1 (tools/scale_data.py; generated on
 first use at /tmp/sf_scaled_10x, or /root/testdata/sf1 if the driver ever
 materializes it). At sf0.1 the 0.3-0.7 s plan-submit floor and this
 microVM's 42-75 s identical-code noise band hid real regressions; at ~sf1
-per-query times are ~10x better separated. BASELINE.md carries the sf1
-anchor band (~310-380 s for this 64-query set). ``python bench.py sf0.1``
-still runs the legacy sf0.1 measurement for cross-round comparability
-with rounds 1-4.
+per-query times are ~10x better separated. BASELINE.md carries THIS
+mode's anchor: ~115-130 s for the 64-query set (round-5 calm-run pair
+119.3/128.8 s; 2x gate <= 260 s). Do NOT compare against the 310-380 s
+band in BASELINE.md's round-4 section — that came from the
+tools/time_sweep.py full-collect single-run estimator, ~2.5x slower by
+construction. ``python bench.py sf0.1`` still runs the legacy sf0.1
+measurement for cross-round comparability with rounds 1-4.
 """
 
 from __future__ import annotations
@@ -119,6 +122,8 @@ def _resolve_sf_dir() -> tuple[str, str]:
         return "/root/testdata/sf0.1", "0.1"
     env = os.environ.get("SPARK_GRAFT_SF_DIR")
     if env:
+        if env.rstrip("/") == SF1_REPLICA:  # the replica path is ~sf1
+            return env, "1"
         return env, env.rstrip("/").rsplit("sf", 1)[-1]
     if os.path.isdir("/root/testdata/sf1"):
         return "/root/testdata/sf1", "1"

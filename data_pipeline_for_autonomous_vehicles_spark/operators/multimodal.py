@@ -270,7 +270,13 @@ ORDER BY media_type
 # one identical band — same recall guarantee as `simhash_hamming_pairs`
 # (dedup.py:1050), reapplied to the media decode path. All-integer bit
 # derivation (count_j > count_next), so the Python decoder and the ANSI
-# oracle agree bit-for-bit with no float hazard.
+# oracle agree bit-for-bit with no float hazard. The oracle shingles
+# CHARACTERS (unicode codepoints) while the decoder shingles UTF-8
+# BYTES — identical because the driver documents are pure ASCII
+# (octet_length == length at every SF, the same verified assumption
+# `media_feature_bins` rests on); non-ASCII payloads would need a
+# byte-level oracle (and codepoints >= 0x800 would overflow the BIGINT
+# product), so the parity check is scoped to ASCII corpora by design.
 PHASH_BITS = 32
 PHASH_BAND_BITS = 8
 PHASH_N_BANDS = PHASH_BITS // PHASH_BAND_BITS

@@ -102,6 +102,8 @@ def streaming_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch probe against the static corpus index; verdicts are
     identical to the batch `minhash_delta_probe` — same columns, same
     values, same DuckDB oracle."""
+    import atexit
+    import shutil
     import tempfile
 
     index = corpus_band_index(spark, sf_dir).localCheckpoint(eager=True)
@@ -110,8 +112,12 @@ def streaming_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # executor-side writes, nothing funnels through the driver (r4 verdict
     # task 3 removed the collect() this adapter used to do). At 100 TB this
     # IS the production sink shape: append to the verdict table, then read
-    # it back for downstream admission joins.
+    # it back for downstream admission joins. The scratch dir must outlive
+    # this call (the returned DataFrame reads it lazily), so cleanup is
+    # process-exit scoped — repeated sweeps in one process don't pile up
+    # dirs past the process lifetime.
     out_dir = tempfile.mkdtemp(prefix="novelty_verdicts_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
 
     def _sink(verdicts: DataFrame, batch_id: int) -> None:
         verdicts.write.mode("append").parquet(out_dir)

@@ -82,7 +82,9 @@ def main() -> int:
     except ImportError:
         px = go = None
 
-    sys.path.insert(0, __file__.rsplit("/scripts/", 1)[0])
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from data_pipeline_for_autonomous_vehicles_spark.dashboard import chart_frames, release
     from data_pipeline_for_autonomous_vehicles_spark.operators import metrics
     from data_pipeline_for_autonomous_vehicles_spark.session import get_spark

@@ -86,11 +86,12 @@ def main() -> int:
 
     expect_keys = n_batch  # every distinct event_id becomes a state row
     ok_state = state_rows_max >= expect_keys
+    # Spark's RocksDB custom metric names: rocksdbSstFileSize,
+    # rocksdbTotalMemoryUsageBytes, rocksdbPinnedBlocksMemoryUsage, ...
     rocks_metrics = {
         k: v
         for k, v in custom.items()
-        if "rocksdb" in k.lower()
-        and ("SstFileSize" in k or "MemoryUsage" in k.lower() or "TotalMemUsageBytes" in k)
+        if "sstfilesize" in k.lower() or "memoryusage" in k.lower()
     }
     ok_rocks = any("rocksdb" in k.lower() for k in custom)
     ok_semantics = n_stream == n_batch
