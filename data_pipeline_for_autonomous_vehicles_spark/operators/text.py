@@ -924,13 +924,25 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same guard as PageRank / MMR — the vocab feeds both the pair count
     and the merge each round).
     """
+    _, rounds = _bpe_induct(spark, sf_dir)
+    out = rounds[0]
+    for frame in rounds[1:]:
+        out = out.unionByName(frame)
+    return out.orderBy("round")
+
+
+def _bpe_induct(spark: SparkSession, sf_dir: str):
+    """Shared K-round BPE induction: returns (final vocab (word, syms, wn)
+    with ALL K merges applied, [per-round 1-row merge frames]). The merge
+    table feeds `bpe_merge_rounds`; the merged vocab is the induced
+    tokenizer `bpe_compression_by_lang` applies back to the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(_tokens()).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wn"))
-        .select(F.split("word", "").alias("syms"), "wn")
+        .select("word", F.split("word", "").alias("syms"), "wn")
         .localCheckpoint(eager=True)
     )
     merge_expr = F.expr(
@@ -970,20 +982,59 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n",
             )
         )
-        if r < BPE_INDUCT_ROUNDS:
-            vocab = (
-                vocab.crossJoin(
-                    F.broadcast(
-                        best.select(F.col("a").alias("pa"), F.col("b").alias("pb"))
-                    )
+        vocab = (
+            vocab.crossJoin(
+                F.broadcast(
+                    best.select(F.col("a").alias("pa"), F.col("b").alias("pb"))
                 )
-                .select(merge_expr.alias("syms"), "wn")
-                .localCheckpoint(eager=True)
             )
-    out = rounds[0]
-    for frame in rounds[1:]:
-        out = out.unionByName(frame)
-    return out.orderBy("round")
+            .select("word", merge_expr.alias("syms"), "wn")
+            .localCheckpoint(eager=True)
+        )
+    return vocab, rounds
+
+
+def bpe_compression_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the induced BPE merge table back to the corpus: per declared
+    language, word/char/symbol totals under the K-merge vocabulary and the
+    two efficiency ratios (symbols per word, chars per symbol) — the
+    post-induction twin of `tokenizer_fertility_by_lang` (which proxies
+    with a fixed regex lexer): did the merges actually buy compression,
+    and for which languages?
+
+    Scale (100 TB): tokenization-by-lookup — the merged vocab is a
+    |vocab|-row broadcast (word → symbol count), so the corpus pass is a
+    per-row explode + broadcast hash join + |langs|-cell agg; the corpus
+    text never shuffles and the fold never re-runs per occurrence.
+    """
+    vocab, _ = _bpe_induct(spark, sf_dir)
+    lut = vocab.select(
+        "word",
+        F.size("syms").alias("n_syms"),
+        F.length("word").alias("n_chars_w"),
+    )
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.explode(_tokens()).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    agg = words.join(F.broadcast(lut), "word").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_chars_w").cast("long").alias("n_chars"),
+        F.sum("n_syms").cast("long").alias("n_symbols"),
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_chars",
+        "n_symbols",
+        round_half_up(
+            F.col("n_symbols").cast("double") / F.col("n_words").cast("double"), 4
+        ).alias("symbols_per_word"),
+        round_half_up(
+            F.col("n_chars").cast("double") / F.col("n_symbols").cast("double"), 4
+        ).alias("chars_per_symbol"),
+    ).orderBy("lang")
 
 
 # DuckDB twin: the K rounds unroll into K materialized CTE stages (the
@@ -996,11 +1047,13 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_SEP = "\x1f"  # U+001F unit separator: absent from the corpus by design
 
 
-def _sql_bpe_merge_rounds() -> str:
+def _sql_bpe_chain() -> str:
+    """The shared induction CTE chain: v0..v{K} carry (word, rep, wn) with
+    merges 1..r applied in vr; b1..b{K} are the per-round winning pairs."""
     s = _BPE_SEP
     ctes = [
         f"""v0 AS MATERIALIZED (
-  SELECT regexp_replace(word, '(.)', '{s}\\1{s}', 'g') AS rep, COUNT(*) AS wn
+  SELECT word, regexp_replace(word, '(.)', '{s}\\1{s}', 'g') AS rep, COUNT(*) AS wn
   FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents) w
   WHERE word <> ''
   GROUP BY word)"""
@@ -1017,18 +1070,50 @@ def _sql_bpe_merge_rounds() -> str:
             f"""b{r} AS MATERIALIZED (
   SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1)"""
         )
-        if r < BPE_INDUCT_ROUNDS:
-            ctes.append(
-                f"""v{r} AS MATERIALIZED (
-  SELECT replace(rep, '{s}' || bk.a || '{s}{s}' || bk.b || '{s}',
+        ctes.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT word, replace(rep, '{s}' || bk.a || '{s}{s}' || bk.b || '{s}',
                  '{s}' || bk.a || bk.b || '{s}') AS rep, wn
   FROM v{r - 1} CROSS JOIN b{r} bk)"""
-            )
+        )
+    return ",\n".join(ctes)
+
+
+def _sql_bpe_merge_rounds() -> str:
     unions = "\nUNION ALL ".join(
         f"SELECT {r} AS round, a AS left_sym, b AS right_sym, a || b AS merged, n FROM b{r}"
         for r in range(1, BPE_INDUCT_ROUNDS + 1)
     )
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM (\n{unions})\nORDER BY round"
+    return (
+        "WITH " + _sql_bpe_chain() + f"\nSELECT * FROM (\n{unions})\nORDER BY round"
+    )
+
+
+def _sql_bpe_compression() -> str:
+    s = _BPE_SEP
+    k = BPE_INDUCT_ROUNDS
+    return f"""
+WITH {_sql_bpe_chain()},
+lut AS (
+  SELECT word, len(string_split(trim(rep, '{s}'), '{s}{s}')) AS n_syms,
+         length(word) AS n_chars_w
+  FROM v{k}),
+w AS (
+  SELECT lang, unnest({_SQL_TOKENS}) AS word FROM documents),
+j AS (
+  SELECT lang, n_syms, n_chars_w FROM w JOIN lut USING (word) WHERE word <> '')
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_chars_w) AS BIGINT) AS n_chars,
+       CAST(SUM(n_syms) AS BIGINT) AS n_symbols,
+       {sql_round_half_up('CAST(SUM(n_syms) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)', 4)}
+         AS symbols_per_word,
+       {sql_round_half_up('CAST(SUM(n_chars_w) AS DOUBLE) / CAST(SUM(n_syms) AS DOUBLE)', 4)}
+         AS chars_per_symbol
+FROM j
+GROUP BY lang
+ORDER BY lang
+"""
 
 
 # --- collocation mining --------------------------------------------------------
@@ -1348,6 +1433,7 @@ QUERIES = {
     "tokenizer_fertility_by_lang": tokenizer_fertility_by_lang,
     "bpe_merge_candidates": bpe_merge_candidates,
     "bpe_merge_rounds": bpe_merge_rounds,
+    "bpe_compression_by_lang": bpe_compression_by_lang,
     "training_shards": training_shards,
     "oov_rate_report": oov_rate_report,
     "token_collocations": token_collocations,
@@ -1373,6 +1459,7 @@ ORACLES = {
     "tokenizer_fertility_by_lang": _FERTILITY_SQL,
     "bpe_merge_candidates": _BPE_MERGE_SQL,
     "bpe_merge_rounds": _sql_bpe_merge_rounds(),
+    "bpe_compression_by_lang": _sql_bpe_compression(),
     "training_shards": _SHARDS_SQL,
     "oov_rate_report": _OOV_SQL,
     "token_collocations": _COLLOC_SQL,

@@ -110,3 +110,48 @@ def test_bpe_merge_rounds_matches_reference(spark, sf_dir):
     first = text.bpe_merge_candidates(spark, sf_dir).collect()[0]
     assert expect[0][1] + expect[0][2] == first["pair"]
     assert expect[0][3] == first["n"]
+
+
+def test_bpe_compression_matches_reference(spark, sf_dir):
+    """Per-language compression under the induced vocab equals a literal
+    re-application of the reference trainer's final merge state."""
+    rows = load_table(spark, sf_dir, "documents").select("lang", "text").collect()
+    vocab = Counter()
+    for r in rows:
+        for w in r["text"].strip().lower().split():
+            if w:
+                vocab[w] += 1
+    reps = {w: list(w) for w in vocab}
+    for _ in range(text.BPE_INDUCT_ROUNDS):
+        pairs = Counter()
+        for w, syms in reps.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += vocab[w]
+        if not pairs:
+            break
+        (a, b), _n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in reps.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            reps[w] = merged
+    expect = {}
+    for r in rows:
+        lang = r["lang"]
+        for w in r["text"].strip().lower().split():
+            if not w:
+                continue
+            n_words, n_chars, n_syms = expect.get(lang, (0, 0, 0))
+            expect[lang] = (n_words + 1, n_chars + len(w), n_syms + len(reps[w]))
+    got = {
+        r["lang"]: (r["n_words"], r["n_chars"], r["n_symbols"])
+        for r in text.bpe_compression_by_lang(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the merges must actually compress: fewer symbols than characters
+    assert all(g[2] < g[1] for g in got.values())
