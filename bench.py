@@ -114,12 +114,30 @@ SF1_REPLICA = "/tmp/sf_scaled_10x"
 
 
 def _resolve_sf_dir() -> tuple[str, str]:
-    """(sf_dir, sf_label). Precedence: explicit `sf0.1` argv (legacy
-    rounds-1-4 scale) -> sf0.1; $SPARK_GRAFT_SF_DIR; /root/testdata/sf1
-    if the driver ever materializes it; else the ~sf1 default (the 10x
-    replica, generated on first use)."""
-    if len(sys.argv) > 1 and sys.argv[1] in ("sf0.1", "sf01"):
-        return "/root/testdata/sf0.1", "0.1"
+    """(sf_dir, sf_label). Precedence: explicit argv (`sf0.1`/`sf01` ->
+    legacy rounds-1-4 scale; `sf1` -> the ~sf1 replica; anything else is
+    an error, never silently ignored); $SPARK_GRAFT_SF_DIR;
+    /root/testdata/sf1 if the driver ever materializes it; else the ~sf1
+    default (the 10x replica, generated on first use)."""
+    if len(sys.argv) > 1:
+        arg = sys.argv[1]
+        if arg in ("sf0.1", "sf01"):
+            return "/root/testdata/sf0.1", "0.1"
+        if arg == "sf1":
+            # explicit sf1 request: beats $SPARK_GRAFT_SF_DIR (the driver
+            # pins that to sf0.1 — an explicit argv must not be silently
+            # overridden by the env)
+            if os.path.isdir("/root/testdata/sf1"):
+                return "/root/testdata/sf1", "1"
+            if not os.path.isdir(SF1_REPLICA):
+                from tools.scale_data import scale
+
+                sys.stderr.write(f"generating {SF1_REPLICA} (10x of sf0.1)...\n")
+                scale(10, "/root/testdata/sf0.1", SF1_REPLICA)
+            return SF1_REPLICA, "1"
+        raise SystemExit(
+            f"bench.py: unrecognized scale argv {arg!r} (expected sf0.1, sf01, or sf1)"
+        )
     env = os.environ.get("SPARK_GRAFT_SF_DIR")
     if env:
         if env.rstrip("/") == SF1_REPLICA:  # the replica path is ~sf1

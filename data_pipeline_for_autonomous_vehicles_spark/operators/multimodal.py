@@ -292,21 +292,25 @@ def media_phash(media: DataFrame) -> DataFrame:
     schema = "media_id long, media_type string, phash long"
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        bit_weights = np.uint64(1) << np.arange(PHASH_BITS, dtype=np.uint64)
+
         def ph(payload: bytes) -> int:
-            counts = [0] * PHASH_BITS
-            for i in range(len(payload) - 3):
-                w = (
-                    (payload[i] << 24)
-                    | (payload[i + 1] << 16)
-                    | (payload[i + 2] << 8)
-                    | payload[i + 3]
+            # numpy sliding-window over the byte array (round-6 verdict
+            # task: the former per-byte Python loop was the decode-pass
+            # bottleneck). uint32 arithmetic wraps mod 2^32, exactly the
+            # scalar `(w * KNUTH) % 4294967296`; bit-identical output.
+            a = np.frombuffer(payload, dtype=np.uint8).astype(np.uint32)
+            if a.size >= 4:
+                w = (a[:-3] << 24) | (a[1:-2] << 16) | (a[2:-1] << 8) | a[3:]
+                counts = np.bincount(
+                    (w * np.uint32(_PHASH_KNUTH)) >> 27, minlength=PHASH_BITS
                 )
-                counts[((w * _PHASH_KNUTH) % 4294967296) >> 27] += 1
-            v = 0
-            for j in range(PHASH_BITS):
-                if counts[j] > counts[(j + 1) % PHASH_BITS]:
-                    v |= 1 << j
-            return v
+            else:
+                counts = np.zeros(PHASH_BITS, dtype=np.int64)
+            bits = counts > np.roll(counts, -1)
+            return int(bit_weights[bits].sum())
 
         for pdf in batches:
             yield pd.DataFrame(

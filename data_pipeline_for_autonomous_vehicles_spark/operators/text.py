@@ -925,6 +925,11 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the merge each round).
     """
     _, rounds = _bpe_induct(spark, sf_dir)
+    if not rounds:
+        # No multi-symbol words at all — zero merge rules, empty table.
+        return spark.createDataFrame(
+            [], "round INT, left_sym STRING, right_sym STRING, merged STRING, n LONG"
+        )
     out = rounds[0]
     for frame in rounds[1:]:
         out = out.unionByName(frame)
@@ -973,6 +978,13 @@ def _bpe_induct(spark: SparkSession, sf_dir: str):
         best = (
             pairs.orderBy(F.desc("n"), "a", "b").limit(1).localCheckpoint(eager=True)
         )
+        if best.isEmpty():
+            # Pair table dry (corpus fully merged / all single-symbol words):
+            # the reference trainer breaks and keeps the last vocab. The vocab
+            # is unchanged from here on, so every later round would also be
+            # dry — stop emitting merges. Mirrors the oracle's LEFT JOIN
+            # no-op fallback in _sql_bpe_chain.
+            break
         rounds.append(
             best.select(
                 F.lit(r).alias("round"),
@@ -1071,10 +1083,16 @@ def _sql_bpe_chain() -> str:
   SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1)"""
         )
         ctes.append(
+            # LEFT JOIN ON TRUE (not CROSS JOIN): an empty b{r} (pair table
+            # dry) must leave the vocab UNCHANGED — the reference trainer
+            # breaks and keeps the last state — not empty it permanently.
             f"""v{r} AS MATERIALIZED (
-  SELECT word, replace(rep, '{s}' || bk.a || '{s}{s}' || bk.b || '{s}',
-                 '{s}' || bk.a || bk.b || '{s}') AS rep, wn
-  FROM v{r - 1} CROSS JOIN b{r} bk)"""
+  SELECT word,
+         CASE WHEN bk.a IS NULL THEN rep
+              ELSE replace(rep, '{s}' || bk.a || '{s}{s}' || bk.b || '{s}',
+                     '{s}' || bk.a || bk.b || '{s}') END AS rep,
+         wn
+  FROM v{r - 1} LEFT JOIN b{r} bk ON TRUE)"""
         )
     return ",\n".join(ctes)
 

@@ -114,7 +114,15 @@ def main() -> int:
 
     vehicle_id = None if selected_vehicle == "All" else int(selected_vehicle)
     frames = chart_frames(spark, args.sf_dir, hours=hours, vehicle_id=vehicle_id)
-    assert REQUIRED_FRAME_KEYS <= set(frames)
+    missing_keys = REQUIRED_FRAME_KEYS - set(frames)
+    if missing_keys:
+        # Explicit check (not `assert`, which -O strips): surface a readable
+        # page error naming the drifted keys instead of a bare traceback.
+        st.error(
+            "chart_frames payload contract drifted — missing keys: "
+            + ", ".join(sorted(missing_keys))
+        )
+        st.stop()
 
     # KPI row (reference :74-87)
     kpis = frames["kpis"]

@@ -155,3 +155,63 @@ def test_bpe_compression_matches_reference(spark, sf_dir):
     assert got == expect
     # the merges must actually compress: fewer symbols than characters
     assert all(g[2] < g[1] for g in got.values())
+
+
+def _write_docs(spark, tmp_path, rows):
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+    return d
+
+
+def _duck_docs(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+def test_bpe_dry_round_keeps_vocab(spark, tmp_path):
+    """Round-5 ADVICE: a round whose pair table is empty (all words fully
+    merged / single-char) must keep the prior vocab — like the reference
+    trainer's break — not crossJoin it away to nothing. The corpus dries
+    after ONE merge ('aa' -> 1 symbol), well before BPE_INDUCT_ROUNDS."""
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [(0, "aa aa b c", "en", "s", 9), (1, "aa d e", "en", "s", 6)],
+    )
+    merges = text.bpe_merge_rounds(spark, d).collect()
+    assert [(r["round"], r["merged"], r["n"]) for r in merges] == [(1, "aa", 3)]
+    comp = {r["lang"]: r for r in text.bpe_compression_by_lang(spark, d).collect()}
+    # vocab survived the dry rounds: 7 words, 'aa' x3 is 1 symbol each
+    assert comp["en"]["n_words"] == 7
+    assert comp["en"]["n_chars"] == 10
+    assert comp["en"]["n_symbols"] == 7
+    # the oracle CTE chain (LEFT JOIN fallback) agrees on the same data
+    con = _duck_docs(d)
+    assert con.execute(text._sql_bpe_merge_rounds()).fetchall() == [
+        (1, "a", "a", "aa", 3)
+    ]
+    got = con.execute(text._sql_bpe_compression()).fetchall()
+    assert [(r[0], r[1], r[2], r[3]) for r in got] == [("en", 7, 10, 7)]
+
+
+def test_bpe_dry_from_round_one(spark, tmp_path):
+    """All single-char words: zero merges, and compression reduces to the
+    identity tokenization (one symbol per char) instead of zero rows."""
+    d = _write_docs(spark, tmp_path, [(0, "a b c a", "en", "s", 7)])
+    assert text.bpe_merge_rounds(spark, d).collect() == []
+    comp = text.bpe_compression_by_lang(spark, d).collect()
+    assert [(r["lang"], r["n_words"], r["n_chars"], r["n_symbols"]) for r in comp] == [
+        ("en", 4, 4, 4)
+    ]
+    con = _duck_docs(d)
+    assert con.execute(text._sql_bpe_merge_rounds()).fetchall() == []
+    got = con.execute(text._sql_bpe_compression()).fetchall()
+    assert [(r[0], r[1], r[2], r[3]) for r in got] == [("en", 4, 4, 4)]

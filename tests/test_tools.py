@@ -124,6 +124,24 @@ def test_bench_sf_dir_resolution(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", bench.SF1_REPLICA)
     assert bench._resolve_sf_dir() == (bench.SF1_REPLICA, "1")
 
+    # explicit `sf1` argv beats the env pin (round-5 ADVICE: it used to
+    # fall through silently and benchmark whatever the env pointed at)
+    monkeypatch.setattr(_sys, "argv", ["bench.py", "sf1"])
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import os as _os
+
+    if _os.path.isdir(bench.SF1_REPLICA) or _os.path.isdir("/root/testdata/sf1"):
+        assert bench._resolve_sf_dir()[1] == "1"
+
+    # unrecognized argv errors instead of being silently ignored
+    monkeypatch.setattr(_sys, "argv", ["bench.py", "sf5"])
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        bench._resolve_sf_dir()
+
+    monkeypatch.setattr(_sys, "argv", ["bench.py"])
+
     monkeypatch.delenv("SPARK_GRAFT_SF_DIR")
     # default resolves to an sf1-scale dir (driver sf1 if present, else
     # the replica — which this assertion must not trigger generating)

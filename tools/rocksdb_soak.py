@@ -15,6 +15,8 @@ Asserts, from the StreamingQuery progress telemetry:
     completion (the state really went through RocksDB);
   - RocksDB custom metrics are present and non-trivial
     (rocksdbSstFileSize / memory usage counters exist in customMetrics);
+  - state actually reached disk: max observed SST file size > 0 (the
+    write buffer is shrunk to 1 MB so the ~1M-key load forces flushes);
   - dedup semantics hold: distinct event count == the batch COUNT(*).
 
 Prints one JSON line with wall time + state metrics; SCALE.md records the
@@ -47,6 +49,13 @@ def main() -> int:
     spark = get_spark("rocksdb_soak", rocksdb_state_store=True)
     provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
     assert "RocksDBStateStoreProvider" in provider, provider
+    # Round-6 verdict task: the SSD-backed claim must rest on OBSERVED SST
+    # files, not configuration. 1M narrow keys fit RocksDB's default 64 MB
+    # memtable, so nothing ever flushed; shrink the write buffer so the
+    # soak's ~1M-key insert load forces memtable -> SST flushes, making
+    # rocksdbSstFileSize a real disk observation.
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB", "1")
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber", "2")
 
     n_batch = (
         spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -80,7 +89,15 @@ def main() -> int:
         for op in p.get("stateOperators", []):
             state_rows_max = max(state_rows_max, op.get("numRowsTotal", 0) or 0)
             if op.get("customMetrics"):
-                custom = op["customMetrics"]
+                # merge across ALL frames (a final frame without the
+                # memory/SST counters must not erase an earlier one that
+                # had them); per-key max keeps each counter's high-water
+                for k, v in op["customMetrics"].items():
+                    prev = custom.get(k)
+                    if isinstance(v, (int, float)) and isinstance(prev, (int, float)):
+                        custom[k] = max(prev, v)
+                    else:
+                        custom[k] = v
 
     n_stream = spark.table("rocksdb_soak_sink").collect()[0]["count"]
 
@@ -93,7 +110,17 @@ def main() -> int:
         for k, v in custom.items()
         if "sstfilesize" in k.lower() or "memoryusage" in k.lower()
     }
-    ok_rocks = any("rocksdb" in k.lower() for k in custom)
+    # require the SPECIFIC counters this soak exists to observe, not just
+    # any rocksdb-prefixed key (a name-filter miss must fail loudly)
+    ok_rocks = any("sstfilesize" in k.lower() for k in custom) and any(
+        "memoryusage" in k.lower() for k in custom
+    )
+    # the state must have actually hit disk: max observed SST bytes > 0
+    sst_bytes = max(
+        (int(v) for k, v in custom.items() if "sstfilesize" in k.lower()),
+        default=0,
+    )
+    ok_sst = sst_bytes > 0
     ok_semantics = n_stream == n_batch
 
     print(
@@ -106,13 +133,15 @@ def main() -> int:
                 "state_rows_max": state_rows_max,
                 "stream_count": n_stream,
                 "rocksdb_metrics_sample": dict(list(rocks_metrics.items())[:4]),
+                "sst_bytes_max": sst_bytes,
                 "ok_state_size": ok_state,
                 "ok_rocksdb_metrics": ok_rocks,
+                "ok_sst_on_disk": ok_sst,
                 "ok_semantics": ok_semantics,
             }
         )
     )
-    return 0 if (ok_state and ok_rocks and ok_semantics) else 1
+    return 0 if (ok_state and ok_rocks and ok_sst and ok_semantics) else 1
 
 
 if __name__ == "__main__":
