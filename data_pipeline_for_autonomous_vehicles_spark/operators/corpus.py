@@ -19,6 +19,10 @@ C4- and Gopher-style corpus filtering:
   twin of `passage_dedup_stats`: catches duplicated spans at any offset
   and reports the longest duplicated span per doc (the distributable
   ExactSubstr-dedup signal, Lee et al. 2021).
+* `substring_dup_removal` — the acting half of that signal: rewrites each
+  document with cross-doc duplicated runs excised (keep-first-occurrence,
+  min doc_id owns the span) and reports kept/cut token counts plus the
+  rewritten text.
 
 Scale notes. All three are explode → hash-aggregate shapes: the unit of
 shuffle is a (doc_id, token/passage-digest) pair, partial aggregation is
@@ -322,6 +326,137 @@ SELECT doc_id, n_windows, n_dup_windows,
          AS dup_share,
        CAST(COALESCE(max_run + {PASSAGE_TOKENS} - 1, 0) AS BIGINT) AS longest_dup_span
 FROM per
+ORDER BY doc_id
+"""
+
+
+# --- exact-substring span REMOVAL --------------------------------------------
+
+
+def substring_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The acting half of `substring_dup_spans` (the ExactSubstr pipeline of
+    Lee et al. 2021 *cuts* duplicated spans, it doesn't just measure them):
+    rewrite every document with cross-document duplicated runs of ≥
+    PASSAGE_TOKENS tokens excised under a deterministic keep-first-
+    occurrence rule — for each duplicated window digest the document with
+    the MINIMUM doc_id keeps its occurrence(s); every later document cuts
+    all tokens covered by that window. Per document: token totals before /
+    after the cut, the cut fraction, and the rewritten text (tokens
+    re-joined with single spaces) — the bytes-saved companion to
+    `dedup_token_savings`, at substring rather than whole-doc granularity.
+
+    Within-doc repetition is deliberately NOT cut (the min-doc_id owner
+    keeps every occurrence): that's `repetition_ratios`' signal, and
+    cutting it would make the rule order-dependent within a document.
+
+    Scale (100 TB): identical shuffle shape to `substring_dup_spans` — the
+    cross-doc test is one hash-aggregate on the 32-char window digest
+    (MIN(doc_id), **no pairwise join**); cut windows compress into
+    consecutive-run islands via a doc-partitioned window (bounded by
+    document length); each doc then carries its own interval list (a
+    per-doc array, bounded by windows-per-doc) and the token filter is a
+    per-row higher-order function — the document text itself never
+    shuffles wider than its own row.
+    """
+    from pyspark.sql import Window
+
+    docs = _nonempty(load_table(spark, sf_dir, "documents"))
+    w = PASSAGE_TOKENS
+    base = docs.select("doc_id", _toks().alias("toks"))
+    wins_expr = F.expr(
+        f"transform(sequence(1, size(toks) - {w} + 1), "
+        f"i -> md5(array_join(slice(toks, i, {w}), ' ')))"
+    )
+    wins = (
+        base.filter(F.size("toks") >= w)
+        .select("doc_id", F.posexplode(wins_expr).alias("pos0", "digest"))
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "digest")
+    )
+    keeper = wins.groupBy("digest").agg(F.min("doc_id").alias("keep_doc"))
+    cut = (
+        wins.join(keeper, "digest")
+        .filter(F.col("keep_doc") < F.col("doc_id"))
+        .select("doc_id", "pos")
+    )
+    # consecutive cut positions -> one island; island [p1, p2] covers
+    # tokens [p1, p2 + W - 1] (token extents of nearby islands may still
+    # overlap — the per-token exists() below handles that naturally)
+    runw = Window.partitionBy("doc_id").orderBy("pos")
+    ivs = (
+        cut.withColumn("grp", F.col("pos") - F.row_number().over(runw))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(w - 1)).cast("long").alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
+    )
+    joined = base.join(ivs, "doc_id", "left").withColumn(
+        "ivs",
+        F.coalesce("ivs", F.expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)")),
+    )
+    kept = F.expr(
+        "filter(transform(sequence(1, size(toks)), "
+        "i -> struct(i AS i, element_at(toks, i) AS tok)), "
+        "x -> NOT exists(ivs, v -> x.i >= v.s AND x.i <= v.e))"
+    )
+    return (
+        joined.withColumn("kept", kept)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size("kept").cast("long").alias("n_kept_tokens"),
+            (F.size("toks") - F.size("kept")).cast("long").alias("n_cut_tokens"),
+            round_half_up(
+                (F.size("toks") - F.size("kept")).cast("double")
+                / F.size("toks").cast("double"),
+                4,
+            ).alias("cut_frac"),
+            F.array_join(F.expr("transform(kept, x -> x.tok)"), " ").alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SUBSTRING_REMOVAL_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE trim(text) <> ''),
+wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(toks[i : i + {PASSAGE_TOKENS} - 1], ' ')) AS digest
+  FROM base, LATERAL unnest(range(1, len(toks) - {PASSAGE_TOKENS} + 2)) u(i)
+  WHERE len(toks) >= {PASSAGE_TOKENS}),
+keeper AS (SELECT digest, MIN(doc_id) AS keep_doc FROM wins GROUP BY digest),
+cutw AS (
+  SELECT w.doc_id, w.pos
+  FROM wins w JOIN keeper k USING (digest)
+  WHERE k.keep_doc < w.doc_id),
+ivs AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {PASSAGE_TOKENS} - 1 AS e
+  FROM (SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM cutw) g
+  GROUP BY doc_id, grp),
+tok AS (
+  SELECT b.doc_id, CAST(i AS BIGINT) AS i, toks[i] AS tok
+  FROM base b, LATERAL unnest(range(1, len(toks) + 1)) u(i)),
+flag AS (
+  SELECT t.doc_id, t.i, t.tok,
+         NOT EXISTS (SELECT 1 FROM ivs v
+                     WHERE v.doc_id = t.doc_id AND t.i BETWEEN v.s AND v.e)
+           AS kept
+  FROM tok t)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_tokens,
+       CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_cut_tokens,
+       {sql_round_half_up('CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)', 4)}
+         AS cut_frac,
+       COALESCE(string_agg(CASE WHEN kept THEN tok END, ' ' ORDER BY i), '')
+         AS kept_text
+FROM flag
+GROUP BY doc_id
 ORDER BY doc_id
 """
 
@@ -827,6 +962,7 @@ QUERIES = {
     "repetition_ratios": repetition_ratios,
     "passage_dedup_stats": passage_dedup_stats,
     "substring_dup_spans": substring_dup_spans,
+    "substring_dup_removal": substring_dup_removal,
     "token_entropy": token_entropy,
     "source_dedup_overlap": source_dedup_overlap,
     "lang_confusion_matrix": lang_confusion_matrix,
@@ -840,6 +976,7 @@ ORACLES = {
     "repetition_ratios": _REPETITION_SQL,
     "passage_dedup_stats": _PASSAGE_SQL,
     "substring_dup_spans": _SUBSTRING_SPANS_SQL,
+    "substring_dup_removal": _SUBSTRING_REMOVAL_SQL,
     "token_entropy": _ENTROPY_SQL,
     "source_dedup_overlap": _SOURCE_OVERLAP_SQL,
     "lang_confusion_matrix": _sql_lang_confusion(),

@@ -264,3 +264,43 @@ def test_substring_dup_spans_matches_bruteforce(spark, sf_dir):
     }
     assert got == expect
     assert any(v[1] > 0 for v in got.values())  # the signal fires on driver data
+
+
+def test_substring_dup_removal_matches_bruteforce(spark, sf_dir):
+    """Keep-first-occurrence span excision equals a literal Python rewrite:
+    min-doc_id owner keeps a duplicated window; every later doc cuts all
+    tokens covered by any cut window."""
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        PASSAGE_TOKENS as W,
+        substring_dup_removal,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].strip().lower().split()
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r["text"].strip()
+    }
+    first_owner = {}
+    for did in sorted(docs):
+        toks = docs[did]
+        for i in range(len(toks) - W + 1):
+            first_owner.setdefault(" ".join(toks[i : i + W]), did)
+    expect = {}
+    for did, toks in docs.items():
+        cut = [False] * len(toks)
+        for i in range(len(toks) - W + 1):
+            if first_owner[" ".join(toks[i : i + W])] < did:
+                for j in range(i, i + W):
+                    cut[j] = True
+        kept = [t for t, c in zip(toks, cut) if not c]
+        expect[did] = (len(toks), len(kept), sum(cut), " ".join(kept))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept_tokens"], r["n_cut_tokens"], r["kept_text"])
+        for r in substring_dup_removal(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the cutter fires on driver data, and never cuts the first occurrence:
+    # total cut tokens > 0 while at least one doc keeps everything
+    assert any(v[2] > 0 for v in got.values())
+    assert any(v[2] == 0 for v in got.values())
