@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import math as _math
+
 from ..catalog import load_table
+from ..functions.scalars import round_half_up, sql_round_half_up
 
 
 def rank_of_topk(top: DataFrame, score_desc: str, tiebreak_asc: str) -> DataFrame:
@@ -225,5 +228,187 @@ ORDER BY term
 """
 
 
-QUERIES = {"bm25_topk": bm25_topk, "term_postings": term_postings}
-ORACLES = {"bm25_topk": _sql_bm25(), "term_postings": _POSTINGS_SQL}
+# --- retrieval-quality eval gate ---------------------------------------------
+
+NDCG_K = 10
+# 1/log2(rank+1) for ranks 1..K, literalized in Python so BOTH engines
+# multiply by the exact same double (no cross-engine ln/log2 last-ulp
+# hazard anywhere in the metric; the only transcendental left in this
+# report is evaluated once here, at plan-build time)
+_NDCG_DISCOUNTS = [1.0 / _math.log2(r + 1) for r in range(1, NDCG_K + 1)]
+
+
+def _rel_expr() -> F.Column:
+    """Deterministic synthetic relevance grade, two orthogonal components:
+    shared-token count (how many QUERY_TERMS the doc contains, 0..len(Q) —
+    the lexical signal) + 1 if the doc shares its source with the query
+    document (`qsource` column, from doc QUERY_VEC — a non-lexical signal
+    the embedding tower can capture but term matching cannot). Pure
+    shared-token labels put BM25 at the NDCG ceiling BY CONSTRUCTION
+    (the labels are what BM25 ranks); the source component is what lets
+    the report distinguish the systems rather than re-derive BM25."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (
+        sum(F.array_contains(toks, t).cast("int") for t in QUERY_TERMS)
+        + (F.col("source") == F.col("qsource")).cast("int")
+    ).alias("rel")
+
+
+def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relevance-quality audit for the retrieval ladder: NDCG@10 and MRR for
+    `bm25_topk` (pure lexical) vs `hybrid_search_rrf` (lexical ⊕ vector,
+    RRF-fused) against deterministic shared-token relevance labels — the
+    eval gate that justifies (or indicts) RRF over pure BM25, the ranking
+    twin of `ann_recall_audit` on the ANN ladder.
+
+    Grading: rel(doc) = |{q ∈ QUERY_TERMS : q ∈ tokens(doc)}| +
+    1[source(doc) = source(query doc)] ∈ [0, 4] (see `_rel_expr`);
+    gain 2^rel − 1 (exact small ints via bit shift, no pow()); DCG discounts
+    1/log2(rank+1) are Python-literalized doubles so both engines multiply
+    identical constants; per-item gains are fixed-point int64 (⌊x·1e8+0.5⌋)
+    before summing — order-independent, and NDCG = DCG/IDCG divides two
+    exact integers. MRR = 1/rank of the first rel ≥ 1 hit.
+
+    Scale (100 TB): the relevance frame is one map-side scan (no shuffle);
+    each system's top-10 is broadcast against it; IDCG's ideal head is a
+    TakeOrderedAndProject over (rel, doc_id) and positions come from the
+    K²-pair broadcast self-join (`rank_of_topk`) — no windows, nothing
+    data-sized moves.
+    """
+    from .similarity import QUERY_VEC, hybrid_search_rrf
+
+    docs = load_table(spark, sf_dir, "documents")
+    qsrc = docs.filter(F.col("doc_id") == QUERY_VEC).select(
+        F.col("source").alias("qsource")
+    )
+    rel = (
+        docs.crossJoin(F.broadcast(qsrc))
+        .select("doc_id", _rel_expr())
+        .localCheckpoint(eager=False)
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISCOUNTS]), F.col("rank").cast("int")
+    )
+    # (1 << rel) via F.expr: PySpark's F.shiftleft only takes a literal
+    # bit count, the SQL form takes a column
+    gain_e8 = F.floor(
+        (F.expr("shiftleft(1, rel) - 1").cast("double") * disc)
+        * F.lit(100_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+
+    def _metrics(ranks: DataFrame, system: str) -> DataFrame:
+        """(system, dcg_e8, n_relevant_topk, first_rel_rank) — one row."""
+        scored = rel.join(F.broadcast(ranks), "doc_id").withColumn("g", gain_e8)
+        return scored.agg(
+            F.coalesce(F.sum("g"), F.lit(0)).cast("long").alias("dcg_e8"),
+            F.sum((F.col("rel") >= 1).cast("long")).alias("n_relevant_topk"),
+            F.min(F.when(F.col("rel") >= 1, F.col("rank"))).alias("first_rel_rank"),
+        ).select(F.lit(system).alias("system"), "*")
+
+    bm = bm25_topk(spark, sf_dir).select("doc_id", F.col("rank").cast("long").alias("rank"))
+    hy_top = hybrid_search_rrf(spark, sf_dir)
+    hy = rank_of_topk(hy_top, "rrf_score", "doc_id").select(
+        "doc_id", F.col("topk_pos").cast("long").alias("rank")
+    )
+    ideal = rank_of_topk(
+        rel.orderBy(F.desc("rel"), F.asc("doc_id")).limit(NDCG_K), "rel", "doc_id"
+    ).select(F.col("topk_pos").cast("long").alias("rank"), "rel")
+    idcg = ideal.withColumn("g", gain_e8).agg(
+        F.coalesce(F.sum("g"), F.lit(0)).cast("long").alias("idcg_e8")
+    )
+
+    out = _metrics(bm, "bm25").unionByName(_metrics(hy, "hybrid_rrf"))
+    return (
+        out.crossJoin(F.broadcast(idcg))
+        .select(
+            "system",
+            F.when(
+                F.col("idcg_e8") > 0,
+                round_half_up(
+                    F.col("dcg_e8").cast("double") / F.col("idcg_e8").cast("double"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg_at_10"),
+            F.when(
+                F.col("first_rel_rank").isNotNull(),
+                round_half_up(
+                    F.lit(1.0) / F.col("first_rel_rank").cast("double"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mrr_at_10"),
+            F.coalesce("n_relevant_topk", F.lit(0)).cast("long").alias("n_relevant_topk"),
+        )
+        .orderBy("system")
+    )
+
+
+def _sql_ndcg_report() -> str:
+    from .similarity import _sql_hybrid
+
+    disc_list = "[" + ", ".join(repr(d) for d in _NDCG_DISCOUNTS) + "]"
+    from .similarity import QUERY_VEC
+
+    rel_sum = " + ".join(
+        f"CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END" for t in QUERY_TERMS
+    )
+    rel_sum += f" + CASE WHEN source = (SELECT source FROM documents WHERE doc_id = {QUERY_VEC}) THEN 1 ELSE 0 END"
+    gain = (
+        f"CAST(FLOOR((CAST((1 << rel) - 1 AS DOUBLE) * ({disc_list})[rank])"
+        " * 100000000.0 + 0.5) AS BIGINT)"
+    )
+    metrics = """
+  SELECT CAST(COALESCE(SUM(g), 0) AS BIGINT) AS dcg_e8,
+         CAST(COALESCE(SUM(CASE WHEN rel >= 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_relevant_topk,
+         MIN(CASE WHEN rel >= 1 THEN rank END) AS first_rel_rank"""
+    return f"""
+WITH rel AS (
+  SELECT doc_id, ({rel_sum}) AS rel
+  FROM (SELECT doc_id, source,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM documents) t),
+bm AS (
+  SELECT r.rank, rel.rel FROM ({_sql_bm25()}) r JOIN rel ON r.doc_id = rel.doc_id),
+hy0 AS (SELECT doc_id, rrf_score FROM ({_sql_hybrid()}) h),
+hy AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h.rrf_score DESC, h.doc_id ASC) AS BIGINT)
+           AS rank, rel.rel
+  FROM hy0 h JOIN rel ON h.doc_id = rel.doc_id),
+ideal AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id ASC) AS BIGINT) AS rank,
+         rel
+  FROM rel
+  QUALIFY rank <= {NDCG_K}),
+idcg AS (SELECT CAST(COALESCE(SUM({gain}), 0) AS BIGINT) AS idcg_e8 FROM ideal),
+m_bm AS ({metrics} FROM (SELECT rank, rel, {gain} AS g FROM bm) x),
+m_hy AS ({metrics} FROM (SELECT rank, rel, {gain} AS g FROM hy) x),
+sys AS (
+  SELECT 'bm25' AS system, * FROM m_bm
+  UNION ALL
+  SELECT 'hybrid_rrf' AS system, * FROM m_hy)
+SELECT system,
+       CASE WHEN idcg_e8 > 0 THEN
+         {sql_round_half_up('CAST(dcg_e8 AS DOUBLE) / CAST(idcg_e8 AS DOUBLE)', 6)}
+       ELSE 0.0 END AS ndcg_at_10,
+       CASE WHEN first_rel_rank IS NOT NULL THEN
+         {sql_round_half_up('1.0 / CAST(first_rel_rank AS DOUBLE)', 6)}
+       ELSE 0.0 END AS mrr_at_10,
+       n_relevant_topk
+FROM sys CROSS JOIN idcg
+ORDER BY system
+"""
+
+
+QUERIES = {
+    "bm25_topk": bm25_topk,
+    "term_postings": term_postings,
+    "retrieval_ndcg_report": retrieval_ndcg_report,
+}
+ORACLES = {
+    "bm25_topk": _sql_bm25(),
+    "term_postings": _POSTINGS_SQL,
+    "retrieval_ndcg_report": _sql_ndcg_report(),
+}

@@ -2104,3 +2104,51 @@ def test_nprobe_curve_monotone_with_full_probe_anchor(spark, sf_dir):
         assert b["micro_recall"] >= a["micro_recall"]
         assert b["avg_candidates"] >= a["avg_candidates"]
     assert rows[-1]["micro_recall"] == 1.0
+
+
+def test_retrieval_ndcg_matches_bruteforce(spark, sf_dir):
+    """NDCG@10 / MRR report equals a literal Python evaluation: shared-token
+    + same-source relevance grades, fixed-point DCG, ideal-head IDCG."""
+    import math
+
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.operators import ranking, similarity
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    qsource = next(r["source"] for r in rows if r["doc_id"] == similarity.QUERY_VEC)
+    rel = {}
+    for r in rows:
+        toks = set(r["text"].strip().lower().split())
+        rel[r["doc_id"]] = sum(t in toks for t in ranking.QUERY_TERMS) + (
+            r["source"] == qsource
+        )
+
+    def gain_e8(rl: int, rank: int) -> int:
+        disc = 1.0 / math.log2(rank + 1)
+        return math.floor((float((1 << rl) - 1) * disc) * 1e8 + 0.5)
+
+    ideal = sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))[: ranking.NDCG_K]
+    idcg = sum(gain_e8(rl, i + 1) for i, (_, rl) in enumerate(ideal))
+
+    def metrics(ranked_ids: list[int]) -> tuple[float, float, int]:
+        dcg = sum(gain_e8(rel[d], i + 1) for i, d in enumerate(ranked_ids))
+        hits = [i + 1 for i, d in enumerate(ranked_ids) if rel[d] >= 1]
+        ndcg = math.floor(dcg / idcg * 1e6 + 0.5) / 1e6 if idcg else 0.0
+        mrr = math.floor(1.0 / hits[0] * 1e6 + 0.5) / 1e6 if hits else 0.0
+        return (ndcg, mrr, len(hits))
+
+    bm_ids = [r["doc_id"] for r in ranking.bm25_topk(spark, sf_dir).collect()]
+    hy = sorted(
+        similarity.hybrid_search_rrf(spark, sf_dir).collect(),
+        key=lambda r: (-r["rrf_score"], r["doc_id"]),
+    )
+    expect = {"bm25": metrics(bm_ids), "hybrid_rrf": metrics([r["doc_id"] for r in hy])}
+    got = {
+        r["system"]: (r["ndcg_at_10"], r["mrr_at_10"], r["n_relevant_topk"])
+        for r in ranking.retrieval_ndcg_report(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the gate discriminates: the two systems score differently on NDCG
+    assert got["bm25"][0] != got["hybrid_rrf"][0]
