@@ -23,6 +23,9 @@ C4- and Gopher-style corpus filtering:
   document with cross-doc duplicated runs excised (keep-first-occurrence,
   min doc_id owns the span) and reports kept/cut token counts plus the
   rewritten text.
+* `substring_dup_removal_audit` — the convergence proof: re-measures the
+  corpus duplicated-window share on the rewritten text (before/after rows,
+  the signal an iterate-to-clean pipeline loops on).
 
 Scale notes. All three are explode → hash-aggregate shapes: the unit of
 shuffle is a (doc_id, token/passage-digest) pair, partial aggregation is
@@ -458,6 +461,107 @@ SELECT doc_id,
 FROM flag
 GROUP BY doc_id
 ORDER BY doc_id
+"""
+
+
+# --- removal effectiveness audit ----------------------------------------------
+
+
+def substring_dup_removal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the cut actually clean the corpus? Re-run the cross-doc
+    duplicated-window measurement on `substring_dup_removal`'s REWRITTEN
+    text and report corpus-level before/after: docs with windows, window
+    count, duplicated-window count, duplicated share. Residual (after)
+    duplication is expected to be far lower but non-zero — excising a span
+    makes its flanking tokens adjacent, which can mint new windows (true
+    of suffix-array ExactSubstr too); this audit is the convergence signal
+    an iterate-to-clean pipeline loops on.
+
+    Scale (100 TB): two passes of the same no-pairwise-join shape as
+    `substring_dup_spans` (digest hash-agg + equi-join back), the second
+    over the rewritten corpus; output is 2 rows.
+    """
+    w = PASSAGE_TOKENS
+    docs = _nonempty(load_table(spark, sf_dir, "documents"))
+    before = docs.select("doc_id", _toks().alias("toks"))
+    after = substring_dup_removal(spark, sf_dir).select(
+        "doc_id",
+        F.filter(F.split("kept_text", " "), lambda x: x != "").alias("toks"),
+    )
+    wins_expr = F.expr(
+        f"transform(sequence(1, size(toks) - {w} + 1), "
+        f"i -> md5(array_join(slice(toks, i, {w}), ' ')))"
+    )
+
+    def _stats(frame: DataFrame, stage: str) -> DataFrame:
+        wins = (
+            frame.filter(F.size("toks") >= w)
+            .select("doc_id", F.explode(wins_expr).alias("digest"))
+        )
+        nd = wins.groupBy("digest").agg(F.count_distinct("doc_id").alias("nd"))
+        flagged = wins.join(nd, "digest")
+        return flagged.agg(
+            F.count_distinct("doc_id").alias("n_docs_with_windows"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.coalesce(
+                F.sum((F.col("nd") >= 2).cast("long")), F.lit(0)
+            ).alias("n_dup_windows"),
+        ).select(
+            F.lit(stage).alias("stage"),
+            "n_docs_with_windows",
+            "n_windows",
+            "n_dup_windows",
+            F.when(
+                F.col("n_windows") > 0,
+                round_half_up(
+                    F.col("n_dup_windows").cast("double")
+                    / F.col("n_windows").cast("double"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_share"),
+        )
+
+    return (
+        _stats(before, "before").unionByName(_stats(after, "after")).orderBy("stage")
+    )
+
+
+def _sql_removal_audit() -> str:
+    w = PASSAGE_TOKENS
+
+    def _stage(src: str, stage: str) -> str:
+        return f"""
+wins_{stage} AS (
+  SELECT doc_id, md5(array_to_string(toks[i : i + {w} - 1], ' ')) AS digest
+  FROM {src}, LATERAL unnest(range(1, len(toks) - {w} + 2)) u(i)
+  WHERE len(toks) >= {w}),
+nd_{stage} AS (
+  SELECT digest, COUNT(DISTINCT doc_id) AS nd FROM wins_{stage} GROUP BY digest),
+s_{stage} AS (
+  SELECT '{stage}' AS stage,
+         CAST(COUNT(DISTINCT x.doc_id) AS BIGINT) AS n_docs_with_windows,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(COALESCE(SUM(CASE WHEN n.nd >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_dup_windows
+  FROM wins_{stage} x JOIN nd_{stage} n USING (digest))"""
+
+    return f"""
+WITH before_c AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE trim(text) <> ''),
+removal AS ({_SUBSTRING_REMOVAL_SQL}),
+after_c AS (
+  SELECT doc_id, list_filter(string_split(kept_text, ' '), x -> x <> '') AS toks
+  FROM removal),
+{_stage('before_c', 'before').lstrip()},
+{_stage('after_c', 'after').lstrip()}
+SELECT stage, n_docs_with_windows, n_windows, n_dup_windows,
+       CASE WHEN n_windows > 0 THEN
+         {sql_round_half_up('CAST(n_dup_windows AS DOUBLE) / CAST(n_windows AS DOUBLE)', 4)}
+       ELSE 0.0 END AS dup_share
+FROM (SELECT * FROM s_after UNION ALL SELECT * FROM s_before) t
+ORDER BY stage
 """
 
 
@@ -963,6 +1067,7 @@ QUERIES = {
     "passage_dedup_stats": passage_dedup_stats,
     "substring_dup_spans": substring_dup_spans,
     "substring_dup_removal": substring_dup_removal,
+    "substring_dup_removal_audit": substring_dup_removal_audit,
     "token_entropy": token_entropy,
     "source_dedup_overlap": source_dedup_overlap,
     "lang_confusion_matrix": lang_confusion_matrix,
@@ -977,6 +1082,7 @@ ORACLES = {
     "passage_dedup_stats": _PASSAGE_SQL,
     "substring_dup_spans": _SUBSTRING_SPANS_SQL,
     "substring_dup_removal": _SUBSTRING_REMOVAL_SQL,
+    "substring_dup_removal_audit": _sql_removal_audit(),
     "token_entropy": _ENTROPY_SQL,
     "source_dedup_overlap": _SOURCE_OVERLAP_SQL,
     "lang_confusion_matrix": _sql_lang_confusion(),

@@ -304,3 +304,62 @@ def test_substring_dup_removal_matches_bruteforce(spark, sf_dir):
     # total cut tokens > 0 while at least one doc keeps everything
     assert any(v[2] > 0 for v in got.values())
     assert any(v[2] == 0 for v in got.values())
+
+
+def test_substring_dup_removal_audit_matches_bruteforce(spark, sf_dir):
+    """Before/after corpus dup-share audit equals a literal recount: the
+    before row over original tokens, the after row over the keep-first
+    rewritten corpus; cutting never increases the duplicated share."""
+    from collections import defaultdict
+
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        PASSAGE_TOKENS as W,
+        substring_dup_removal_audit,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].strip().lower().split()
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r["text"].strip()
+    }
+
+    def stats(corpus: dict) -> tuple[int, int, int]:
+        owners = defaultdict(set)
+        for did, toks in corpus.items():
+            for i in range(len(toks) - W + 1):
+                owners[" ".join(toks[i : i + W])].add(did)
+        n_docs = n_win = n_dup = 0
+        for did, toks in corpus.items():
+            k = len(toks) - W + 1
+            if k < 1:
+                continue
+            n_docs += 1
+            n_win += k
+            n_dup += sum(
+                len(owners[" ".join(toks[i : i + W])]) >= 2 for i in range(k)
+            )
+        return (n_docs, n_win, n_dup)
+
+    first_owner = {}
+    for did in sorted(docs):
+        toks = docs[did]
+        for i in range(len(toks) - W + 1):
+            first_owner.setdefault(" ".join(toks[i : i + W]), did)
+    rewritten = {}
+    for did, toks in docs.items():
+        cut = [False] * len(toks)
+        for i in range(len(toks) - W + 1):
+            if first_owner[" ".join(toks[i : i + W])] < did:
+                for j in range(i, i + W):
+                    cut[j] = True
+        rewritten[did] = [t for t, c in zip(toks, cut) if not c]
+
+    got = {
+        r["stage"]: (r["n_docs_with_windows"], r["n_windows"], r["n_dup_windows"])
+        for r in substring_dup_removal_audit(spark, sf_dir).collect()
+    }
+    assert got["before"] == stats(docs)
+    assert got["after"] == stats(rewritten)
+    # the cut must reduce duplication (strictly, on driver data)
+    assert got["after"][2] < got["before"][2]
