@@ -20,8 +20,9 @@ C4- and Gopher-style corpus filtering:
   and reports the longest duplicated span per doc (the distributable
   ExactSubstr-dedup signal, Lee et al. 2021).
 * `substring_dup_removal` — the acting half of that signal: rewrites each
-  document with cross-doc duplicated runs excised (keep-first-occurrence,
-  min doc_id owns the span) and reports kept/cut token counts plus the
+  document with cross-doc duplicated runs excised (keep-first-occurrence
+  at window level — min doc_id owns the window; token excision is the
+  union of cut-window extents) and reports kept/cut token counts plus the
   rewritten text.
 * `substring_dup_removal_audit` — the convergence proof: re-measures the
   corpus duplicated-window share on the rewritten text (before/after rows,
@@ -57,6 +58,18 @@ PASSAGE_TOKENS = 8
 
 def _nonempty(docs: DataFrame) -> DataFrame:
     return docs.filter(F.trim(F.col("text")) != "")
+
+
+def _win_digests() -> F.Column:
+    """Stride-1 sliding-window digests over a `toks` column: md5 of each
+    PASSAGE_TOKENS-token window, space-joined. The ONE definition the
+    spans / removal / audit trio shares — a tokenizer or separator change
+    here changes all three together (and their SQL twins must follow)."""
+    w = PASSAGE_TOKENS
+    return F.expr(
+        f"transform(sequence(1, size(toks) - {w} + 1), "
+        f"i -> md5(array_join(slice(toks, i, {w}), ' ')))"
+    )
 
 
 # --- Gopher-style repetition ratios ----------------------------------------
@@ -244,10 +257,7 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _nonempty(load_table(spark, sf_dir, "documents"))
     w = PASSAGE_TOKENS
-    wins_expr = F.expr(
-        f"transform(sequence(1, size(toks) - {w} + 1), "
-        f"i -> md5(array_join(slice(toks, i, {w}), ' ')))"
-    )
+    wins_expr = _win_digests()
     wins = (
         docs.select("doc_id", _toks().alias("toks"))
         .filter(F.size("toks") >= w)
@@ -341,16 +351,30 @@ def substring_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lee et al. 2021 *cuts* duplicated spans, it doesn't just measure them):
     rewrite every document with cross-document duplicated runs of ≥
     PASSAGE_TOKENS tokens excised under a deterministic keep-first-
-    occurrence rule — for each duplicated window digest the document with
-    the MINIMUM doc_id keeps its occurrence(s); every later document cuts
-    all tokens covered by that window. Per document: token totals before /
-    after the cut, the cut fraction, and the rewritten text (tokens
-    re-joined with single spaces) — the bytes-saved companion to
-    `dedup_token_savings`, at substring rather than whole-doc granularity.
+    occurrence rule **applied per WINDOW**: a window is marked cut in a
+    document iff its digest also occurs in a lower-doc_id document; a
+    token is excised iff ANY cut window covers it. Per document: token
+    totals before / after the cut, the cut fraction, and the rewritten
+    text (tokens re-joined with single spaces) — the bytes-saved companion
+    to `dedup_token_savings`, at substring rather than whole-doc
+    granularity.
 
-    Within-doc repetition is deliberately NOT cut (the min-doc_id owner
-    keeps every occurrence): that's `repetition_ratios`' signal, and
-    cutting it would make the rule order-dependent within a document.
+    Precision of the rule (matters at span boundaries): keep-first is a
+    window-level mark, and token excision is the UNION of cut-window
+    extents — so when a doc's OWNED window overlaps a cut window, the
+    overlap tokens are still excised and that owned 8-gram may survive in
+    no document (its first-occurrence doc never had it cut, but a doc can
+    own window B while losing B's tokens to an adjacent cut). This is the
+    same boundary clipping suffix-array ExactSubstr performs when it cuts
+    byte ranges; the guarantee is "all tokens of every not-first-occurrence
+    duplicated window are removed", NOT "every window's first occurrence
+    survives verbatim". `substring_dup_removal_audit` measures the net
+    effect rather than assuming it.
+
+    Within-doc repetition is deliberately NOT cut (a document that is its
+    own first occurrence keeps all its copies): that's
+    `repetition_ratios`' signal, and cutting it would make the rule
+    order-dependent within a document.
 
     Scale (100 TB): identical shuffle shape to `substring_dup_spans` — the
     cross-doc test is one hash-aggregate on the 32-char window digest
@@ -366,10 +390,7 @@ def substring_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _nonempty(load_table(spark, sf_dir, "documents"))
     w = PASSAGE_TOKENS
     base = docs.select("doc_id", _toks().alias("toks"))
-    wins_expr = F.expr(
-        f"transform(sequence(1, size(toks) - {w} + 1), "
-        f"i -> md5(array_join(slice(toks, i, {w}), ' ')))"
-    )
+    wins_expr = _win_digests()
     wins = (
         base.filter(F.size("toks") >= w)
         .select("doc_id", F.posexplode(wins_expr).alias("pos0", "digest"))
@@ -472,10 +493,13 @@ def substring_dup_removal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated-window measurement on `substring_dup_removal`'s REWRITTEN
     text and report corpus-level before/after: docs with windows, window
     count, duplicated-window count, duplicated share. Residual (after)
-    duplication is expected to be far lower but non-zero — excising a span
-    makes its flanking tokens adjacent, which can mint new windows (true
-    of suffix-array ExactSubstr too); this audit is the convergence signal
-    an iterate-to-clean pipeline loops on.
+    duplication is expected to be far lower but need not be zero, for two
+    boundary reasons (both true of suffix-array ExactSubstr as well):
+    excising a span makes its flanking tokens adjacent, which can mint new
+    windows; and overlapping cuts can clip tokens out of a first-occurrence
+    window (see the removal docstring), shifting what remains. This audit
+    is the convergence signal an iterate-to-clean pipeline loops on —
+    it measures the net effect instead of assuming an invariant.
 
     Scale (100 TB): two passes of the same no-pairwise-join shape as
     `substring_dup_spans` (digest hash-agg + equi-join back), the second
@@ -488,10 +512,7 @@ def substring_dup_removal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.filter(F.split("kept_text", " "), lambda x: x != "").alias("toks"),
     )
-    wins_expr = F.expr(
-        f"transform(sequence(1, size(toks) - {w} + 1), "
-        f"i -> md5(array_join(slice(toks, i, {w}), ' ')))"
-    )
+    wins_expr = _win_digests()
 
     def _stats(frame: DataFrame, stage: str) -> DataFrame:
         wins = (

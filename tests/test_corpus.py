@@ -363,3 +363,42 @@ def test_substring_dup_removal_audit_matches_bruteforce(spark, sf_dir):
     assert got["after"] == stats(rewritten)
     # the cut must reduce duplication (strictly, on driver data)
     assert got["after"][2] < got["before"][2]
+
+
+def test_substring_dup_removal_overlap_boundary_semantics(spark, tmp_path):
+    """Pins the window-level keep-first rule at span boundaries: a doc that
+    OWNS a window can still lose that window's tokens to an adjacent cut
+    (token excision is the union of cut-window extents), so an owned 8-gram
+    may survive in no document — the documented ExactSubstr-style clipping,
+    measured (not hidden) by the audit."""
+    from pyspark.sql import Row
+
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        substring_dup_removal,
+        substring_dup_removal_audit,
+    )
+
+    x = [f"x{i}" for i in range(1, 9)]   # doc0's window A = x1..x8
+    y = [f"y{i}" for i in range(1, 8)]
+    b = [x[-1]] + y                      # window B = x8 y1..y7
+    rows = [
+        Row(doc_id=0, text=" ".join(x), lang="en", source="s", n_chars=0),
+        Row(doc_id=1, text=" ".join(x + y), lang="en", source="s", n_chars=0),
+        Row(doc_id=2, text=" ".join(b), lang="en", source="s", n_chars=0),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(d + "/documents.parquet")
+
+    got = {r["doc_id"]: r for r in substring_dup_removal(spark, d).collect()}
+    # doc0 is first occurrence of A: untouched
+    assert got[0]["n_cut_tokens"] == 0 and got[0]["kept_text"] == " ".join(x)
+    # doc1 owns B (first occurrence) but its window A is cut; the island
+    # [A] covers tokens 1..8, clipping x8 out of doc1's OWNED window B
+    assert got[1]["kept_text"] == " ".join(y)
+    # doc2's B is cut wholesale (doc1 < doc2 owns the digest)
+    assert got[2]["n_kept_tokens"] == 0 and got[2]["kept_text"] == ""
+    # net effect: the 8-gram B survives NOWHERE; the audit still reports
+    # zero residual duplication (no duplicated window remains)
+    audit = {r["stage"]: r for r in substring_dup_removal_audit(spark, d).collect()}
+    assert audit["before"]["n_dup_windows"] > 0
+    assert audit["after"]["n_dup_windows"] == 0
