@@ -1005,32 +1005,9 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is conditional sums over one joined row per doc — no per-STAGE
     rescans. Stages are cumulative (each ANDs onto the previous), so
     columns are monotone non-increasing left to right."""
-    from .dedup import QUALITY_CUTOFF, near_dup_canonicals
-    from .text import (
-        bigram_fluency_scores,
-        quality_classifier_scores,
-        quality_scores,
-    )
+    from .dedup import QUALITY_CUTOFF
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    keepers = near_dup_canonicals(spark, sf_dir).select(
-        F.col("keeper_doc_id").alias("doc_id"), F.lit(1).alias("is_keeper")
-    )
-    joined = (
-        docs.join(keepers, "doc_id", "left")
-        .join(
-            quality_scores(spark, sf_dir).select("doc_id", "quality_score"), "doc_id"
-        )
-        .join(
-            quality_classifier_scores(spark, sf_dir).select("doc_id", "keep_flag"),
-            "doc_id",
-        )
-        .join(
-            bigram_fluency_scores(spark, sf_dir).select("doc_id", "fluency_score"),
-            "doc_id",
-            "left",
-        )
-    )
+    joined = _curation_joined(spark, sf_dir)
     s1 = F.col("is_keeper").isNotNull()
     s2 = s1 & (F.col("quality_score") >= F.lit(QUALITY_CUTOFF))
     s3 = s2 & (F.col("keep_flag") == 1)
@@ -1050,6 +1027,95 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _curation_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per document with every ladder signal joined on: is_keeper
+    (near-dup canonical), quality_score, keep_flag (hashed classifier),
+    fluency_score (LEFT — short docs have no bigrams). Shared by the
+    funnel report and the per-doc verdict manifest."""
+    from .dedup import near_dup_canonicals
+    from .text import (
+        bigram_fluency_scores,
+        quality_classifier_scores,
+        quality_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    keepers = near_dup_canonicals(spark, sf_dir).select(
+        F.col("keeper_doc_id").alias("doc_id"), F.lit(1).alias("is_keeper")
+    )
+    return (
+        docs.join(keepers, "doc_id", "left")
+        .join(
+            quality_scores(spark, sf_dir).select("doc_id", "quality_score"), "doc_id"
+        )
+        .join(
+            quality_classifier_scores(spark, sf_dir).select("doc_id", "keep_flag"),
+            "doc_id",
+        )
+        .join(
+            bigram_fluency_scores(spark, sf_dir).select("doc_id", "fluency_score"),
+            "doc_id",
+            "left",
+        )
+    )
+
+
+def curation_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The acting artifact of `curation_funnel_report`: the per-document
+    verdict a corpus build actually materializes — `kept` for survivors of
+    all four ladder stages, else the FIRST stage that dropped the doc
+    (`dropped_near_dup` / `dropped_quality` / `dropped_classifier` /
+    `dropped_fluency`). Filtering `verdict = 'kept'` IS the curated
+    training set; the verdict column is the per-doc audit trail the
+    funnel's per-language counts aggregate away.
+
+    Same one-joined-row-per-doc plan as the funnel (each signal branch is
+    an independent pruned scan; no per-stage rescans); output is one
+    narrow row per document — at 100 TB this is the manifest written
+    alongside the curated corpus, partitioned like the docs themselves.
+    """
+    from .dedup import QUALITY_CUTOFF
+
+    joined = _curation_joined(spark, sf_dir)
+    verdict = (
+        F.when(F.col("is_keeper").isNull(), F.lit("dropped_near_dup"))
+        .when(F.col("quality_score") < F.lit(QUALITY_CUTOFF), F.lit("dropped_quality"))
+        .when(F.col("keep_flag") != 1, F.lit("dropped_classifier"))
+        .when(
+            F.col("fluency_score").isNull()
+            | (F.col("fluency_score") < F.lit(FLUENCY_FLOOR)),
+            F.lit("dropped_fluency"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select("doc_id", "lang", verdict.alias("verdict")).orderBy("doc_id")
+
+
+def _sql_curation_kept() -> str:
+    from .dedup import QUALITY_CUTOFF, _sql_near_dup_canonicals
+    from .text import _CLF_SQL, _FLUENCY_SQL, _QUALITY_SQL
+
+    return f"""
+WITH keepers AS (SELECT keeper_doc_id AS doc_id FROM ({_sql_near_dup_canonicals()}) c),
+quality AS (SELECT doc_id, quality_score FROM ({_QUALITY_SQL}) q),
+clf AS (SELECT doc_id, keep_flag FROM ({_CLF_SQL}) c2),
+flu AS (SELECT doc_id, fluency_score FROM ({_FLUENCY_SQL}) f)
+SELECT d.doc_id, d.lang,
+       CASE WHEN k.doc_id IS NULL THEN 'dropped_near_dup'
+            WHEN q.quality_score < {QUALITY_CUTOFF} THEN 'dropped_quality'
+            WHEN c2.keep_flag <> 1 THEN 'dropped_classifier'
+            WHEN f.fluency_score IS NULL OR f.fluency_score < {FLUENCY_FLOOR}
+              THEN 'dropped_fluency'
+            ELSE 'kept' END AS verdict
+FROM documents d
+LEFT JOIN keepers k ON k.doc_id = d.doc_id
+JOIN quality q ON q.doc_id = d.doc_id
+JOIN clf c2 ON c2.doc_id = d.doc_id
+LEFT JOIN flu f ON f.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
 
 
 def _sql_curation_funnel() -> str:
@@ -1094,6 +1160,7 @@ QUERIES = {
     "lang_confusion_matrix": lang_confusion_matrix,
     "corpus_curation_report": corpus_curation_report,
     "curation_funnel_report": curation_funnel_report,
+    "curation_kept_docs": curation_kept_docs,
 }
 
 ORACLES = {
@@ -1109,4 +1176,5 @@ ORACLES = {
     "lang_confusion_matrix": _sql_lang_confusion(),
     "corpus_curation_report": _sql_curation_report(),
     "curation_funnel_report": _sql_curation_funnel(),
+    "curation_kept_docs": _sql_curation_kept(),
 }

@@ -402,3 +402,36 @@ def test_substring_dup_removal_overlap_boundary_semantics(spark, tmp_path):
     audit = {r["stage"]: r for r in substring_dup_removal_audit(spark, d).collect()}
     assert audit["before"]["n_dup_windows"] > 0
     assert audit["after"]["n_dup_windows"] == 0
+
+
+def test_curation_kept_docs_aggregates_to_funnel(spark, sf_dir):
+    """The per-doc verdict manifest is the funnel's disaggregation: per
+    language, stage-drop counts reproduce the funnel's cumulative columns
+    exactly, and filtering verdict='kept' yields n_fluent docs."""
+    from collections import Counter
+
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        curation_funnel_report,
+        curation_kept_docs,
+    )
+
+    verdicts = curation_kept_docs(spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in verdicts:
+        by_lang.setdefault(r["lang"], Counter())[r["verdict"]] += 1
+    funnel = {r["lang"]: r for r in curation_funnel_report(spark, sf_dir).collect()}
+    assert set(by_lang) == set(funnel)
+    for lang, c in by_lang.items():
+        f = funnel[lang]
+        total = sum(c.values())
+        assert total == f["n_docs"]
+        assert total - c["dropped_near_dup"] == f["n_canonical"]
+        assert f["n_canonical"] - c["dropped_quality"] == f["n_quality"]
+        assert f["n_quality"] - c["dropped_classifier"] == f["n_clf"]
+        assert f["n_clf"] - c["dropped_fluency"] == f["n_fluent"]
+        assert c["kept"] == f["n_fluent"]
+    # the ladder actually bites on driver data: something dropped, something kept
+    allc = Counter()
+    for c in by_lang.values():
+        allc.update(c)
+    assert allc["kept"] > 0 and sum(allc.values()) > allc["kept"]
