@@ -22,6 +22,12 @@ band in BASELINE.md's round-4 section — that came from the
 tools/time_sweep.py full-collect single-run estimator, ~2.5x slower by
 construction. ``python bench.py sf0.1`` still runs the legacy sf0.1
 measurement for cross-round comparability with rounds 1-4.
+
+``python bench.py v2`` measures the headline-v2 block (the post-round-3
+heavy LLM-pipeline operators) at ~sf1 with the same min-of-N/noop
+discipline and prints its own single JSON line
+(metric=headline_v2_total). It is a separate invocation so the driver's
+default run keeps emitting exactly ONE line for the frozen legacy set.
 """
 
 from __future__ import annotations
@@ -106,11 +112,48 @@ BENCH_QUERIES = [
 ]
 
 
+# Headline-v2: the post-round-3 heavy LLM-pipeline operators (round-6
+# verdict task 3). The legacy 64-query set above is FROZEN for cross-round
+# comparability; these run only under `python bench.py v2`, always at the
+# ~sf1 scale, with the same min-of-N/noop discipline — the regression
+# signal the single-run full-registry scale gate (1.3-1.5x noise) can't
+# give. BASELINE.md records the v2 anchor band.
+BENCH_V2_QUERIES = [
+    "substring_dup_removal",
+    "substring_dup_removal_audit",
+    "curated_training_shards",
+    "curated_shard_manifest",
+    "curation_kept_docs",
+    "curation_funnel_report",
+    "media_near_dups",
+    "bpe_merge_rounds",
+    "semdedup_prune_report",
+    "mmr_diversified_topk",
+    "ann_ivfpq_topk",
+    "retrieval_ndcg_report",
+    "near_dup_clusters",
+    "dsir_resample_topk",
+    "embedding_pca_top_component",
+    "ngram_containment_pairs",
+]
+
+
 def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
 SF1_REPLICA = "/tmp/sf_scaled_10x"
+
+
+def _sf1_dir() -> str:
+    if os.path.isdir("/root/testdata/sf1"):
+        return "/root/testdata/sf1"
+    if not os.path.isdir(SF1_REPLICA):
+        from tools.scale_data import scale
+
+        sys.stderr.write(f"generating {SF1_REPLICA} (10x of sf0.1)...\n")
+        scale(10, "/root/testdata/sf0.1", SF1_REPLICA)
+    return SF1_REPLICA
 
 
 def _resolve_sf_dir() -> tuple[str, str]:
@@ -127,40 +170,41 @@ def _resolve_sf_dir() -> tuple[str, str]:
             # explicit sf1 request: beats $SPARK_GRAFT_SF_DIR (the driver
             # pins that to sf0.1 — an explicit argv must not be silently
             # overridden by the env)
-            if os.path.isdir("/root/testdata/sf1"):
-                return "/root/testdata/sf1", "1"
-            if not os.path.isdir(SF1_REPLICA):
-                from tools.scale_data import scale
-
-                sys.stderr.write(f"generating {SF1_REPLICA} (10x of sf0.1)...\n")
-                scale(10, "/root/testdata/sf0.1", SF1_REPLICA)
-            return SF1_REPLICA, "1"
+            return _sf1_dir(), "1"
         raise SystemExit(
-            f"bench.py: unrecognized scale argv {arg!r} (expected sf0.1, sf01, or sf1)"
+            f"bench.py: unrecognized scale argv {arg!r} (expected sf0.1, sf01, sf1, or v2)"
         )
     env = os.environ.get("SPARK_GRAFT_SF_DIR")
     if env:
         if env.rstrip("/") == SF1_REPLICA:  # the replica path is ~sf1
             return env, "1"
         return env, env.rstrip("/").rsplit("sf", 1)[-1]
-    if os.path.isdir("/root/testdata/sf1"):
-        return "/root/testdata/sf1", "1"
-    if not os.path.isdir(SF1_REPLICA):
-        from tools.scale_data import scale
-
-        sys.stderr.write(f"generating {SF1_REPLICA} (10x of sf0.1)...\n")
-        scale(10, "/root/testdata/sf0.1", SF1_REPLICA)
-    return SF1_REPLICA, "1"
+    return _sf1_dir(), "1"
 
 
-def main() -> None:
-    sf_dir, sf = _resolve_sf_dir()
-    spark = get_spark("bench")
+def _time_set(spark, names: list[str], sf_dir: str, n_runs: int) -> dict[str, float]:
+    """Min-of-N noop-sink wall per query, scoped caches drained between
+    queries (the scoped release keeps the module-global registry bounded
+    over a long run)."""
     queries = all_queries()
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            _execute(queries[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        release_plan_caches()
+        spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+    return timings
 
+
+def _warmup(spark) -> None:
     # warmup: JVM + codegen + parquet footer caches at the smallest sf;
     # simhash included because its wide codegen'd expression tree is the
     # slowest to JIT-compile (dominates its own first-run time otherwise)
+    queries = all_queries()
     for name in (
         "q1_pricing_summary",
         "latest_telemetry",
@@ -169,13 +213,6 @@ def main() -> None:
     ):
         _execute(queries[name](spark, "/root/testdata/sf0.001"))
 
-    # repeated runs per query, report the min: steady-state execution
-    # time (codegen/broadcast caches warm), the number that scales with
-    # data rather than with JVM compilation or host-scheduling noise
-    # (BASELINE.md documents a 42.6-74.9 s spread across identical-code
-    # runs on this microVM; min-of-N tightens the estimator). At ~sf1
-    # real execution dominates and 2 runs suffice; at the sub-second
-    # sf0.1 floor keep 3.
     # min-of-N re-runs rebuild each query's plan while its intra-query
     # cache from the previous run is still warm (intended: steady-state
     # timing) — CacheManager logs a benign "already cached" WARN per
@@ -189,20 +226,43 @@ def main() -> None:
     except Exception:
         pass  # log backend differs — cosmetic only
 
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "v2":
+        # headline-v2: the post-round-3 heavy-operator block, always ~sf1.
+        # Separate invocation so the driver's default run still prints
+        # exactly ONE JSON line for the frozen legacy set.
+        sf_dir = _sf1_dir()
+        spark = get_spark("bench")
+        _warmup(spark)
+        timings = _time_set(spark, BENCH_V2_QUERIES, sf_dir, n_runs=2)
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_v2_total",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": 1,
+                }
+            )
+        )
+        return
+
+    sf_dir, sf = _resolve_sf_dir()
+    spark = get_spark("bench")
+    _warmup(spark)
+
+    # repeated runs per query, report the min: steady-state execution
+    # time (codegen/broadcast caches warm), the number that scales with
+    # data rather than with JVM compilation or host-scheduling noise
+    # (BASELINE.md documents a 42.6-74.9 s spread across identical-code
+    # runs on this microVM; min-of-N tightens the estimator). At ~sf1
+    # real execution dominates and 2 runs suffice; at the sub-second
+    # sf0.1 floor keep 3.
     n_runs = 2 if sf == "1" else 3
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            _execute(queries[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        # drain the scoped plan-cache registry (and any residual cached
-        # relations) between queries — the scoped release keeps the
-        # module-global registry bounded over the 64-query run
-        release_plan_caches()
-        spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+    timings = _time_set(spark, BENCH_QUERIES, sf_dir, n_runs)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -346,7 +346,9 @@ ORDER BY doc_id
 # --- exact-substring span REMOVAL --------------------------------------------
 
 
-def substring_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def substring_dup_removal(
+    spark: SparkSession, sf_dir: str, frame: DataFrame | None = None
+) -> DataFrame:
     """The acting half of `substring_dup_spans` (the ExactSubstr pipeline of
     Lee et al. 2021 *cuts* duplicated spans, it doesn't just measure them):
     rewrite every document with cross-document duplicated runs of ≥
@@ -384,7 +386,38 @@ def substring_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc array, bounded by windows-per-doc) and the token filter is a
     per-row higher-order function — the document text itself never
     shuffles wider than its own row.
+
+    `frame` injects a pre-built (optionally cached) `_removal_frame` so a
+    job that also materializes the audit / shard capstone computes the
+    windows→islands→excision pass ONCE (see `fused_curation_frame`).
     """
+    frame = _removal_frame(spark, sf_dir) if frame is None else frame
+    return (
+        frame.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size("kept_toks").cast("long").alias("n_kept_tokens"),
+            (F.size("toks") - F.size("kept_toks")).cast("long").alias("n_cut_tokens"),
+            round_half_up(
+                (F.size("toks") - F.size("kept_toks")).cast("double")
+                / F.size("toks").cast("double"),
+                4,
+            ).alias("cut_frac"),
+            F.array_join("kept_toks", " ").alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _removal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared core of the ExactSubstr acting family: one row per
+    non-empty document with its original token array (`toks`) and the
+    post-excision token array (`kept_toks`) under the keep-first-occurrence
+    window rule documented on `substring_dup_removal`. No finishing stage
+    (no sort, no string re-join) — consumers (`substring_dup_removal`,
+    `substring_dup_removal_audit`, `curated_training_shards`,
+    `curated_shard_manifest`) each apply their own, so a fused job can
+    cache THIS frame and pay for the windows/islands pass once."""
     from pyspark.sql import Window
 
     docs = _nonempty(load_table(spark, sf_dir, "documents"))
@@ -420,27 +453,26 @@ def substring_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivs",
         F.coalesce("ivs", F.expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)")),
     )
-    kept = F.expr(
-        "filter(transform(sequence(1, size(toks)), "
+    kept_toks = F.expr(
+        "transform(filter(transform(sequence(1, size(toks)), "
         "i -> struct(i AS i, element_at(toks, i) AS tok)), "
-        "x -> NOT exists(ivs, v -> x.i >= v.s AND x.i <= v.e))"
+        "x -> NOT exists(ivs, v -> x.i >= v.s AND x.i <= v.e)), x -> x.tok)"
     )
-    return (
-        joined.withColumn("kept", kept)
-        .select(
-            "doc_id",
-            F.size("toks").cast("long").alias("n_tokens"),
-            F.size("kept").cast("long").alias("n_kept_tokens"),
-            (F.size("toks") - F.size("kept")).cast("long").alias("n_cut_tokens"),
-            round_half_up(
-                (F.size("toks") - F.size("kept")).cast("double")
-                / F.size("toks").cast("double"),
-                4,
-            ).alias("cut_frac"),
-            F.array_join(F.expr("transform(kept, x -> x.tok)"), " ").alias("kept_text"),
-        )
-        .orderBy("doc_id")
-    )
+    return joined.select("doc_id", "toks", kept_toks.alias("kept_toks"))
+
+
+def fused_curation_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build `_removal_frame` once, cache it (scoped via
+    `pkg.caching.register_plan_cache`), and return it for injection into
+    `substring_dup_removal` / `substring_dup_removal_audit` /
+    `curated_training_shards` / `curated_shard_manifest`. A curation job
+    that materializes several of those artifacts pays the
+    windows→islands→excision pass once instead of once per artifact; the
+    standalone registry entries deliberately do NOT cache (a single
+    consumer gains nothing from materialization)."""
+    from ..caching import register_plan_cache
+
+    return register_plan_cache(_removal_frame(spark, sf_dir).cache())
 
 
 _SUBSTRING_REMOVAL_SQL = f"""
@@ -488,7 +520,9 @@ ORDER BY doc_id
 # --- removal effectiveness audit ----------------------------------------------
 
 
-def substring_dup_removal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def substring_dup_removal_audit(
+    spark: SparkSession, sf_dir: str, frame: DataFrame | None = None
+) -> DataFrame:
     """Did the cut actually clean the corpus? Re-run the cross-doc
     duplicated-window measurement on `substring_dup_removal`'s REWRITTEN
     text and report corpus-level before/after: docs with windows, window
@@ -503,15 +537,23 @@ def substring_dup_removal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale (100 TB): two passes of the same no-pairwise-join shape as
     `substring_dup_spans` (digest hash-agg + equi-join back), the second
-    over the rewritten corpus; output is 2 rows.
+    over the rewritten corpus; output is 2 rows. Both stages consume
+    `_removal_frame` directly — the after-stage reads the kept-TOKEN array
+    (no global sort, no join-to-string-and-re-split round trip), and with
+    an injected cached frame (`fused_curation_frame`) the before-stage
+    reads the same materialization instead of rescanning the parquet.
     """
     w = PASSAGE_TOKENS
-    docs = _nonempty(load_table(spark, sf_dir, "documents"))
-    before = docs.select("doc_id", _toks().alias("toks"))
-    after = substring_dup_removal(spark, sf_dir).select(
-        "doc_id",
-        F.filter(F.split("kept_text", " "), lambda x: x != "").alias("toks"),
-    )
+    if frame is None:
+        # standalone: the before-stage is a plain pruned scan — routing it
+        # through the (uncached) removal frame would drag the un-prunable
+        # ivs left-join into a branch that only needs the original tokens
+        frame = _removal_frame(spark, sf_dir)
+        docs = _nonempty(load_table(spark, sf_dir, "documents"))
+        before = docs.select("doc_id", _toks().alias("toks"))
+    else:
+        before = frame.select("doc_id", "toks")
+    after = frame.select("doc_id", F.col("kept_toks").alias("toks"))
     wins_expr = _win_digests()
 
     def _stats(frame: DataFrame, stage: str) -> DataFrame:
@@ -1076,10 +1118,19 @@ def curation_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow row per document — at 100 TB this is the manifest written
     alongside the curated corpus, partitioned like the docs themselves.
     """
+    joined = _curation_joined(spark, sf_dir)
+    return (
+        joined.select("doc_id", "lang", _verdict_col().alias("verdict"))
+        .orderBy("doc_id")
+    )
+
+
+def _verdict_col() -> F.Column:
+    """First-dropping-stage CASE over `_curation_joined`'s signal columns —
+    the ONE definition `curation_kept_docs` and the shard capstone share."""
     from .dedup import QUALITY_CUTOFF
 
-    joined = _curation_joined(spark, sf_dir)
-    verdict = (
+    return (
         F.when(F.col("is_keeper").isNull(), F.lit("dropped_near_dup"))
         .when(F.col("quality_score") < F.lit(QUALITY_CUTOFF), F.lit("dropped_quality"))
         .when(F.col("keep_flag") != 1, F.lit("dropped_classifier"))
@@ -1090,7 +1141,6 @@ def curation_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("kept"))
     )
-    return joined.select("doc_id", "lang", verdict.alias("verdict")).orderBy("doc_id")
 
 
 def _sql_curation_kept() -> str:
@@ -1115,6 +1165,175 @@ JOIN quality q ON q.doc_id = d.doc_id
 JOIN clf c2 ON c2.doc_id = d.doc_id
 LEFT JOIN flu f ON f.doc_id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+
+# --- curated training shards: the capstone composition ------------------------
+
+
+def curated_training_shards(
+    spark: SparkSession, sf_dir: str, frame: DataFrame | None = None
+) -> DataFrame:
+    """The end-to-end curated-corpus balance sheet a training run reads
+    before consuming shards: funnel verdicts (`curation_kept_docs`) ×
+    span-cut rewritten text (`substring_dup_removal`) × deterministic
+    hash-shard assignment (`training_shards`' contract), in ONE fused plan.
+    Per shard (plus a `shard = -1` corpus-total rollup row): kept
+    doc/token/byte balance AND the bytes-saved attribution — normalized
+    bytes removed by funnel drops (whole docs) vs by ExactSubstr span cuts
+    (inside kept docs). Byte accounting is over the normalized text
+    (lowercased, single-space re-joined) so cut attribution is exact:
+    norm_bytes(original) − bytes(kept_text) for kept docs, norm_bytes for
+    dropped docs; the two columns sum to everything the curation pass
+    saved a downstream trainer from reading.
+
+    Scale (100 TB): per-doc signals are the funnel's one-joined-row-per-doc
+    plan plus `_removal_frame`'s no-pairwise-join rewrite; the report is a
+    ROLLUP hash-agg on a 16-value key (fully map-side-combined). Dropped
+    docs keep their would-be shard id, so a hot shard is visible BEFORE and
+    after curation. Inject `frame = fused_curation_frame(...)` when a job
+    also materializes the manifest / audit — the excision pass then runs
+    once per job.
+    """
+    from ..functions.scalars import portable_hash
+    from .text import N_SHARDS
+
+    frame = _removal_frame(spark, sf_dir) if frame is None else frame
+    verd = _curation_joined(spark, sf_dir).select(
+        "doc_id", _verdict_col().alias("verdict")
+    )
+    rem = frame.select(
+        "doc_id",
+        F.size("kept_toks").cast("long").alias("kept_tok"),
+        F.length(F.array_join("toks", " ")).cast("long").alias("norm_bytes"),
+        F.length(F.array_join("kept_toks", " ")).cast("long").alias("kept_bytes"),
+    )
+    per = verd.join(rem, "doc_id", "left").select(
+        (portable_hash(F.col("doc_id").cast("string")) % N_SHARDS).alias("shard"),
+        (F.col("verdict") == "kept").alias("kept"),
+        F.coalesce("kept_tok", F.lit(0)).alias("kept_tok"),
+        F.coalesce("norm_bytes", F.lit(0)).alias("norm_bytes"),
+        F.coalesce("kept_bytes", F.lit(0)).alias("kept_bytes"),
+    )
+    kept = F.col("kept")
+    return (
+        per.rollup("shard")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_docs"),
+            F.sum(F.when(kept, F.col("kept_tok")).otherwise(0))
+            .cast("long")
+            .alias("n_tokens"),
+            F.sum(F.when(kept, F.col("kept_bytes")).otherwise(0))
+            .cast("long")
+            .alias("n_bytes"),
+            F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("n_dropped_docs"),
+            F.sum(F.when(kept, 0).otherwise(F.col("norm_bytes")))
+            .cast("long")
+            .alias("bytes_dropped_funnel"),
+            F.sum(F.when(kept, F.col("norm_bytes") - F.col("kept_bytes")).otherwise(0))
+            .cast("long")
+            .alias("bytes_cut_spans"),
+        )
+        .select(
+            F.coalesce(F.col("shard"), F.lit(-1)).cast("long").alias("shard"),
+            "n_docs",
+            "n_tokens",
+            "n_bytes",
+            "n_dropped_docs",
+            "bytes_dropped_funnel",
+            "bytes_cut_spans",
+        )
+        .orderBy("shard")
+    )
+
+
+def curated_shard_manifest(
+    spark: SparkSession, sf_dir: str, frame: DataFrame | None = None
+) -> DataFrame:
+    """The per-document artifact behind `curated_training_shards`: one row
+    per verdict-kept doc with its shard id, kept token/byte counts, and the
+    span-cut rewritten text — what the shard writer actually serializes
+    (`df.repartition(N_SHARDS, 'shard').write...`). A doc that lost spans
+    to `substring_dup_removal` appears with its REWRITTEN text, never the
+    original; funnel-dropped docs do not appear at all.
+
+    Scale (100 TB): narrow per-doc rows; text never shuffles wider than its
+    own row (the verdict join is on doc_id, the shard id is a pure per-row
+    expression). Inject `frame = fused_curation_frame(...)` to share the
+    excision pass with the report/audit in one job."""
+    from ..functions.scalars import portable_hash
+    from .text import N_SHARDS
+
+    frame = _removal_frame(spark, sf_dir) if frame is None else frame
+    verd = _curation_joined(spark, sf_dir).select(
+        "doc_id", _verdict_col().alias("verdict")
+    )
+    rem = frame.select(
+        "doc_id",
+        F.size("kept_toks").cast("long").alias("kept_tok"),
+        F.array_join("kept_toks", " ").alias("ktext"),
+    )
+    return (
+        verd.filter(F.col("verdict") == "kept")
+        .join(rem, "doc_id", "left")
+        .select(
+            "doc_id",
+            (portable_hash(F.col("doc_id").cast("string")) % N_SHARDS).alias("shard"),
+            F.coalesce("kept_tok", F.lit(0)).cast("long").alias("n_tokens"),
+            F.length(F.coalesce("ktext", F.lit(""))).cast("long").alias("n_bytes"),
+            F.coalesce("ktext", F.lit("")).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_curated_shards() -> str:
+    from ..functions.scalars import sql_portable_hash
+    from .text import N_SHARDS
+
+    return f"""
+WITH verd AS (SELECT doc_id, verdict FROM ({_sql_curation_kept()}) v),
+remo AS (SELECT doc_id, n_kept_tokens, kept_text FROM ({_SUBSTRING_REMOVAL_SQL}) r),
+base2 AS (SELECT doc_id, len(array_to_string({_SQL_TOKS}, ' ')) AS norm_bytes
+          FROM documents WHERE trim(text) <> ''),
+rem AS (SELECT r.doc_id, r.n_kept_tokens AS kept_tok, len(r.kept_text) AS kept_bytes,
+               b.norm_bytes
+        FROM remo r JOIN base2 b USING (doc_id)),
+per AS (SELECT {sql_portable_hash("CAST(v.doc_id AS VARCHAR)")} % {N_SHARDS} AS shard,
+               (v.verdict = 'kept') AS kept,
+               COALESCE(rem.kept_tok, 0) AS kept_tok,
+               COALESCE(rem.norm_bytes, 0) AS norm_bytes,
+               COALESCE(rem.kept_bytes, 0) AS kept_bytes
+        FROM verd v LEFT JOIN rem ON rem.doc_id = v.doc_id)
+SELECT CAST(COALESCE(shard, -1) AS BIGINT) AS shard,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN kept THEN kept_tok ELSE 0 END) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN kept THEN kept_bytes ELSE 0 END) AS BIGINT) AS n_bytes,
+       CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped_docs,
+       CAST(SUM(CASE WHEN kept THEN 0 ELSE norm_bytes END) AS BIGINT)
+         AS bytes_dropped_funnel,
+       CAST(SUM(CASE WHEN kept THEN norm_bytes - kept_bytes ELSE 0 END) AS BIGINT)
+         AS bytes_cut_spans
+FROM per
+GROUP BY ROLLUP(shard)
+ORDER BY shard
+"""
+
+
+def _sql_curated_manifest() -> str:
+    from ..functions.scalars import sql_portable_hash
+    from .text import N_SHARDS
+
+    return f"""
+WITH verd AS (SELECT doc_id FROM ({_sql_curation_kept()}) v WHERE verdict = 'kept'),
+remo AS (SELECT doc_id, n_kept_tokens, kept_text FROM ({_SUBSTRING_REMOVAL_SQL}) r)
+SELECT v.doc_id,
+       {sql_portable_hash("CAST(v.doc_id AS VARCHAR)")} % {N_SHARDS} AS shard,
+       CAST(COALESCE(r.n_kept_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(len(COALESCE(r.kept_text, '')) AS BIGINT) AS n_bytes,
+       COALESCE(r.kept_text, '') AS kept_text
+FROM verd v LEFT JOIN remo r ON r.doc_id = v.doc_id
+ORDER BY v.doc_id
 """
 
 
@@ -1161,6 +1380,8 @@ QUERIES = {
     "corpus_curation_report": corpus_curation_report,
     "curation_funnel_report": curation_funnel_report,
     "curation_kept_docs": curation_kept_docs,
+    "curated_training_shards": curated_training_shards,
+    "curated_shard_manifest": curated_shard_manifest,
 }
 
 ORACLES = {
@@ -1177,4 +1398,6 @@ ORACLES = {
     "corpus_curation_report": _sql_curation_report(),
     "curation_funnel_report": _sql_curation_funnel(),
     "curation_kept_docs": _sql_curation_kept(),
+    "curated_training_shards": _sql_curated_shards(),
+    "curated_shard_manifest": _sql_curated_manifest(),
 }

@@ -248,9 +248,12 @@ def _rel_expr() -> F.Column:
     (the labels are what BM25 ranks); the source component is what lets
     the report distinguish the systems rather than re-derive BM25."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # the source component COALESCEs to 0 when qsource is NULL (anchor doc
+    # absent) — the SQL twin's CASE does the same, so a missing anchor
+    # degrades to lexical-only labels instead of NULLing every grade
     return (
         sum(F.array_contains(toks, t).cast("int") for t in QUERY_TERMS)
-        + (F.col("source") == F.col("qsource")).cast("int")
+        + F.coalesce((F.col("source") == F.col("qsource")).cast("int"), F.lit(0))
     ).alias("rel")
 
 
@@ -278,11 +281,19 @@ def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import QUERY_VEC, hybrid_search_rrf
 
     docs = load_table(spark, sf_dir, "documents")
-    qsrc = docs.filter(F.col("doc_id") == QUERY_VEC).select(
-        F.col("source").alias("qsource")
+    # 1-row broadcast LEFT join (constant key), NOT a crossJoin: if the
+    # QUERY_VEC anchor doc is ever absent, qsource becomes NULL and the
+    # labels degrade to lexical-only (matching the SQL twin's scalar
+    # subquery), instead of the crossJoin-with-empty silently emptying the
+    # relevance frame and zeroing both systems' scores (round-6 ADVICE)
+    qsrc = (
+        docs.filter(F.col("doc_id") == QUERY_VEC)
+        .select(F.col("source").alias("qsource"), F.lit(1).alias("_k"))
+        .limit(1)
     )
     rel = (
-        docs.crossJoin(F.broadcast(qsrc))
+        docs.withColumn("_k", F.lit(1))
+        .join(F.broadcast(qsrc), "_k", "left")
         .select("doc_id", _rel_expr())
         .localCheckpoint(eager=False)
     )

@@ -435,3 +435,120 @@ def test_curation_kept_docs_aggregates_to_funnel(spark, sf_dir):
     for c in by_lang.values():
         allc.update(c)
     assert allc["kept"] > 0 and sum(allc.values()) > allc["kept"]
+
+
+def test_curated_training_shards_capstone(spark, sf_dir):
+    """The capstone composes verdicts x span-cut text x hash shards: every
+    shard id 0..N_SHARDS-1 appears plus the -1 corpus-total rollup row; the
+    total row equals the column sums of the shard rows; kept/dropped doc
+    counts reconcile with the verdict manifest; and byte attribution is
+    exact (bytes_cut_spans = sum over kept docs of norm - kept bytes)."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        curated_training_shards,
+        curation_kept_docs,
+        substring_dup_removal,
+    )
+    from data_pipeline_for_autonomous_vehicles_spark.operators.text import N_SHARDS
+
+    rows = {r["shard"]: r for r in curated_training_shards(spark, sf_dir).collect()}
+    assert set(rows) == {-1, *range(N_SHARDS)}
+    total = rows[-1]
+    cols = [
+        "n_docs", "n_tokens", "n_bytes",
+        "n_dropped_docs", "bytes_dropped_funnel", "bytes_cut_spans",
+    ]
+    for c in cols:
+        assert total[c] == sum(rows[s][c] for s in range(N_SHARDS)), c
+
+    verdicts = curation_kept_docs(spark, sf_dir).collect()
+    n_kept = sum(1 for r in verdicts if r["verdict"] == "kept")
+    assert total["n_docs"] == n_kept
+    assert total["n_dropped_docs"] == len(verdicts) - n_kept
+
+    kept_ids = {r["doc_id"] for r in verdicts if r["verdict"] == "kept"}
+    removal = {r["doc_id"]: r for r in substring_dup_removal(spark, sf_dir).collect()}
+    # exact attribution check via an independent recomputation on the driver
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    exp_cut = 0
+    exp_dropped = 0
+    for did, text in docs.items():
+        norm = " ".join(text.lower().strip().split())
+        if did in kept_ids:
+            if did in removal:
+                exp_cut += len(norm) - len(removal[did]["kept_text"])
+        else:
+            exp_dropped += len(norm)
+    assert total["bytes_cut_spans"] == exp_cut
+    assert total["bytes_dropped_funnel"] == exp_dropped
+    # the composition is non-trivial on driver data: both saving channels bite
+    assert total["bytes_dropped_funnel"] > 0
+    assert total["bytes_cut_spans"] > 0
+
+
+def test_curated_shard_manifest_carries_rewritten_text(spark, sf_dir):
+    """The manifest is the artifact a trainer reads: only verdict-kept docs,
+    and a kept doc that lost spans appears with its REWRITTEN text (never
+    the original). Non-vacuous on driver data (kept-and-cut docs exist)."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        curated_shard_manifest,
+        curation_kept_docs,
+        substring_dup_removal,
+    )
+    from data_pipeline_for_autonomous_vehicles_spark.operators.text import N_SHARDS
+
+    manifest = {r["doc_id"]: r for r in curated_shard_manifest(spark, sf_dir).collect()}
+    kept_ids = {
+        r["doc_id"]
+        for r in curation_kept_docs(spark, sf_dir).collect()
+        if r["verdict"] == "kept"
+    }
+    assert set(manifest) == kept_ids
+    removal = {r["doc_id"]: r for r in substring_dup_removal(spark, sf_dir).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    cut_and_kept = [d for d in kept_ids if d in removal and removal[d]["n_cut_tokens"] > 0]
+    assert cut_and_kept, "driver data must contain kept-and-cut docs for this test"
+    for did in cut_and_kept:
+        m = manifest[did]
+        norm_orig = " ".join(docs[did].lower().strip().split())
+        assert m["kept_text"] == removal[did]["kept_text"]
+        assert m["kept_text"] != norm_orig
+        assert m["n_tokens"] == removal[did]["n_kept_tokens"]
+        assert m["n_bytes"] == len(m["kept_text"])
+        assert 0 <= m["shard"] < N_SHARDS
+
+
+def test_fused_curation_frame_shares_one_pass(spark, sf_dir):
+    """Injecting `fused_curation_frame` into removal + audit + capstone
+    yields byte-identical results to the standalone plans, registers the
+    cache for scoped release, and the cache is actually dropped by
+    `release_plan_caches` (footprint returns to the pre-job state)."""
+    from data_pipeline_for_autonomous_vehicles_spark.caching import (
+        release_plan_caches,
+    )
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        curated_training_shards,
+        fused_curation_frame,
+        substring_dup_removal,
+        substring_dup_removal_audit,
+    )
+
+    base_removal = substring_dup_removal(spark, sf_dir).collect()
+    base_audit = substring_dup_removal_audit(spark, sf_dir).collect()
+    base_shards = curated_training_shards(spark, sf_dir).collect()
+
+    frame = fused_curation_frame(spark, sf_dir)
+    try:
+        assert substring_dup_removal(spark, sf_dir, frame).collect() == base_removal
+        assert substring_dup_removal_audit(spark, sf_dir, frame).collect() == base_audit
+        assert curated_training_shards(spark, sf_dir, frame).collect() == base_shards
+        assert frame.storageLevel.useMemory or frame.storageLevel.useDisk
+    finally:
+        released = release_plan_caches(blocking=True)
+    assert released >= 1
+    assert not (frame.storageLevel.useMemory or frame.storageLevel.useDisk)

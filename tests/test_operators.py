@@ -2152,3 +2152,26 @@ def test_retrieval_ndcg_matches_bruteforce(spark, sf_dir):
     assert got == expect
     # the gate discriminates: the two systems score differently on NDCG
     assert got["bm25"][0] != got["hybrid_rrf"][0]
+
+
+def test_retrieval_ndcg_degrades_without_anchor_doc(spark, sf_dir, tmp_path):
+    """Round-6 ADVICE: if the QUERY_VEC anchor document is absent, the
+    relevance labels must degrade to lexical-only (source component 0,
+    matching the SQL twin's NULL scalar subquery) — NOT silently empty the
+    relevance frame and zero both systems' scores."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import ranking, similarity
+
+    d = str(tmp_path / "noanchor")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.filter(docs.doc_id != similarity.QUERY_VEC).coalesce(1).write.parquet(
+        d + "/documents.parquet"
+    )
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").coalesce(1).write.parquet(
+        d + "/embeddings.parquet"
+    )
+    got = {r["system"]: r for r in ranking.retrieval_ndcg_report(spark, d).collect()}
+    assert set(got) == {"bm25", "hybrid_rrf"}
+    # lexical labels still grade the systems: bm25 retrieves docs that
+    # contain QUERY_TERMS, so its top-k cannot be relevance-free
+    assert got["bm25"]["n_relevant_topk"] > 0
+    assert got["bm25"]["ndcg_at_10"] > 0.0

@@ -125,13 +125,15 @@ def test_bench_sf_dir_resolution(monkeypatch):
     assert bench._resolve_sf_dir() == (bench.SF1_REPLICA, "1")
 
     # explicit `sf1` argv beats the env pin (round-5 ADVICE: it used to
-    # fall through silently and benchmark whatever the env pointed at)
+    # fall through silently and benchmark whatever the env pointed at).
+    # isdir is stubbed so the branch is exercised on EVERY machine (round-6
+    # ADVICE: guarding on a real sf1 dir let the regression assertion
+    # silently verify nothing where none exists) — and stubbing it True
+    # also guarantees _sf1_dir cannot fall into replica generation here.
     monkeypatch.setattr(_sys, "argv", ["bench.py", "sf1"])
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    import os as _os
-
-    if _os.path.isdir(bench.SF1_REPLICA) or _os.path.isdir("/root/testdata/sf1"):
-        assert bench._resolve_sf_dir()[1] == "1"
+    monkeypatch.setattr("os.path.isdir", lambda p: True)
+    assert bench._resolve_sf_dir() == ("/root/testdata/sf1", "1")
 
     # unrecognized argv errors instead of being silently ignored
     monkeypatch.setattr(_sys, "argv", ["bench.py", "sf5"])
@@ -144,9 +146,5 @@ def test_bench_sf_dir_resolution(monkeypatch):
 
     monkeypatch.delenv("SPARK_GRAFT_SF_DIR")
     # default resolves to an sf1-scale dir (driver sf1 if present, else
-    # the replica — which this assertion must not trigger generating)
-    import os as _os
-
-    if _os.path.isdir(bench.SF1_REPLICA) or _os.path.isdir("/root/testdata/sf1"):
-        sf_dir, label = bench._resolve_sf_dir()
-        assert label == "1"
+    # the replica — isdir is still stubbed True, so no generation runs)
+    assert bench._resolve_sf_dir() == ("/root/testdata/sf1", "1")
