@@ -72,6 +72,13 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     The components are the reference heuristics of C4/Gopher-style filters
     (length, lexical diversity, stopword presence)."""
     docs = load_table(spark, sf_dir, "documents")
+    return _quality_frame(docs).orderBy("doc_id")
+
+
+def _quality_frame(docs: DataFrame) -> DataFrame:
+    """`quality_scores` over ANY (doc_id, lang, text, n_chars) frame — a
+    pure per-row expression, so the streaming curation probe scores a
+    micro-batch with byte-identical semantics to the batch funnel."""
     en = LANG_MARKERS["en"]
     n_tokens = F.size(_tokens()).cast("double")
     n_distinct = F.size(F.array_distinct(_tokens())).cast("double")
@@ -84,7 +91,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = round_half_up(
         F.lit(0.4) * length_score + F.lit(0.3) * ttr + F.lit(0.3) * stop_score, 4
     )
-    return docs.select("doc_id", "lang", score.alias("quality_score")).orderBy("doc_id")
+    return docs.select("doc_id", "lang", score.alias("quality_score"))
 
 
 _EN_LIST = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS["en"]) + "]"
@@ -135,9 +142,16 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole pass is map-only and codegen'd, so it runs at scan speed on
     100 TB.
     """
+    docs = load_table(spark, sf_dir, "documents")
+    return _clf_frame(docs).orderBy("doc_id")
+
+
+def _clf_frame(docs: DataFrame) -> DataFrame:
+    """`quality_classifier_scores` over ANY (doc_id, lang, text) frame —
+    per-row fold, shared verbatim by the batch op and the streaming
+    curation probe."""
     from ..functions.scalars import portable_hash
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(_tokens(), lambda t: t != F.lit(""))
 
     def weight(t: F.Column) -> F.Column:
@@ -157,7 +171,7 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.alias("weight_sum"),
         clf_score.alias("clf_score"),
         ((s >= 0) & (n > 0)).cast("int").alias("keep_flag"),
-    ).orderBy("doc_id")
+    )
 
 
 _CLF_W = (
@@ -212,13 +226,32 @@ def bigram_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence weights, so hot bigrams ship once per doc, not once per
     occurrence."""
     docs = load_table(spark, sf_dir, "documents")
-    posts = (
+    counts = _bigram_posts(docs).groupBy("bigram").agg(
+        F.sum("occ").alias("corpus_count")
+    )
+    return _fluency_frame(docs, counts).orderBy("doc_id")
+
+
+def _bigram_posts(docs: DataFrame) -> DataFrame:
+    """(doc_id, bigram, occ) postings of any (doc_id, text) frame."""
+    return (
         docs.select("doc_id", _tokens().alias("toks"))
         .select("doc_id", F.explode(F.expr(_BIGRAMS)).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("occ"))
     )
-    counts = posts.groupBy("bigram").agg(F.sum("occ").alias("corpus_count"))
+
+
+def _fluency_frame(docs: DataFrame, counts: DataFrame) -> DataFrame:
+    """`bigram_fluency_scores` of `docs` graded against a SUPPLIED
+    (bigram, corpus_count) model table. The batch op passes counts built
+    from the same corpus; the streaming curation probe passes the static
+    pre-stream corpus model (a KenLM-style model at rest). The posting⋈model
+    join is INNER: a bigram absent from the model table is excluded from
+    the doc's graded postings — the same treatment a count-floor prune
+    gives it (and with a full-corpus model every posting hits, so the
+    batch op's output is unchanged)."""
+    posts = _bigram_posts(docs)
     scored = posts.join(counts, "bigram").groupBy("doc_id").agg(
         F.sum("occ").cast("long").alias("n_bigrams"),
         F.min("corpus_count").cast("long").alias("rarest_count"),
@@ -232,7 +265,7 @@ def bigram_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(
             F.col("count_sum").cast("double") / F.col("n_bigrams").cast("double"), 4
         ).alias("fluency_score"),
-    ).orderBy("doc_id")
+    )
 
 
 _FLUENCY_SQL = f"""

@@ -132,15 +132,150 @@ def streaming_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- streaming curation admission (round-6 verdict task 6) -------------------
+
+
+def corpus_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The static (bigram, corpus_count) fluency model built from the full
+    corpus at rest — the KenLM-style artifact a streaming admission gate
+    loads before the stream starts. Eagerly materialized by the caller
+    (localCheckpoint), like the band index."""
+    from ..catalog import load_table
+    from ..operators.text import _bigram_posts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _bigram_posts(docs).groupBy("bigram").agg(
+        F.sum("occ").alias("corpus_count")
+    )
+
+
+def curation_verdict_frame(
+    batch_docs: DataFrame, index: DataFrame, bigram_model: DataFrame
+) -> DataFrame:
+    """Per-doc curation verdict for ANY (doc_id, text, lang, source,
+    n_chars) frame — the batch funnel's stage ladder with the near-dup
+    stage replaced by its streaming analogue (novelty against the static
+    band index; cluster-canonical election needs the whole corpus, novelty
+    needs only the index):
+
+      not novel → dropped_near_dup; quality < cutoff → dropped_quality;
+      classifier reject → dropped_classifier; fluency below floor (against
+      the static bigram model) → dropped_fluency; else kept.
+
+    Quality and classifier are pure per-row expressions; fluency joins the
+    static model; novelty probes the static index — so verdicts depend
+    ONLY on (doc, static state), never on which micro-batch a doc landed
+    in: any chunking yields identical verdicts (pinned by pytest, same
+    argument as the novelty probe). Shared verbatim by the batch twin and
+    the foreachBatch stream."""
+    from ..operators.corpus import FLUENCY_FLOOR
+    from ..operators.dedup import QUALITY_CUTOFF, probe_band_index
+    from ..operators.text import _clf_frame, _fluency_frame, _quality_frame
+
+    probe = probe_band_index(batch_docs, index).select("doc_id", "is_novel")
+    q = _quality_frame(batch_docs).select("doc_id", "quality_score")
+    c = _clf_frame(batch_docs).select("doc_id", "keep_flag")
+    fl = _fluency_frame(batch_docs, bigram_model).select("doc_id", "fluency_score")
+    joined = (
+        batch_docs.select("doc_id", "lang")
+        .join(probe, "doc_id")
+        .join(q, "doc_id")
+        .join(c, "doc_id")
+        .join(fl, "doc_id", "left")
+    )
+    verdict = (
+        F.when(F.col("is_novel") == 0, F.lit("dropped_near_dup"))
+        .when(F.col("quality_score") < F.lit(QUALITY_CUTOFF), F.lit("dropped_quality"))
+        .when(F.col("keep_flag") != 1, F.lit("dropped_classifier"))
+        .when(
+            F.col("fluency_score").isNull()
+            | (F.col("fluency_score") < F.lit(FLUENCY_FLOOR)),
+            F.lit("dropped_fluency"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select("doc_id", "lang", verdict.alias("verdict"))
+
+
+CURATION_VERDICT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("verdict", StringType()),
+    ]
+)
+
+
+def streaming_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry form: stream the delta slice of `documents` through the
+    FULL curation admission — novelty probe + heuristic quality + hashed
+    classifier + bigram fluency — so a streamed micro-batch gets the same
+    keep/drop verdict (and the same first-dropping-stage attribution) the
+    batch funnel computes, not just the dedup gate. Static state (band
+    index, bigram model) is materialized once pre-stream; per-batch
+    verdicts append executor-side to a scratch parquet sink, exactly like
+    `streaming_novelty_probe`."""
+    import atexit
+    import shutil
+    import tempfile
+
+    index = corpus_band_index(spark, sf_dir).localCheckpoint(eager=True)
+    model = corpus_bigram_model(spark, sf_dir).localCheckpoint(eager=True)
+    stream = stream_documents(spark, sf_dir).where(_is_delta())
+    out_dir = tempfile.mkdtemp(prefix="curation_verdicts_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        curation_verdict_frame(batch_df, index, model).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = stream.writeStream.foreachBatch(_probe).trigger(availableNow=True).start()
+    q.awaitTermination()
+    out = spark.read.schema(CURATION_VERDICT_SCHEMA).parquet(out_dir)
+    return out.select("doc_id", "lang", "verdict").orderBy("doc_id")
+
+
 QUERIES = {
     "streaming_novelty_probe": streaming_novelty_probe,
+    "streaming_curation_verdicts": streaming_curation_verdicts,
 }
 
 
 def _oracles():
     from ..operators.dedup import _sql_delta_probe
+    from ..operators.text import _CLF_SQL, _FLUENCY_SQL, _QUALITY_SQL
 
-    return {"streaming_novelty_probe": _sql_delta_probe()}
+    def _curation_sql() -> str:
+        from ..operators.corpus import FLUENCY_FLOOR
+        from ..operators.dedup import QUALITY_CUTOFF
+
+        return f"""
+WITH probe AS (SELECT doc_id, is_novel FROM ({_sql_delta_probe()}) p),
+q AS (SELECT doc_id, quality_score FROM ({_QUALITY_SQL}) x),
+c AS (SELECT doc_id, keep_flag FROM ({_CLF_SQL}) x),
+f AS (SELECT doc_id, fluency_score FROM ({_FLUENCY_SQL}) x)
+SELECT d.doc_id, d.lang,
+       CASE WHEN p.is_novel = 0 THEN 'dropped_near_dup'
+            WHEN q.quality_score < {QUALITY_CUTOFF} THEN 'dropped_quality'
+            WHEN c.keep_flag <> 1 THEN 'dropped_classifier'
+            WHEN f.fluency_score IS NULL OR f.fluency_score < {FLUENCY_FLOOR}
+              THEN 'dropped_fluency'
+            ELSE 'kept' END AS verdict
+FROM probe p
+JOIN documents d ON d.doc_id = p.doc_id
+JOIN q ON q.doc_id = p.doc_id
+JOIN c ON c.doc_id = p.doc_id
+LEFT JOIN f ON f.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+    return {
+        "streaming_novelty_probe": _sql_delta_probe(),
+        "streaming_curation_verdicts": _curation_sql(),
+    }
 
 
 ORACLES = _oracles()

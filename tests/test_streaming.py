@@ -525,3 +525,88 @@ def test_streaming_novelty_probe_multibatch_equals_batch(spark, sf_dir, tmp_path
     # no doc is ever verdicted twice across batches
     ids = [r[0] for _, rows in batches for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def test_streaming_curation_verdicts_multibatch_and_funnel_agreement(
+    spark, sf_dir, tmp_path
+):
+    """The full streaming admission (novelty + quality + classifier +
+    fluency) is chunking-invariant, and agrees stage-for-stage with the
+    batch funnel (`curation_kept_docs`) on the delta slice everywhere the
+    two dedup gates agree — the near-dup stage is the ONLY semantic
+    difference (cluster-canonical election needs the whole corpus; the
+    stream substitutes index novelty)."""
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        curation_kept_docs,
+    )
+    from data_pipeline_for_autonomous_vehicles_spark.operators.dedup import (
+        _is_delta,
+        corpus_band_index,
+    )
+    from data_pipeline_for_autonomous_vehicles_spark.streaming import novelty
+
+    delta = load_table(spark, sf_dir, "documents").where(_is_delta())
+    split_dir = tmp_path / "delta_files"
+    for i in range(3):
+        delta.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(split_dir))
+
+    index = corpus_band_index(spark, sf_dir).localCheckpoint(eager=True)
+    model = novelty.corpus_bigram_model(spark, sf_dir).localCheckpoint(eager=True)
+
+    # one-shot batch twin over the whole delta slice
+    batch_verdicts = {
+        r["doc_id"]: r["verdict"]
+        for r in novelty.curation_verdict_frame(delta, index, model).collect()
+    }
+
+    # genuinely chunked stream: one file per micro-batch
+    stream = (
+        spark.readStream.schema(novelty.DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(split_dir))
+    )
+    batches: list[tuple[int, list]] = []
+
+    def _probe(df, bid):
+        if df.isEmpty():
+            return
+        batches.append(
+            (bid, novelty.curation_verdict_frame(df, index, model).collect())
+        )
+
+    q = stream.writeStream.foreachBatch(_probe).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert len(batches) >= 3
+    streamed = {r["doc_id"]: r["verdict"] for _, rows in batches for r in rows}
+    assert streamed == batch_verdicts
+    ids = [r["doc_id"] for _, rows in batches for r in rows]
+    assert len(ids) == len(set(ids))
+
+    # registry form ≡ the same verdicts
+    reg = {
+        r["doc_id"]: r["verdict"]
+        for r in novelty.streaming_curation_verdicts(spark, sf_dir).collect()
+    }
+    assert reg == batch_verdicts
+
+    # stage-2..4 agreement with the batch funnel: wherever both dedup gates
+    # admit, or both drop at a later stage, the verdicts are identical
+    funnel = {
+        r["doc_id"]: r["verdict"]
+        for r in curation_kept_docs(spark, sf_dir).collect()
+        if r["doc_id"] in streamed
+    }
+    assert set(funnel) == set(streamed)
+    downstream = 0
+    for did, v in streamed.items():
+        fv = funnel[did]
+        if v != "dropped_near_dup" and fv != "dropped_near_dup":
+            assert v == fv, (did, v, fv)
+            downstream += 1
+    assert downstream > 0  # the agreement check is non-vacuous
+    # and the ladder bites on the stream too
+    assert "kept" in streamed.values()
+    assert any(v != "kept" for v in streamed.values())
