@@ -458,6 +458,164 @@ ORDER BY c.media_type, media_a, media_b
 """
 
 
+# --- image-text PAIR dedup (round-6 verdict task 4) ---------------------------
+
+
+def _pair_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, img_group, txt_group): each doc labeled with its perceptual
+    image near-dup component (over `media_near_dups`' banded-Hamming pairs;
+    media_id IS the doc linkage) and its caption near-dup component (over
+    `minhash_lsh_pairs`). Shared by the pair manifest and the savings
+    report."""
+    from .dedup import connected_components, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    img_edges = media_near_dups(spark, sf_dir).select(
+        F.col("media_a").alias("a"), F.col("media_b").alias("b")
+    )
+    txt_edges = minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    img = connected_components(img_edges, docs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("img_group")
+    )
+    txt = connected_components(txt_edges, docs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("txt_group")
+    )
+    return img.join(txt, "doc_id")
+
+
+def media_text_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal PAIR-level dedup manifest: a training example is the
+    (image, caption) pair, so two examples collapse only when the images
+    are perceptual near-dups AND the captions are text near-dups — a
+    near-dup image under a genuinely different caption is a DIFFERENT
+    example (alt-text variants carry signal), which per-modality dedup
+    would wrongly destroy. Pair group = (image component, caption
+    component); the canonical pair kept per group is the best-quality
+    caption (doc_id ascending tiebreak — the `near_dup_canonicals`
+    policy applied at pair grain). One row per doc: its two component
+    labels, its pair-group size, and whether it is the kept canonical.
+
+    Scale (100 TB): both component passes are the shared iterative
+    min-label propagation (localCheckpoint per round, edges materialized
+    once); edges come from banded equi-joins (phash bands / MinHash-LSH
+    bands) — digest-only shuffles, never payload or text; the pair-group
+    key is two int64 labels and canonical election is one
+    max(struct(quality, -doc_id)) partial aggregate per group — no window.
+    """
+    from .text import quality_scores
+
+    grp = _pair_groups(spark, sf_dir)
+    quality = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    j = grp.join(quality, "doc_id")
+    best = j.groupBy("img_group", "txt_group").agg(
+        F.max(
+            F.struct(
+                F.col("quality_score").alias("q"), (-F.col("doc_id")).alias("neg_id")
+            )
+        ).alias("best"),
+        F.count(F.lit(1)).cast("long").alias("pair_size"),
+    )
+    return (
+        j.join(best, ["img_group", "txt_group"])
+        .select(
+            "doc_id",
+            "img_group",
+            "txt_group",
+            "pair_size",
+            (F.col("doc_id") == -F.col("best.neg_id")).cast("int").alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def media_text_pair_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accounting row that justifies pair-level dedup: how many
+    examples each policy keeps — image-only dedup (one per image
+    component), caption-only dedup (one per caption component), and
+    pair-level (one per (image, caption) component pair). removed_* are
+    the complements; pair-level removes the FEWEST (it refuses to collapse
+    distinct captions under a shared image and vice versa):
+    removed_pair_level <= min(removed_image_only, removed_caption_only).
+    """
+    grp = _pair_groups(spark, sf_dir)
+    return grp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("img_group").cast("long").alias("n_image_groups"),
+        F.countDistinct("txt_group").cast("long").alias("n_caption_groups"),
+        F.countDistinct("img_group", "txt_group").cast("long").alias("n_pair_groups"),
+    ).select(
+        "n_pairs",
+        "n_image_groups",
+        "n_caption_groups",
+        "n_pair_groups",
+        (F.col("n_pairs") - F.col("n_image_groups")).alias("removed_image_only"),
+        (F.col("n_pairs") - F.col("n_caption_groups")).alias("removed_caption_only"),
+        (F.col("n_pairs") - F.col("n_pair_groups")).alias("removed_pair_level"),
+    )
+
+
+def _sql_pair_groups() -> str:
+    from .dedup import _sql_lsh_pairs
+
+    return f"""
+img_edges AS (SELECT media_a AS a, media_b AS b FROM ({_sql_media_near_dups()}) m),
+ireach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT CASE WHEN r.node = e.a THEN e.b ELSE e.a END, r.root
+  FROM ireach r JOIN img_edges e ON r.node = e.a OR r.node = e.b),
+img AS (SELECT node AS doc_id, MIN(root) AS img_group FROM ireach GROUP BY node),
+txt_edges AS (SELECT doc_a AS a, doc_b AS b FROM ({_sql_lsh_pairs()}) l),
+treach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT CASE WHEN r.node = e.a THEN e.b ELSE e.a END, r.root
+  FROM treach r JOIN txt_edges e ON r.node = e.a OR r.node = e.b),
+txt AS (SELECT node AS doc_id, MIN(root) AS txt_group FROM treach GROUP BY node),
+grp AS (
+  SELECT d.doc_id, img.img_group, txt.txt_group
+  FROM documents d JOIN img USING (doc_id) JOIN txt USING (doc_id))"""
+
+
+def _sql_pair_dedup() -> str:
+    from .text import _QUALITY_SQL
+
+    return f"""
+WITH RECURSIVE
+{_sql_pair_groups().lstrip()},
+q AS (SELECT doc_id, quality_score FROM ({_QUALITY_SQL}) x),
+ranked AS (
+  SELECT g.doc_id, g.img_group, g.txt_group, qq.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY g.img_group, g.txt_group
+                            ORDER BY qq.quality_score DESC, g.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY g.img_group, g.txt_group) AS pair_size
+  FROM grp g JOIN q qq USING (doc_id))
+SELECT doc_id, img_group, txt_group,
+       CAST(pair_size AS BIGINT) AS pair_size,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+def _sql_pair_savings() -> str:
+    return f"""
+WITH RECURSIVE
+{_sql_pair_groups().lstrip()}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT img_group) AS BIGINT) AS n_image_groups,
+       CAST(COUNT(DISTINCT txt_group) AS BIGINT) AS n_caption_groups,
+       CAST(COUNT(DISTINCT (img_group, txt_group)) AS BIGINT) AS n_pair_groups,
+       CAST(COUNT(*) - COUNT(DISTINCT img_group) AS BIGINT) AS removed_image_only,
+       CAST(COUNT(*) - COUNT(DISTINCT txt_group) AS BIGINT) AS removed_caption_only,
+       CAST(COUNT(*) - COUNT(DISTINCT (img_group, txt_group)) AS BIGINT)
+         AS removed_pair_level
+FROM grp
+"""
+
+
 QUERIES = {
     "media_metadata": media_metadata,
     "media_features": media_features,
@@ -465,6 +623,8 @@ QUERIES = {
     "media_feature_bins": media_feature_bins,
     "media_exact_dedup": media_exact_dedup,
     "media_near_dups": media_near_dups,
+    "media_text_pair_dedup": media_text_pair_dedup,
+    "media_text_pair_savings": media_text_pair_savings,
 }
 
 ORACLES = {
@@ -475,4 +635,6 @@ ORACLES = {
     "media_feature_bins": _FEATURE_BINS_SQL,
     "media_exact_dedup": _MEDIA_DEDUP_SQL,
     "media_near_dups": _sql_media_near_dups(),
+    "media_text_pair_dedup": _sql_pair_dedup(),
+    "media_text_pair_savings": _sql_pair_savings(),
 }

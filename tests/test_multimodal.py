@@ -215,3 +215,73 @@ def test_bpe_dry_from_round_one(spark, tmp_path):
     assert con.execute(text._sql_bpe_merge_rounds()).fetchall() == []
     got = con.execute(text._sql_bpe_compression()).fetchall()
     assert [(r[0], r[1], r[2], r[3]) for r in got] == [("en", 4, 4, 4)]
+
+
+def test_media_text_pair_dedup_matches_bruteforce(spark, sf_dir):
+    """Pair-level dedup ≡ a literal Python union-find over the same edge
+    lists: component labels per modality, pair-group sizes, and canonical
+    election (max quality, min doc_id tiebreak)."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import multimodal
+    from data_pipeline_for_autonomous_vehicles_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from data_pipeline_for_autonomous_vehicles_spark.operators.text import quality_scores
+
+    docs = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+
+    def components(edges: list[tuple[int, int]]) -> dict[int, int]:
+        parent = {d: d for d in docs}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {d: find(d) for d in docs}
+
+    img_edges = [
+        (r["media_a"], r["media_b"])
+        for r in multimodal.media_near_dups(spark, sf_dir).collect()
+    ]
+    txt_edges = [
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(spark, sf_dir).collect()
+    ]
+    img, txt = components(img_edges), components(txt_edges)
+    quality = {
+        r["doc_id"]: r["quality_score"] for r in quality_scores(spark, sf_dir).collect()
+    }
+    groups: dict[tuple[int, int], list[int]] = {}
+    for d in docs:
+        groups.setdefault((img[d], txt[d]), []).append(d)
+    expect = {}
+    for key, members in groups.items():
+        keeper = max(members, key=lambda d: (quality[d], -d))
+        for d in members:
+            expect[d] = (key[0], key[1], len(members), int(d == keeper))
+
+    got = {
+        r["doc_id"]: (r["img_group"], r["txt_group"], r["pair_size"], r["is_canonical"])
+        for r in multimodal.media_text_pair_dedup(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the pair grain is non-trivial on driver data: at least one image
+    # component spans >1 caption component or vice versa
+    savings = multimodal.media_text_pair_savings(spark, sf_dir).collect()[0]
+    assert savings["n_pairs"] == len(docs)
+    assert savings["n_pair_groups"] >= max(
+        savings["n_image_groups"], savings["n_caption_groups"]
+    )
+    assert savings["removed_pair_level"] <= min(
+        savings["removed_image_only"], savings["removed_caption_only"]
+    )
+    assert savings["removed_pair_level"] == len(docs) - len(groups)
