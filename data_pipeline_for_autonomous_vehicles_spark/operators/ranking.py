@@ -258,11 +258,17 @@ def _rel_expr() -> F.Column:
 
 
 def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relevance-quality audit for the retrieval ladder: NDCG@10 and MRR for
-    `bm25_topk` (pure lexical) vs `hybrid_search_rrf` (lexical ⊕ vector,
-    RRF-fused) against deterministic shared-token relevance labels — the
-    eval gate that justifies (or indicts) RRF over pure BM25, the ranking
-    twin of `ann_recall_audit` on the ANN ladder.
+    """Relevance-quality audit for the FULL retrieval ladder: NDCG@10 and
+    MRR for `bm25_topk` (pure lexical), `hybrid_search_rrf` (lexical ⊕
+    vector, RRF-fused), `ann_ivf_topk` (IVF-flat vector index, query
+    QUERY_VEC's arm), and `ann_ivfpq_topk` (IVF-PQ compressed serving
+    path) against ONE set of deterministic shared-token relevance labels —
+    the end-to-end "which index do we serve" gate (round-6 verdict task 5:
+    `ann_recall_audit` grades the ANN ladder only by recall-vs-bruteforce,
+    which ignores ranking quality against labels). The ANN arms exclude
+    the query document from their own candidates by construction (an
+    index never returns the query itself); BM25/hybrid may retrieve it —
+    the standard asymmetry of a shared-label audit.
 
     Grading: rel(doc) = |{q ∈ QUERY_TERMS : q ∈ tokens(doc)}| +
     1[source(doc) = source(query doc)] ∈ [0, 4] (see `_rel_expr`);
@@ -278,7 +284,12 @@ def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     K²-pair broadcast self-join (`rank_of_topk`) — no windows, nothing
     data-sized moves.
     """
-    from .similarity import QUERY_VEC, hybrid_search_rrf
+    from .similarity import (
+        QUERY_VEC,
+        ann_ivf_topk,
+        ann_ivfpq_topk,
+        hybrid_search_rrf,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     # 1-row broadcast LEFT join (constant key), NOT a crossJoin: if the
@@ -322,6 +333,21 @@ def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     hy = rank_of_topk(hy_top, "rrf_score", "doc_id").select(
         "doc_id", F.col("topk_pos").cast("long").alias("rank")
     )
+    ivf = (
+        ann_ivf_topk(spark, sf_dir)
+        .filter(F.col("query_id") == QUERY_VEC)
+        .select(
+            F.col("vec_id").alias("doc_id"), F.col("rank").cast("long").alias("rank")
+        )
+    )
+    # IVF-PQ ranks ascending by approx squared distance; rank_of_topk wants
+    # a descending score, so negate (ties broken by vec_id, as served)
+    pq_top = ann_ivfpq_topk(spark, sf_dir).withColumn(
+        "neg_dist", -F.col("approx_sqdist")
+    )
+    pq = rank_of_topk(pq_top, "neg_dist", "vec_id").select(
+        F.col("vec_id").alias("doc_id"), F.col("topk_pos").cast("long").alias("rank")
+    )
     ideal = rank_of_topk(
         rel.orderBy(F.desc("rel"), F.asc("doc_id")).limit(NDCG_K), "rel", "doc_id"
     ).select(F.col("topk_pos").cast("long").alias("rank"), "rel")
@@ -329,7 +355,12 @@ def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("g"), F.lit(0)).cast("long").alias("idcg_e8")
     )
 
-    out = _metrics(bm, "bm25").unionByName(_metrics(hy, "hybrid_rrf"))
+    out = (
+        _metrics(bm, "bm25")
+        .unionByName(_metrics(hy, "hybrid_rrf"))
+        .unionByName(_metrics(ivf, "ann_ivf"))
+        .unionByName(_metrics(pq, "ann_ivfpq"))
+    )
     return (
         out.crossJoin(F.broadcast(idcg))
         .select(
@@ -357,7 +388,7 @@ def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ndcg_report() -> str:
-    from .similarity import _sql_hybrid
+    from .similarity import _ANN_IVF_SQL, _sql_hybrid, _sql_ivfpq
 
     disc_list = "[" + ", ".join(repr(d) for d in _NDCG_DISCOUNTS) + "]"
     from .similarity import QUERY_VEC
@@ -388,6 +419,16 @@ hy AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY h.rrf_score DESC, h.doc_id ASC) AS BIGINT)
            AS rank, rel.rel
   FROM hy0 h JOIN rel ON h.doc_id = rel.doc_id),
+ivf AS (
+  SELECT i.rank, rel.rel
+  FROM (SELECT vec_id AS doc_id, rank FROM ({_ANN_IVF_SQL}) v
+        WHERE query_id = {QUERY_VEC}) i
+  JOIN rel ON i.doc_id = rel.doc_id),
+pq0 AS (SELECT vec_id AS doc_id, approx_sqdist FROM ({_sql_ivfpq()}) p),
+pq AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY p.approx_sqdist ASC, p.doc_id ASC) AS BIGINT)
+           AS rank, rel.rel
+  FROM pq0 p JOIN rel ON p.doc_id = rel.doc_id),
 ideal AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id ASC) AS BIGINT) AS rank,
          rel
@@ -396,10 +437,16 @@ ideal AS (
 idcg AS (SELECT CAST(COALESCE(SUM({gain}), 0) AS BIGINT) AS idcg_e8 FROM ideal),
 m_bm AS ({metrics} FROM (SELECT rank, rel, {gain} AS g FROM bm) x),
 m_hy AS ({metrics} FROM (SELECT rank, rel, {gain} AS g FROM hy) x),
+m_ivf AS ({metrics} FROM (SELECT rank, rel, {gain} AS g FROM ivf) x),
+m_pq AS ({metrics} FROM (SELECT rank, rel, {gain} AS g FROM pq) x),
 sys AS (
   SELECT 'bm25' AS system, * FROM m_bm
   UNION ALL
-  SELECT 'hybrid_rrf' AS system, * FROM m_hy)
+  SELECT 'hybrid_rrf' AS system, * FROM m_hy
+  UNION ALL
+  SELECT 'ann_ivf' AS system, * FROM m_ivf
+  UNION ALL
+  SELECT 'ann_ivfpq' AS system, * FROM m_pq)
 SELECT system,
        CASE WHEN idcg_e8 > 0 THEN
          {sql_round_half_up('CAST(dcg_e8 AS DOUBLE) / CAST(idcg_e8 AS DOUBLE)', 6)}

@@ -2144,14 +2144,37 @@ def test_retrieval_ndcg_matches_bruteforce(spark, sf_dir):
         similarity.hybrid_search_rrf(spark, sf_dir).collect(),
         key=lambda r: (-r["rrf_score"], r["doc_id"]),
     )
-    expect = {"bm25": metrics(bm_ids), "hybrid_rrf": metrics([r["doc_id"] for r in hy])}
+    ivf_ids = [
+        r["vec_id"]
+        for r in sorted(
+            similarity.ann_ivf_topk(spark, sf_dir)
+            .filter(f"query_id = {similarity.QUERY_VEC}")
+            .collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    pq_ids = [
+        r["vec_id"]
+        for r in sorted(
+            similarity.ann_ivfpq_topk(spark, sf_dir).collect(),
+            key=lambda r: (r["approx_sqdist"], r["vec_id"]),
+        )
+    ]
+    expect = {
+        "bm25": metrics(bm_ids),
+        "hybrid_rrf": metrics([r["doc_id"] for r in hy]),
+        "ann_ivf": metrics(ivf_ids),
+        "ann_ivfpq": metrics(pq_ids),
+    }
     got = {
         r["system"]: (r["ndcg_at_10"], r["mrr_at_10"], r["n_relevant_topk"])
         for r in ranking.retrieval_ndcg_report(spark, sf_dir).collect()
     }
     assert got == expect
-    # the gate discriminates: the two systems score differently on NDCG
+    # the gate discriminates: the lexical and fused systems score
+    # differently on NDCG, and every arm of the ladder is graded
     assert got["bm25"][0] != got["hybrid_rrf"][0]
+    assert set(got) == {"bm25", "hybrid_rrf", "ann_ivf", "ann_ivfpq"}
 
 
 def test_retrieval_ndcg_degrades_without_anchor_doc(spark, sf_dir, tmp_path):
@@ -2170,7 +2193,7 @@ def test_retrieval_ndcg_degrades_without_anchor_doc(spark, sf_dir, tmp_path):
         d + "/embeddings.parquet"
     )
     got = {r["system"]: r for r in ranking.retrieval_ndcg_report(spark, d).collect()}
-    assert set(got) == {"bm25", "hybrid_rrf"}
+    assert set(got) == {"bm25", "hybrid_rrf", "ann_ivf", "ann_ivfpq"}
     # lexical labels still grade the systems: bm25 retrieves docs that
     # contain QUERY_TERMS, so its top-k cannot be relevance-free
     assert got["bm25"]["n_relevant_topk"] > 0
