@@ -1279,6 +1279,7 @@ ORDER BY doc_id
 # --- near-dup clustering (iterative connected components) -------------------
 
 CC_MAX_ITER = 25
+STATS_RESET_EVERY = 6  # CC rounds between stats-reset flushes (see connected_components)
 
 
 def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
@@ -1298,7 +1299,25 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
 
     edges: (a, b) undirected; nodes: (node) — superset of edge endpoints
     (isolated nodes become singleton clusters).
+
+    Statistics-squaring hazard (found round 7, image-CC at ~sf1): every
+    round's plan references `labels` TWICE (the neighbor join and the
+    pointer-jump lookup both derive from it), so Catalyst's estimated
+    sizeInBytes for the round is ~stats(labels)², and localCheckpoint
+    PRESERVES the inherited estimate — the BigInteger's digit count
+    doubles per round and by round ~18 the driver burns minutes in
+    BigInteger.multiply during planning (measured: 1 s/round flat, then
+    2/3.4/6/13/33 s…, ×2.5 per round, independent of data). The fix is a
+    stats RESET every STATS_RESET_EVERY rounds: flush labels to a scratch
+    parquet and re-scan it — a fresh file scan carries real file-size
+    stats. This is also the 100 TB-idiomatic shape (iteration state as a
+    table); the flush is labels-sized (two int64 columns), not corpus-
+    sized. Short-converging graphs (< STATS_RESET_EVERY rounds) never
+    flush, so the fast paths are unchanged.
     """
+    import atexit
+    import shutil
+    import tempfile
     # Materialize the symmetrized edge list ONCE before iterating: without
     # this, every round's neighbor join re-executes the whole upstream
     # edge-generation pipeline (the banded-LSH candidate join, or the
@@ -1312,7 +1331,9 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
-    for _ in range(CC_MAX_ITER):
+    spark = nodes.sparkSession
+    scratch: str | None = None
+    for it in range(CC_MAX_ITER):
         nbr_min = (
             sym.join(labels, sym.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
@@ -1333,16 +1354,22 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         lookup = propagated.select(
             F.col("node").alias("label"), F.col("label").alias("label2")
         )
-        new_labels = (
-            propagated.join(lookup, "label", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("label2"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
+        new_plan = propagated.join(lookup, "label", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("label2"), F.col("label"))
+            ).alias("label"),
         )
+        if (it + 1) % STATS_RESET_EVERY == 0:
+            # stats reset (see docstring): labels-as-a-table round trip
+            if scratch is None:
+                scratch = tempfile.mkdtemp(prefix="cc_labels_")
+                atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+            path = f"{scratch}/round_{it}"
+            new_plan.write.mode("overwrite").parquet(path)
+            new_labels = spark.read.parquet(path)
+        else:
+            new_labels = new_plan.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
