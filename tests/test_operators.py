@@ -149,6 +149,25 @@ def test_connected_components_hand_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 10: 10, 11: 10, 12: 10}
 
 
+def test_connected_components_long_chain_crosses_stats_reset(spark):
+    """A 400-node path graph needs more than STATS_RESET_EVERY rounds even
+    with pointer jumping, so the loop crosses at least one parquet
+    stats-reset flush (the round-7 fix for Catalyst's per-round
+    sizeInBytes squaring) — labels must still converge to the path's min
+    id, and the reversed id order exercises propagation both ways."""
+    n = 400
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "a long, b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "node long")
+    got = {
+        r["node"]: r["label"]
+        for r in dedup.connected_components(edges, nodes).collect()
+    }
+    assert got == {i: 1 for i in range(1, n + 1)}
+    assert dedup.CC_MAX_ITER > dedup.STATS_RESET_EVERY  # flush actually reachable
+
+
 def test_grouping_sets_union_of_single_groupbys(spark, sf_dir):
     from data_pipeline_for_autonomous_vehicles_spark.operators import olap
 
