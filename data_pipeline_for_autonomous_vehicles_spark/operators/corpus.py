@@ -1168,6 +1168,131 @@ ORDER BY d.doc_id
 """
 
 
+# --- stage ablation: order-free attribution of the funnel's drops -------------
+
+# (order, name, the stage's FAIL predicate over `_curation_joined` columns) —
+# the same four signals `_verdict_col` sequences, evaluated independently
+_ABLATION_STAGES = ("near_dup", "quality", "classifier", "fluency")
+
+
+def _stage_fail_cols() -> dict[str, F.Column]:
+    from .dedup import QUALITY_CUTOFF
+
+    return {
+        "near_dup": F.col("is_keeper").isNull(),
+        "quality": F.col("quality_score") < F.lit(QUALITY_CUTOFF),
+        "classifier": F.col("keep_flag") != 1,
+        "fluency": F.col("fluency_score").isNull()
+        | (F.col("fluency_score") < F.lit(FLUENCY_FLOOR)),
+    }
+
+
+def curation_stage_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-free drop attribution for the curation ladder: each stage's
+    fail predicate evaluated INDEPENDENTLY per document, then per stage the
+    total failures, the uniquely-attributable drops (docs no other stage
+    would catch — the stage's true marginal bite, what the corpus would
+    regain if the stage were removed), and the shared drops (docs at least
+    one other stage also fails — redundancy). The funnel report's
+    sequential counts hide this: a stage late in the ladder can look
+    harmless while actually being the only thing catching a whole failure
+    class, or look expensive while only re-dropping what dedup already
+    caught.
+
+    Scale (100 TB): the same one-joined-row-per-doc plan as the funnel
+    (`_curation_joined`, each signal an independent pruned scan); the
+    ablation itself is 9 conditional sums in ONE aggregate — a 1-row
+    reduce fanned to 4 rows by a constant-size `stack`. Zero cost beyond
+    the signals themselves.
+    """
+    fails = _stage_fail_cols()
+    flags = _curation_joined(spark, sf_dir).select(
+        *[c.cast("int").alias(k) for k, c in fails.items()]
+    )
+    flags = flags.withColumn("nf", sum(F.col(k) for k in _ABLATION_STAGES))
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            e
+            for k in _ABLATION_STAGES
+            for e in (
+                F.sum(F.col(k)).cast("long").alias(f"fail_{k}"),
+                F.sum(F.when((F.col(k) == 1) & (F.col("nf") == 1), 1).otherwise(0))
+                .cast("long")
+                .alias(f"uniq_{k}"),
+            )
+        ],
+    )
+    stack_args = ", ".join(
+        f"CAST({i + 1} AS BIGINT), '{k}', fail_{k}, uniq_{k}"
+        for i, k in enumerate(_ABLATION_STAGES)
+    )
+    rows = agg.selectExpr(
+        f"stack({len(_ABLATION_STAGES)}, {stack_args})"
+        " AS (stage_order, stage, n_fail, n_unique_drop)",
+        "n_docs",
+    )
+    return rows.select(
+        "stage_order",
+        "stage",
+        "n_fail",
+        "n_unique_drop",
+        (F.col("n_fail") - F.col("n_unique_drop")).cast("long").alias("n_shared_drop"),
+        round_half_up(
+            F.col("n_fail").cast("double") / F.col("n_docs").cast("double") * 100.0, 4
+        ).alias("fail_pct"),
+    ).orderBy("stage_order")
+
+
+def _sql_stage_ablation() -> str:
+    from .dedup import QUALITY_CUTOFF, _sql_near_dup_canonicals
+    from .text import _CLF_SQL, _FLUENCY_SQL, _QUALITY_SQL
+
+    arms = []
+    for i, k in enumerate(_ABLATION_STAGES):
+        pct = sql_round_half_up(
+            f"CAST(fail_{k} AS DOUBLE) / CAST(n_docs AS DOUBLE) * 100.0", 4
+        )
+        arms.append(
+            f"SELECT CAST({i + 1} AS BIGINT) AS stage_order, '{k}' AS stage,"
+            f" CAST(fail_{k} AS BIGINT) AS n_fail,"
+            f" CAST(uniq_{k} AS BIGINT) AS n_unique_drop,"
+            f" CAST(fail_{k} - uniq_{k} AS BIGINT) AS n_shared_drop,"
+            f" {pct} AS fail_pct FROM agg"
+        )
+    union = "\n  UNION ALL\n  ".join(arms)
+    sums = ",\n         ".join(
+        f"SUM(f_{k}) AS fail_{k},"
+        f" SUM(CASE WHEN f_{k} = 1 AND nf = 1 THEN 1 ELSE 0 END) AS uniq_{k}"
+        for k in _ABLATION_STAGES
+    )
+    return f"""
+WITH keepers AS (SELECT keeper_doc_id AS doc_id FROM ({_sql_near_dup_canonicals()}) c),
+quality AS (SELECT doc_id, quality_score FROM ({_QUALITY_SQL}) q),
+clf AS (SELECT doc_id, keep_flag FROM ({_CLF_SQL}) c2),
+flu AS (SELECT doc_id, fluency_score FROM ({_FLUENCY_SQL}) f),
+flags AS (
+  SELECT CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END AS f_near_dup,
+         CASE WHEN q.quality_score < {QUALITY_CUTOFF} THEN 1 ELSE 0 END AS f_quality,
+         CASE WHEN c2.keep_flag <> 1 THEN 1 ELSE 0 END AS f_classifier,
+         CASE WHEN f.fluency_score IS NULL OR f.fluency_score < {FLUENCY_FLOOR}
+              THEN 1 ELSE 0 END AS f_fluency
+  FROM documents d
+  LEFT JOIN keepers k ON k.doc_id = d.doc_id
+  JOIN quality q ON q.doc_id = d.doc_id
+  JOIN clf c2 ON c2.doc_id = d.doc_id
+  LEFT JOIN flu f ON f.doc_id = d.doc_id),
+wf AS (SELECT *, f_near_dup + f_quality + f_classifier + f_fluency AS nf FROM flags),
+agg AS (
+  SELECT COUNT(*) AS n_docs,
+         {sums}
+  FROM wf)
+SELECT * FROM (
+  {union}) t
+ORDER BY stage_order
+"""
+
+
 # --- curated training shards: the capstone composition ------------------------
 
 
@@ -1380,6 +1505,7 @@ QUERIES = {
     "corpus_curation_report": corpus_curation_report,
     "curation_funnel_report": curation_funnel_report,
     "curation_kept_docs": curation_kept_docs,
+    "curation_stage_ablation": curation_stage_ablation,
     "curated_training_shards": curated_training_shards,
     "curated_shard_manifest": curated_shard_manifest,
 }
@@ -1398,6 +1524,7 @@ ORACLES = {
     "corpus_curation_report": _sql_curation_report(),
     "curation_funnel_report": _sql_curation_funnel(),
     "curation_kept_docs": _sql_curation_kept(),
+    "curation_stage_ablation": _sql_stage_ablation(),
     "curated_training_shards": _sql_curated_shards(),
     "curated_shard_manifest": _sql_curated_manifest(),
 }

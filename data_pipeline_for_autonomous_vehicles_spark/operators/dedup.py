@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..caching import register_plan_cache as _register_cache
 from ..catalog import load_table
-from ..functions.scalars import sql_portable_hash, round_half_up
+from ..functions.scalars import round_half_up, sql_portable_hash, sql_round_half_up
 
 # MinHash parameters: k hashes, b bands × r rows (k = b*r).
 MINHASH_K = 16
@@ -667,15 +667,10 @@ def _lsh_candidates(sigs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs via banded LSH: b bands of r signature rows;
-    docs sharing any full band collide. Estimated Jaccard = fraction of
-    equal signature components. The self-join key is (band_id, band_hash) —
-    per-bucket cross products only, never all-pairs — and buckets larger
-    than MAX_BUCKET docs are dropped before the join (degenerate band
-    hashes carry no near-dup signal; an uncapped one is quadratic at
-    scale). The oracle mirrors the cap.
-    """
+def _lsh_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted (doc_a, doc_b, est_jaccard) candidate pairs — the ONE scored
+    LSH pair frame shared by `minhash_lsh_pairs` (adds the presentation
+    sort) and `lsh_jaccard_tau_sweep` (aggregates it, no sort wanted)."""
     # signatures are one narrow row per doc; cache so the band explode and
     # the two signature re-joins below read one materialization instead of
     # re-running the shingle shuffle up to 7× (bench: 3.1s → ~1s at sf0.1)
@@ -694,8 +689,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             round_half_up(matches.cast("double") / F.lit(float(MINHASH_K)), 4).alias("est_jaccard"),
         )
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: b bands of r signature rows;
+    docs sharing any full band collide. Estimated Jaccard = fraction of
+    equal signature components. The self-join key is (band_id, band_hash) —
+    per-bucket cross products only, never all-pairs — and buckets larger
+    than MAX_BUCKET docs are dropped before the join (degenerate band
+    hashes carry no near-dup signal; an uncapped one is quadratic at
+    scale). The oracle mirrors the cap.
+    """
+    return _lsh_scored_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 def _sql_banded_cte() -> str:
@@ -728,7 +734,9 @@ cand AS (
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)"""
 
 
-def _sql_lsh_pairs() -> str:
+def _sql_lsh_scored() -> str:
+    """Unsorted scored-pair SELECT — the SQL twin of `_lsh_scored_pairs`,
+    shared by `_sql_lsh_pairs` and the τ-sweep oracle."""
     match_sum = " + ".join(
         f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K)
     )
@@ -739,8 +747,112 @@ SELECT doc_a, doc_b,
        CAST(FLOOR((CAST(({match_sum}) AS DOUBLE) / {float(MINHASH_K)}) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS est_jaccard
 FROM cand
 JOIN sigs sa ON sa.doc_id = doc_a
-JOIN sigs sb ON sb.doc_id = doc_b
-ORDER BY doc_a, doc_b
+JOIN sigs sb ON sb.doc_id = doc_b"""
+
+
+def _sql_lsh_pairs() -> str:
+    return _sql_lsh_scored() + "\nORDER BY doc_a, doc_b\n"
+
+
+# θ grid for the near-dup edge-threshold sweep: est_jaccard lives on the
+# k/MINHASH_K grid (all binary-exact for K=16) and banded collision implies
+# ≥ LSH_ROWS/MINHASH_K matches, so the grid spans [0.25, 1.0] in exact
+# half-band steps — every literal parses to the identical double in both
+# engines.
+LSH_TAU_GRID = [0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0]
+
+
+def lsh_jaccard_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-threshold tuning curve for MinHash near-dup pruning: for every
+    θ in LSH_TAU_GRID, how many candidate pairs carry est_jaccard ≥ θ and
+    how many documents a keep-smallest-id prune at that threshold would
+    remove — the curve that picks the near-dup edge filter (and shows what
+    `near_dup_clusters`' unfiltered-collision graph over-merges) before
+    committing a prune to the real corpus. The semantic-dedup twin is
+    `semdedup_tau_sweep`; this is the lexical arm over the SAME sweep
+    shape.
+
+    Prune rule per θ (parallelizable greedy, as in SemDeDup): doc_b pruned
+    iff some candidate (doc_a < doc_b) estimates ≥ θ. Reported against the
+    full corpus: n_kept_docs = corpus − pruned.
+
+    Plan shape: reuses `_lsh_scored_pairs` (band-bucketed, MAX_BUCKET-capped
+    — never all-pairs), reduces to ONE max-estimate row per candidate
+    victim (sufficient statistic for every θ), prices the whole grid as
+    conditional sums in a single aggregate, and fans out via a
+    constant-size stack over three 1-row broadcast frames. The sweep costs
+    the same as one fixed-θ report at any scale.
+    """
+    pairs = _lsh_scored_pairs(spark, sf_dir)
+    victims = pairs.groupBy("doc_b").agg(F.max("est_jaccard").alias("mx"))
+    v_agg = victims.agg(
+        *[
+            F.coalesce(F.sum((F.col("mx") >= F.lit(t)).cast("long")), F.lit(0)).alias(
+                f"pruned_{i}"
+            )
+            for i, t in enumerate(LSH_TAU_GRID)
+        ]
+    )
+    p_agg = pairs.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("est_jaccard") >= F.lit(t)).cast("long")), F.lit(0)
+            ).alias(f"pairs_{i}")
+            for i, t in enumerate(LSH_TAU_GRID)
+        ]
+    )
+    n_agg = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    stack_args = ", ".join(
+        f"CAST({t!r} AS DOUBLE), pairs_{i}, pruned_{i}"
+        for i, t in enumerate(LSH_TAU_GRID)
+    )
+    rows = (
+        v_agg.crossJoin(F.broadcast(p_agg))
+        .crossJoin(F.broadcast(n_agg))
+        .selectExpr(
+            f"stack({len(LSH_TAU_GRID)}, {stack_args}) AS (theta, n_pairs, n_pruned)",
+            "n_docs",
+        )
+    )
+    return rows.select(
+        "theta",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_pruned").cast("long").alias("n_pruned"),
+        (F.col("n_docs") - F.col("n_pruned")).cast("long").alias("n_kept_docs"),
+        round_half_up(
+            F.col("n_pruned").cast("double") / F.col("n_docs").cast("double") * 100.0,
+            4,
+        ).alias("prune_pct"),
+    ).orderBy("theta")
+
+
+def _sql_lsh_tau_sweep() -> str:
+    thetas = ", ".join(f"{t!r}::DOUBLE" for t in LSH_TAU_GRID)
+    return f"""
+WITH pairs AS ({_sql_lsh_scored()}),
+victims AS (SELECT doc_b, MAX(est_jaccard) AS mx FROM pairs GROUP BY doc_b),
+taus AS (SELECT unnest([{thetas}]) AS theta),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+grid AS (
+  SELECT t.theta,
+         CAST(COALESCE(SUM(CASE WHEN p.est_jaccard >= t.theta THEN 1 END), 0) AS BIGINT)
+           AS n_pairs
+  FROM taus t LEFT JOIN pairs p ON TRUE GROUP BY t.theta),
+vgrid AS (
+  SELECT t.theta,
+         CAST(COALESCE(SUM(CASE WHEN v.mx >= t.theta THEN 1 END), 0) AS BIGINT)
+           AS n_pruned
+  FROM taus t LEFT JOIN victims v ON TRUE GROUP BY t.theta)
+SELECT g.theta, g.n_pairs, vg.n_pruned,
+       CAST(n.n_docs - vg.n_pruned AS BIGINT) AS n_kept_docs,
+       {sql_round_half_up("CAST(vg.n_pruned AS DOUBLE) / CAST(n.n_docs AS DOUBLE) * 100.0", 4)} AS prune_pct
+FROM grid g
+JOIN vgrid vg ON vg.theta = g.theta
+CROSS JOIN nd n
+ORDER BY g.theta
 """
 
 
@@ -1855,6 +1967,7 @@ QUERIES = {
     "ngram_containment_pairs": ngram_containment_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "lsh_jaccard_tau_sweep": lsh_jaccard_tau_sweep,
     "lsh_cap_report": lsh_cap_report,
     "minhash_estimate_audit": minhash_estimate_audit,
     "simhash_fingerprints": simhash_fingerprints,
@@ -1879,6 +1992,7 @@ ORACLES = {
     "ngram_containment_pairs": _NGRAM_CONTAINMENT_SQL,
     "minhash_signatures": _MINHASH_SIG_SQL,
     "minhash_lsh_pairs": _sql_lsh_pairs(),
+    "lsh_jaccard_tau_sweep": _sql_lsh_tau_sweep(),
     "lsh_cap_report": _LSH_CAP_REPORT_SQL,
     "minhash_estimate_audit": _sql_minhash_audit(),
     "simhash_fingerprints": _sql_simhash(),

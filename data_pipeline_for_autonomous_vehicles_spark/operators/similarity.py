@@ -1699,6 +1699,44 @@ SEMDEDUP_TAU = 0.30  # prune threshold (synthetic embeddings are near-isotropic)
 SEMDEDUP_CAP = 100  # members examined per cluster for the pairwise stage
 
 
+def _semdedup_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(mem, ex, pairs): the cluster-member frame (with per-cluster rank and
+    fixed-point self-dot), its SEMDEDUP_CAP-bounded examined subset, and the
+    intra-cluster cosine pairs (va < vb, cos quantized to the 1e-4 grid) —
+    the ONE pairwise pass shared by `semdedup_prune_report` (fixed τ) and
+    `semdedup_tau_sweep` (τ grid)."""
+    final = _km_final_assignment(spark, sf_dir)
+    w_m = Window.partitionBy("cid").orderBy("vec_id")
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    mem = (
+        final.select("vec_id", "cid", "sx")
+        .withColumn("mrank", F.row_number().over(w_m))
+        .withColumn("n2", dot(F.col("sx"), F.col("sx")))
+    )
+    ex = mem.filter(F.col("mrank") <= SEMDEDUP_CAP)
+    a = ex.select("cid", F.col("vec_id").alias("va"), F.col("sx").alias("xa"), F.col("n2").alias("na"))
+    b = ex.select("cid", F.col("vec_id").alias("vb"), F.col("sx").alias("xb"), F.col("n2").alias("nb"))
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            "cid",
+            "va",
+            "vb",
+            round_half_up(
+                dot(F.col("xa"), F.col("xb")).cast("double")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+                4,
+            ).alias("cos"),
+        )
+    )
+    return mem, ex, pairs
+
+
 def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-dedup (SemDeDup-shape) pruning report: partition the corpus
     with the shared fixed-point k-means assignment, compute pairwise cosine
@@ -1722,34 +1760,8 @@ def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point grid shared with the Lloyd pass — bit-identical twins,
     scale cancels in the ratio.
     """
-    final = _km_final_assignment(spark, sf_dir)
-    w_m = Window.partitionBy("cid").orderBy("vec_id")
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
-    )
-    mem = (
-        final.select("vec_id", "cid", "sx")
-        .withColumn("mrank", F.row_number().over(w_m))
-        .withColumn("n2", dot(F.col("sx"), F.col("sx")))
-    )
+    mem, ex, pairs = _semdedup_frames(spark, sf_dir)
     n_members = mem.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
-    ex = mem.filter(F.col("mrank") <= SEMDEDUP_CAP)
-    a = ex.select("cid", F.col("vec_id").alias("va"), F.col("sx").alias("xa"), F.col("n2").alias("na"))
-    b = ex.select("cid", F.col("vec_id").alias("vb"), F.col("sx").alias("xb"), F.col("n2").alias("nb"))
-    pairs = (
-        a.join(b, "cid")
-        .filter(F.col("va") < F.col("vb"))
-        .select(
-            "cid",
-            "va",
-            "vb",
-            round_half_up(
-                dot(F.col("xa"), F.col("xb")).cast("double")
-                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
-                4,
-            ).alias("cos"),
-        )
-    )
     pruned = (
         pairs.filter(F.col("cos") >= SEMDEDUP_TAU)
         .select("cid", "vb")
@@ -1780,25 +1792,31 @@ def semdedup_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_semdedup() -> str:
+def _sql_semdedup_ctes() -> str:
+    """The mem/ex/pairs CTE chain shared by `_sql_semdedup` and
+    `_sql_tau_sweep` — the SQL twin of `_semdedup_frames`."""
     dot = (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
         "list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), (acc, x) -> acc + x)"
     )
-    return f"""
-WITH {_sql_km_chain()},
+    return f"""{_sql_km_chain()},
 mem AS (
   SELECT vec_id, cid, sx,
          ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS mrank,
          {dot.format(a='sx', b='sx')} AS n2
   FROM a3),
-nmem AS (SELECT cid, COUNT(*) AS n_members FROM mem GROUP BY cid),
 ex AS (SELECT * FROM mem WHERE mrank <= {SEMDEDUP_CAP}),
 pairs AS (
   SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
          CAST(FLOOR((CAST({dot.format(a='a.sx', b='b.sx')} AS DOUBLE)
                / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS cos
-  FROM ex a JOIN ex b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+  FROM ex a JOIN ex b ON a.cid = b.cid AND a.vec_id < b.vec_id)"""
+
+
+def _sql_semdedup() -> str:
+    return f"""
+WITH {_sql_semdedup_ctes()},
+nmem AS (SELECT cid, COUNT(*) AS n_members FROM mem GROUP BY cid),
 pruned AS (
   SELECT cid, COUNT(*) AS n_pruned FROM (
     SELECT DISTINCT cid, vb FROM pairs WHERE cos >= {SEMDEDUP_TAU}) d
@@ -1814,6 +1832,98 @@ JOIN examined e ON e.cid = n.cid
 LEFT JOIN pruned p ON p.cid = n.cid
 LEFT JOIN pstats s ON s.cid = n.cid
 ORDER BY n.cid
+"""
+
+
+# τ grid for the sweep: the span a semantic-dedup rollout actually tunes
+# over (synthetic embeddings are near-isotropic, so the interesting knee
+# sits low). Values chosen so each parses to the identical double literal
+# in Spark and DuckDB.
+SEMDEDUP_TAU_GRID = [0.20, 0.25, 0.30, 0.35, 0.40, 0.50]
+
+
+def semdedup_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold tuning curve for semantic dedup: corpus-level prune counts
+    at every τ in SEMDEDUP_TAU_GRID from ONE pairwise pass — the curve that
+    picks `SEMDEDUP_TAU` before committing a prune to the real corpus
+    (`semdedup_prune_report` then details the chosen τ per cluster). Per τ:
+    qualifying pairs, vectors pruned (the keep-smallest-id rule), examined
+    survivors, and the prune percentage.
+
+    Plan shape: reuses `_semdedup_frames`' cluster-bounded pairs (never
+    corpus²), reduces them to ONE row per candidate victim (max cosine to a
+    lower-id cluster-mate — sufficient statistic for EVERY τ at once), and
+    evaluates the whole grid as conditional sums in a single aggregate; the
+    grid fan-out is a constant-size `stack` over three 1-row broadcast
+    frames. Adding a τ re-prices the curve without re-running the pairwise
+    stage — at 100 TB the sweep costs the same as one fixed-τ report.
+    """
+    _, ex, pairs = _semdedup_frames(spark, sf_dir)
+    victims = pairs.groupBy("vb").agg(F.max("cos").alias("max_lower_cos"))
+    v_agg = victims.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("max_lower_cos") >= F.lit(t)).cast("long")), F.lit(0)
+            ).alias(f"pruned_{i}")
+            for i, t in enumerate(SEMDEDUP_TAU_GRID)
+        ]
+    )
+    p_agg = pairs.agg(
+        *[
+            F.coalesce(F.sum((F.col("cos") >= F.lit(t)).cast("long")), F.lit(0)).alias(
+                f"pairs_{i}"
+            )
+            for i, t in enumerate(SEMDEDUP_TAU_GRID)
+        ]
+    )
+    e_agg = ex.agg(F.count(F.lit(1)).alias("n_examined"))
+    stack_args = ", ".join(
+        f"CAST({t!r} AS DOUBLE), pairs_{i}, pruned_{i}"
+        for i, t in enumerate(SEMDEDUP_TAU_GRID)
+    )
+    rows = (
+        v_agg.crossJoin(F.broadcast(p_agg))
+        .crossJoin(F.broadcast(e_agg))
+        .selectExpr(
+            f"stack({len(SEMDEDUP_TAU_GRID)}, {stack_args}) AS (tau, n_pairs, n_pruned)",
+            "n_examined",
+        )
+    )
+    return rows.select(
+        "tau",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_pruned").cast("long").alias("n_pruned"),
+        (F.col("n_examined") - F.col("n_pruned")).cast("long").alias("n_kept_examined"),
+        round_half_up(
+            F.col("n_pruned").cast("double") / F.col("n_examined").cast("double") * 100.0,
+            4,
+        ).alias("prune_pct"),
+    ).orderBy("tau")
+
+
+def _sql_tau_sweep() -> str:
+    taus = ", ".join(f"{t!r}::DOUBLE" for t in SEMDEDUP_TAU_GRID)
+    return f"""
+WITH {_sql_semdedup_ctes()},
+victims AS (SELECT vb, MAX(cos) AS max_lower_cos FROM pairs GROUP BY vb),
+taus AS (SELECT unnest([{taus}]) AS tau),
+ex_n AS (SELECT COUNT(*) AS n_examined FROM ex),
+grid AS (
+  SELECT t.tau,
+         CAST(COALESCE(SUM(CASE WHEN p.cos >= t.tau THEN 1 END), 0) AS BIGINT) AS n_pairs
+  FROM taus t LEFT JOIN pairs p ON TRUE GROUP BY t.tau),
+vgrid AS (
+  SELECT t.tau,
+         CAST(COALESCE(SUM(CASE WHEN v.max_lower_cos >= t.tau THEN 1 END), 0) AS BIGINT)
+           AS n_pruned
+  FROM taus t LEFT JOIN victims v ON TRUE GROUP BY t.tau)
+SELECT g.tau, g.n_pairs, vg.n_pruned,
+       CAST(e.n_examined - vg.n_pruned AS BIGINT) AS n_kept_examined,
+       {sql_round_half_up("CAST(vg.n_pruned AS DOUBLE) / CAST(e.n_examined AS DOUBLE) * 100.0", 4)} AS prune_pct
+FROM grid g
+JOIN vgrid vg ON vg.tau = g.tau
+CROSS JOIN ex_n e
+ORDER BY g.tau
 """
 
 
@@ -2533,6 +2643,88 @@ ORDER BY dim
 """
 
 
+# --- doc <-> embedding id-space integrity ------------------------------------
+
+
+def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Id-space integrity audit between the text corpus and its embedding
+    table (shared id space: documents.doc_id = embeddings.vec_id — the
+    contract `hybrid_search_rrf` and the SemDeDup family silently rely on).
+    Per source: documents, documents WITH an embedding, documents missing
+    one, and the coverage percentage; a final `(no_document)` row counts
+    orphan embeddings whose document is gone (stale index entries — the
+    thing a GDPR purge or a re-crawl leaves behind if the index isn't
+    rewritten in lockstep).
+
+    Scale (100 TB): one full-outer equi-join on the id — both sides
+    co-partition on their key, then a |sources|-cell hash-agg; with the
+    corpus and index bucketed by id (how they'd be stored for the serve
+    path) the join is shuffle-free. This is the gate a pipeline runs
+    BEFORE semantic dedup / retrieval eval, since silent coverage holes
+    bias both.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.lit(1).alias("is_doc")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.lit(1).alias("has_emb")
+    )
+    j = docs.join(emb, "doc_id", "full")
+    is_doc = F.col("is_doc") == 1
+    has_emb = F.col("has_emb") == 1
+    out = (
+        j.groupBy(F.coalesce(F.col("source"), F.lit("(no_document)")).alias("source"))
+        .agg(
+            F.sum(F.when(is_doc, 1).otherwise(0)).cast("long").alias("n_docs"),
+            F.sum(F.when(is_doc & has_emb, 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_embedding"),
+            F.sum(F.when(is_doc & F.col("has_emb").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing_embedding"),
+            F.sum(F.when(F.col("is_doc").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphan_embeddings"),
+        )
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "n_with_embedding",
+        "n_missing_embedding",
+        "n_orphan_embeddings",
+        F.when(
+            F.col("n_docs") > 0,
+            round_half_up(
+                F.col("n_with_embedding").cast("double")
+                / F.col("n_docs").cast("double")
+                * 100.0,
+                4,
+            ),
+        ).alias("coverage_pct"),
+    ).orderBy("source")
+
+
+_COVERAGE_AUDIT_SQL = f"""
+WITH j AS (
+  SELECT d.doc_id AS did, d.source, e.vec_id AS eid
+  FROM documents d FULL JOIN embeddings e ON e.vec_id = d.doc_id)
+SELECT COALESCE(source, '(no_document)') AS source,
+       CAST(SUM(CASE WHEN did IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN did IS NOT NULL AND eid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_embedding,
+       CAST(SUM(CASE WHEN did IS NOT NULL AND eid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_embedding,
+       CAST(SUM(CASE WHEN did IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_embeddings,
+       CASE WHEN SUM(CASE WHEN did IS NOT NULL THEN 1 ELSE 0 END) > 0 THEN
+         {sql_round_half_up("CAST(SUM(CASE WHEN did IS NOT NULL AND eid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN did IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) * 100.0", 4)}
+       END AS coverage_pct
+FROM j
+GROUP BY COALESCE(source, '(no_document)')
+ORDER BY source
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "uncertainty_sampling_topk": uncertainty_sampling_topk,
@@ -2548,6 +2740,8 @@ QUERIES = {
     "kmeans_cluster_stats": kmeans_cluster_stats,
     "kmeans_label_purity": kmeans_label_purity,
     "semdedup_prune_report": semdedup_prune_report,
+    "semdedup_tau_sweep": semdedup_tau_sweep,
+    "embedding_coverage_audit": embedding_coverage_audit,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "hybrid_search_rrf": hybrid_search_rrf,
@@ -2573,6 +2767,8 @@ ORACLES = {
     "kmeans_cluster_stats": _sql_kmeans(),
     "kmeans_label_purity": _sql_km_purity(),
     "semdedup_prune_report": _sql_semdedup(),
+    "semdedup_tau_sweep": _sql_tau_sweep(),
+    "embedding_coverage_audit": _COVERAGE_AUDIT_SQL,
     "ann_pq_topk": _sql_pq(),
     "ann_ivfpq_topk": _sql_ivfpq(),
     "hybrid_search_rrf": _sql_hybrid(),

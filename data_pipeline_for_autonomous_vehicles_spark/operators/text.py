@@ -197,6 +197,102 @@ ORDER BY doc_id
 """
 
 
+# --- classifier-vs-heuristic calibration ------------------------------------
+
+CAL_BINS = 20  # classifier-score bins of width 0.05 over [0, 1]
+
+
+def quality_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve between the two quality signals the funnel ANDs
+    together: bucket documents by `quality_classifier_scores`' clf_score
+    (CAL_BINS fixed-width bins over [0,1]) and report, per bin, the doc
+    count, the classifier keep rate, and the MEAN heuristic quality score —
+    the agreement check run before trusting either filter (a flat or
+    inverted mean-quality curve means the hashed classifier and the
+    C4-style heuristic are grading different things, and the funnel's AND
+    is stricter than intended). Docs with no scoreable tokens (clf_score
+    NULL) are excluded, as in the funnel's classifier stage.
+
+    Exactness: both scores are already 4-dp-quantized; each is recovered to
+    its exact int64 grid (⌊x·1e4+0.5⌋) before summing, so bin assignment is
+    integer division (clf_e4 div 500, capped at the last bin) and every
+    mean is a ratio of exact integers — no float accumulation order, no
+    boundary fuzz between engines.
+
+    Scale (100 TB): the two signals are independent map-side scans joined
+    on doc_id (the funnel's own plan shape; co-partitioned by id the join
+    is shuffle-free), then a CAL_BINS-cell hash-agg — fully map-side
+    combined.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clf = _clf_frame(docs).select("doc_id", "clf_score", "keep_flag")
+    qual = _quality_frame(docs).select("doc_id", "quality_score")
+    clf_e4 = F.floor(F.col("clf_score") * 10000.0 + F.lit(0.5)).cast("long")
+    q_e4 = F.floor(F.col("quality_score") * 10000.0 + F.lit(0.5)).cast("long")
+    per = (
+        clf.join(qual, "doc_id")
+        .filter(F.col("clf_score").isNotNull())
+        .select(
+            clf_e4.alias("clf_e4"),
+            q_e4.alias("q_e4"),
+            F.col("keep_flag").cast("long").alias("keep_flag"),
+        )
+        .withColumn(  # integer division — bin boundaries exact on the e4 grid
+            "bin",
+            F.expr(f"least(clf_e4 div {10000 // CAL_BINS}, {CAL_BINS - 1})").cast(
+                "long"
+            ),
+        )
+    )
+    agg = per.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("keep_flag").cast("long").alias("n_keep"),
+        F.sum("clf_e4").cast("long").alias("clf_sum"),
+        F.sum("q_e4").cast("long").alias("q_sum"),
+    )
+    n = F.col("n_docs").cast("double")
+    return agg.select(
+        "bin",
+        (F.col("bin").cast("double") / F.lit(float(CAL_BINS))).alias("bin_lo"),
+        "n_docs",
+        round_half_up(F.col("n_keep").cast("double") / n, 4).alias("keep_rate"),
+        round_half_up(F.col("clf_sum").cast("double") / n / 10000.0, 4).alias(
+            "mean_clf_score"
+        ),
+        round_half_up(F.col("q_sum").cast("double") / n / 10000.0, 4).alias(
+            "mean_quality_score"
+        ),
+    ).orderBy("bin")
+
+
+def _sql_calibration() -> str:
+    width = 10000 // CAL_BINS
+    return f"""
+WITH clf AS (SELECT doc_id, clf_score, keep_flag FROM ({_CLF_SQL}) c
+             WHERE clf_score IS NOT NULL),
+qual AS (SELECT doc_id, quality_score FROM ({_QUALITY_SQL}) q),
+per AS (
+  SELECT LEAST(CAST(FLOOR(clf_score * 10000.0 + 0.5) AS BIGINT) // {width},
+               {CAL_BINS - 1}) AS bin,
+         CAST(FLOOR(clf_score * 10000.0 + 0.5) AS BIGINT) AS clf_e4,
+         CAST(FLOOR(quality_score * 10000.0 + 0.5) AS BIGINT) AS q_e4,
+         CAST(keep_flag AS BIGINT) AS keep_flag
+  FROM clf JOIN qual USING (doc_id)),
+agg AS (
+  SELECT bin, COUNT(*) AS n_docs, SUM(keep_flag) AS n_keep,
+         SUM(clf_e4) AS clf_sum, SUM(q_e4) AS q_sum
+  FROM per GROUP BY bin)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(bin AS DOUBLE) / {float(CAL_BINS)} AS bin_lo,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       {sql_round_half_up("CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE)", 4)} AS keep_rate,
+       {sql_round_half_up("CAST(clf_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) / 10000.0", 4)} AS mean_clf_score,
+       {sql_round_half_up("CAST(q_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) / 10000.0", 4)} AS mean_quality_score
+FROM agg
+ORDER BY bin
+"""
+
+
 # --- LM-proxy fluency scoring (corpus bigram statistics) -------------------
 
 _BIGRAMS = (
@@ -1500,6 +1596,7 @@ QUERIES = {
     "token_budget_bins": token_budget_bins,
     "pii_redaction_stats": pii_redaction_stats,
     "quality_classifier_scores": quality_classifier_scores,
+    "quality_calibration_report": quality_calibration_report,
     "bigram_fluency_scores": bigram_fluency_scores,
 }
 
@@ -1526,5 +1623,6 @@ ORACLES = {
     "token_budget_bins": _PACK_SQL,
     "pii_redaction_stats": _PII_SQL,
     "quality_classifier_scores": _CLF_SQL,
+    "quality_calibration_report": _sql_calibration(),
     "bigram_fluency_scores": _FLUENCY_SQL,
 }

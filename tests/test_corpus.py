@@ -437,6 +437,54 @@ def test_curation_kept_docs_aggregates_to_funnel(spark, sf_dir):
     assert allc["kept"] > 0 and sum(allc.values()) > allc["kept"]
 
 
+def test_stage_ablation_matches_bruteforce(spark, sf_dir):
+    """Order-free ablation counts must match a literal Python recount of
+    the four independent fail predicates over the joined signal frame, and
+    reconcile with the sequential funnel: docs failing NOTHING are exactly
+    the verdict-kept docs, and each stage's n_fail can never be below the
+    funnel's first-drop attribution for that stage."""
+    from collections import Counter
+
+    from data_pipeline_for_autonomous_vehicles_spark.operators import corpus as co
+    from data_pipeline_for_autonomous_vehicles_spark.operators.dedup import QUALITY_CUTOFF
+
+    joined = co._curation_joined(spark, sf_dir).collect()
+    fails = {k: 0 for k in co._ABLATION_STAGES}
+    uniq = {k: 0 for k in co._ABLATION_STAGES}
+    n_clean = 0
+    for r in joined:
+        f = {
+            "near_dup": r["is_keeper"] is None,
+            "quality": r["quality_score"] < QUALITY_CUTOFF,
+            "classifier": r["keep_flag"] != 1,
+            "fluency": r["fluency_score"] is None
+            or r["fluency_score"] < co.FLUENCY_FLOOR,
+        }
+        nf = sum(f.values())
+        n_clean += nf == 0
+        for k, v in f.items():
+            fails[k] += v
+            uniq[k] += v and nf == 1
+    out = {r["stage"]: r for r in co.curation_stage_ablation(spark, sf_dir).collect()}
+    assert set(out) == set(co._ABLATION_STAGES)
+    for i, k in enumerate(co._ABLATION_STAGES):
+        r = out[k]
+        assert r["stage_order"] == i + 1
+        assert r["n_fail"] == fails[k]
+        assert r["n_unique_drop"] == uniq[k]
+        assert r["n_shared_drop"] == fails[k] - uniq[k]
+        assert 0.0 <= r["fail_pct"] <= 100.0
+    verdicts = Counter(
+        r["verdict"] for r in co.curation_kept_docs(spark, sf_dir).collect()
+    )
+    assert n_clean == verdicts["kept"]
+    # sequential first-drop counts are a lower bound on independent fails
+    assert out["near_dup"]["n_fail"] == verdicts["dropped_near_dup"]
+    assert out["quality"]["n_fail"] >= verdicts["dropped_quality"]
+    assert out["classifier"]["n_fail"] >= verdicts["dropped_classifier"]
+    assert out["fluency"]["n_fail"] >= verdicts["dropped_fluency"]
+
+
 def test_curated_training_shards_capstone(spark, sf_dir):
     """The capstone composes verdicts x span-cut text x hash shards: every
     shard id 0..N_SHARDS-1 appears plus the -1 corpus-total rollup row; the

@@ -1829,6 +1829,139 @@ def test_semdedup_prune_matches_bruteforce(spark, sf_dir):
         assert ex[0][0] not in pruned  # smallest id is always kept
 
 
+def test_lsh_jaccard_tau_sweep_matches_pairs(spark, sf_dir):
+    """The θ sweep must reproduce a literal recount from the committed
+    `minhash_lsh_pairs` frame at every θ, be monotone non-increasing, and
+    conserve corpus = pruned + kept on every row."""
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.operators import dedup as dd
+
+    pairs = [
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in dd.minhash_lsh_pairs(spark, sf_dir).collect()
+    ]
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = {r["theta"]: r for r in dd.lsh_jaccard_tau_sweep(spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(dd.LSH_TAU_GRID)
+    prev = None
+    for theta in sorted(dd.LSH_TAU_GRID):
+        r = rows[theta]
+        assert r["n_pairs"] == sum(1 for _, _, j in pairs if j >= theta)
+        assert r["n_pruned"] == len({b for _, b, j in pairs if j >= theta})
+        assert r["n_pruned"] + r["n_kept_docs"] == n_docs
+        if prev is not None:
+            assert r["n_pairs"] <= prev["n_pairs"]
+            assert r["n_pruned"] <= prev["n_pruned"]
+        prev = r
+    # banded collision guarantees >= LSH_ROWS matching components, so the
+    # lowest grid point counts EVERY candidate pair
+    assert rows[min(dd.LSH_TAU_GRID)]["n_pairs"] == len(pairs)
+
+
+def test_semdedup_tau_sweep_matches_bruteforce_and_report(spark, sf_dir):
+    """The grid sweep must reproduce a literal Python recount at EVERY tau
+    (pairs and victims from one pairwise pass), be monotone non-increasing
+    in tau, conserve examined = pruned + kept on every row, and agree with
+    `semdedup_prune_report`'s corpus total at the report's own tau."""
+    import math
+
+    from data_pipeline_for_autonomous_vehicles_spark.operators import similarity as sim
+
+    rows = {r["tau"]: r for r in sim.semdedup_tau_sweep(spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(sim.SEMDEDUP_TAU_GRID)
+
+    members = sim._km_final_assignment(spark, sf_dir).select("vec_id", "cid", "sx").collect()
+    by_cid: dict = {}
+    for r in members:
+        by_cid.setdefault(r["cid"], []).append((r["vec_id"], r["sx"]))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    all_pairs = []  # (cos, vb) over every cluster's capped pairwise pass
+    n_examined = 0
+    for rows_c in by_cid.values():
+        rows_c.sort()
+        ex = rows_c[: sim.SEMDEDUP_CAP]
+        n_examined += len(ex)
+        for i, (vb, xb) in enumerate(ex):
+            for _va, xa in ex[:i]:
+                all_pairs.append((math.floor(cos(xa, xb) * 10000 + 0.5) / 10000.0, vb))
+    prev = None
+    for tau in sorted(sim.SEMDEDUP_TAU_GRID):
+        r = rows[tau]
+        want_pairs = sum(1 for c, _ in all_pairs if c >= tau)
+        want_pruned = len({vb for c, vb in all_pairs if c >= tau})
+        assert r["n_pairs"] == want_pairs
+        assert r["n_pruned"] == want_pruned
+        assert r["n_pruned"] + r["n_kept_examined"] == n_examined
+        if prev is not None:  # tighter tau never prunes more
+            assert r["n_pairs"] <= prev["n_pairs"]
+            assert r["n_pruned"] <= prev["n_pruned"]
+        prev = r
+    report_total = sum(
+        r["n_pruned"] for r in sim.semdedup_prune_report(spark, sf_dir).collect()
+    )
+    assert rows[sim.SEMDEDUP_TAU]["n_pruned"] == report_total
+
+
+def test_embedding_coverage_audit_reconciles(spark, sf_dir):
+    """Coverage rows reconcile exactly with the two tables: per-source doc
+    counts partition the corpus, with+missing = docs on every row, orphan
+    embeddings only ever appear on the (no_document) row, and the grand
+    totals match distinct id-set intersections."""
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.operators import similarity as sim
+
+    out = sim.embedding_coverage_audit(spark, sf_dir).collect()
+    doc_ids = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    vec_ids = {
+        r["vec_id"]
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id").collect()
+    }
+    both = doc_ids & vec_ids
+    assert sum(r["n_docs"] for r in out) == len(doc_ids)
+    assert sum(r["n_with_embedding"] for r in out) == len(both)
+    assert sum(r["n_missing_embedding"] for r in out) == len(doc_ids) - len(both)
+    assert sum(r["n_orphan_embeddings"] for r in out) == len(vec_ids) - len(both)
+    for r in out:
+        assert r["n_with_embedding"] + r["n_missing_embedding"] == r["n_docs"]
+        if r["source"] == "(no_document)":
+            assert r["n_docs"] == 0 and r["coverage_pct"] is None
+        else:
+            assert r["n_orphan_embeddings"] == 0
+            assert 0.0 <= r["coverage_pct"] <= 100.0
+
+
+def test_quality_calibration_bins_are_consistent(spark, sf_dir):
+    """Calibration bins partition the scoreable corpus; the classifier's
+    keep decision is pinned to the 0.5 boundary (rate 0 strictly below the
+    boundary bin, 1 strictly above — only the boundary bin may mix, where
+    4dp rounding folds tiny +/- margins together); each bin's mean clf
+    score lies inside the bin's own interval."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators import text as t
+
+    out = t.quality_calibration_report(spark, sf_dir).collect()
+    clf = t.quality_classifier_scores(spark, sf_dir).collect()
+    scoreable = [r for r in clf if r["clf_score"] is not None]
+    assert sum(r["n_docs"] for r in out) == len(scoreable)
+    boundary = t.CAL_BINS // 2  # clf 0.5 — the keep_flag decision edge
+    for r in out:
+        assert 0 <= r["bin"] < t.CAL_BINS
+        assert abs(r["bin_lo"] - r["bin"] / t.CAL_BINS) < 1e-12
+        if r["bin"] < boundary:
+            assert r["keep_rate"] == 0.0
+        elif r["bin"] > boundary:
+            assert r["keep_rate"] == 1.0
+        lo, hi = r["bin"] / t.CAL_BINS, (r["bin"] + 1) / t.CAL_BINS
+        assert lo - 1.01e-4 <= r["mean_clf_score"] <= hi + 1.01e-4
+        assert 0.0 <= r["mean_quality_score"] <= 1.0
+
+
 def test_embedding_near_dups_equals_vec_level_bruteforce(spark, sf_dir):
     """The distinct-vector-level rewrite must emit exactly the pairs the
     direct vec-level formulation produces: same LSH bucket collisions,
