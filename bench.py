@@ -200,7 +200,7 @@ def _time_set(spark, names: list[str], sf_dir: str, n_runs: int) -> dict[str, fl
     return timings
 
 
-def _warmup(spark) -> None:
+def _warmup(spark):
     # warmup: JVM + codegen + parquet footer caches at the smallest sf;
     # simhash included because its wide codegen'd expression tree is the
     # slowest to JIT-compile (dominates its own first-run time otherwise)
@@ -216,15 +216,25 @@ def _warmup(spark) -> None:
     # min-of-N re-runs rebuild each query's plan while its intra-query
     # cache from the previous run is still warm (intended: steady-state
     # timing) — CacheManager logs a benign "already cached" WARN per
-    # repeat; silence that one logger, nothing else
+    # repeat; silence that one logger for the timing loop only (the
+    # restore closure returned here puts WARN back so a genuine cache
+    # anomaly after benching stays visible)
     try:
         jvm = spark._jvm
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
             "org.apache.spark.sql.execution.CacheManager",
             jvm.org.apache.logging.log4j.Level.ERROR,
         )
+
+        def _restore() -> None:
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                "org.apache.spark.sql.execution.CacheManager",
+                jvm.org.apache.logging.log4j.Level.WARN,
+            )
+
+        return _restore
     except Exception:
-        pass  # log backend differs — cosmetic only
+        return lambda: None  # log backend differs — cosmetic only
 
 
 def main() -> None:
@@ -234,8 +244,9 @@ def main() -> None:
         # exactly ONE JSON line for the frozen legacy set.
         sf_dir = _sf1_dir()
         spark = get_spark("bench")
-        _warmup(spark)
+        restore_log = _warmup(spark)
         timings = _time_set(spark, BENCH_V2_QUERIES, sf_dir, n_runs=2)
+        restore_log()
         total = round(sum(timings.values()), 3)
         print(
             json.dumps(
@@ -252,7 +263,7 @@ def main() -> None:
 
     sf_dir, sf = _resolve_sf_dir()
     spark = get_spark("bench")
-    _warmup(spark)
+    restore_log = _warmup(spark)
 
     # repeated runs per query, report the min: steady-state execution
     # time (codegen/broadcast caches warm), the number that scales with
@@ -263,6 +274,7 @@ def main() -> None:
     # sf0.1 floor keep 3.
     n_runs = 2 if sf == "1" else 3
     timings = _time_set(spark, BENCH_QUERIES, sf_dir, n_runs)
+    restore_log()
 
     total = round(sum(timings.values()), 3)
     print(

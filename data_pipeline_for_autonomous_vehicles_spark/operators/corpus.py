@@ -1293,6 +1293,114 @@ ORDER BY stage_order
 """
 
 
+# --- 2-D funnel-knob tuning surface -------------------------------------------
+
+# grids bracketing the committed knobs (QUALITY_CUTOFF = 0.5, FLUENCY_FLOOR
+# = 2.0); every literal parses to the identical double in both engines
+QUALITY_GRID = [0.3, 0.4, 0.5, 0.6]
+FLUENCY_GRID = [1.0, 2.0, 3.0, 4.0]
+
+
+def curation_threshold_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2-D tuning surface for the funnel's two continuous knobs: kept-doc
+    counts at every (quality cutoff × fluency floor) grid cell, holding the
+    two discrete stages (near-dup canonical, classifier keep) at their
+    committed settings — the table a corpus build reads to pick
+    QUALITY_CUTOFF and FLUENCY_FLOOR together instead of tuning each blind
+    to the other (the knobs interact: raising either shrinks the pool the
+    other bites on). The committed-knob cell reproduces the funnel's kept
+    count exactly (pytest-pinned).
+
+    Plan shape: the per-doc signals are the funnel's one-joined-row-per-doc
+    plan (`_curation_joined`); the whole |Q|×|F| surface prices as
+    conditional sums in ONE aggregate (per-doc quality/fluency are the
+    sufficient statistics for every cell), fanned out by a constant-size
+    stack over a 1-row frame — same cost as one fixed-knob funnel at any
+    corpus size.
+    """
+    joined = _curation_joined(spark, sf_dir)
+    base = F.col("is_keeper").isNotNull() & (F.col("keep_flag") == 1)
+    per = joined.select(
+        base.alias("base"), "quality_score", "fluency_score"
+    )
+    cells = [
+        (q, f, f"kept_{i}_{j}")
+        for i, q in enumerate(QUALITY_GRID)
+        for j, f in enumerate(FLUENCY_GRID)
+    ]
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum(
+                F.when(
+                    F.col("base")
+                    & (F.col("quality_score") >= F.lit(q))
+                    & F.col("fluency_score").isNotNull()
+                    & (F.col("fluency_score") >= F.lit(f)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(name)
+            for q, f, name in cells
+        ],
+    )
+    stack_args = ", ".join(
+        f"CAST({q!r} AS DOUBLE), CAST({f!r} AS DOUBLE), {name}"
+        for q, f, name in cells
+    )
+    rows = agg.selectExpr(
+        f"stack({len(cells)}, {stack_args}) AS (q_cutoff, f_floor, n_kept)",
+        "n_docs",
+    )
+    return rows.select(
+        "q_cutoff",
+        "f_floor",
+        "n_kept",
+        round_half_up(
+            F.col("n_kept").cast("double") / F.col("n_docs").cast("double") * 100.0, 4
+        ).alias("kept_pct"),
+    ).orderBy("q_cutoff", "f_floor")
+
+
+def _sql_threshold_matrix() -> str:
+    from .dedup import _sql_near_dup_canonicals
+    from .text import _CLF_SQL, _FLUENCY_SQL, _QUALITY_SQL
+
+    qs = ", ".join(f"{q!r}::DOUBLE" for q in QUALITY_GRID)
+    fs = ", ".join(f"{f!r}::DOUBLE" for f in FLUENCY_GRID)
+    return f"""
+WITH keepers AS (SELECT keeper_doc_id AS doc_id FROM ({_sql_near_dup_canonicals()}) c),
+quality AS (SELECT doc_id, quality_score FROM ({_QUALITY_SQL}) q),
+clf AS (SELECT doc_id, keep_flag FROM ({_CLF_SQL}) c2),
+flu AS (SELECT doc_id, fluency_score FROM ({_FLUENCY_SQL}) f),
+per AS (
+  SELECT (k.doc_id IS NOT NULL AND c2.keep_flag = 1) AS base,
+         q.quality_score, f.fluency_score
+  FROM documents d
+  LEFT JOIN keepers k ON k.doc_id = d.doc_id
+  JOIN quality q ON q.doc_id = d.doc_id
+  JOIN clf c2 ON c2.doc_id = d.doc_id
+  LEFT JOIN flu f ON f.doc_id = d.doc_id),
+nd AS (SELECT COUNT(*) AS n_docs FROM per),
+qgrid AS (SELECT unnest([{qs}]) AS q_cutoff),
+fgrid AS (SELECT unnest([{fs}]) AS f_floor),
+cells AS (
+  SELECT g.q_cutoff, g.f_floor,
+         CAST(COALESCE(SUM(CASE WHEN p.base AND p.quality_score >= g.q_cutoff
+                                 AND p.fluency_score IS NOT NULL
+                                 AND p.fluency_score >= g.f_floor
+                            THEN 1 END), 0) AS BIGINT) AS n_kept
+  FROM (SELECT * FROM qgrid CROSS JOIN fgrid) g
+  LEFT JOIN per p ON TRUE
+  GROUP BY g.q_cutoff, g.f_floor)
+SELECT c.q_cutoff, c.f_floor, c.n_kept,
+       {sql_round_half_up("CAST(c.n_kept AS DOUBLE) / CAST(n.n_docs AS DOUBLE) * 100.0", 4)} AS kept_pct
+FROM cells c CROSS JOIN nd n
+ORDER BY c.q_cutoff, c.f_floor
+"""
+
+
 # --- curated training shards: the capstone composition ------------------------
 
 
@@ -1506,6 +1614,7 @@ QUERIES = {
     "curation_funnel_report": curation_funnel_report,
     "curation_kept_docs": curation_kept_docs,
     "curation_stage_ablation": curation_stage_ablation,
+    "curation_threshold_matrix": curation_threshold_matrix,
     "curated_training_shards": curated_training_shards,
     "curated_shard_manifest": curated_shard_manifest,
 }
@@ -1525,6 +1634,7 @@ ORACLES = {
     "curation_funnel_report": _sql_curation_funnel(),
     "curation_kept_docs": _sql_curation_kept(),
     "curation_stage_ablation": _sql_stage_ablation(),
+    "curation_threshold_matrix": _sql_threshold_matrix(),
     "curated_training_shards": _sql_curated_shards(),
     "curated_shard_manifest": _sql_curated_manifest(),
 }

@@ -485,6 +485,40 @@ def test_stage_ablation_matches_bruteforce(spark, sf_dir):
     assert out["fluency"]["n_fail"] >= verdicts["dropped_fluency"]
 
 
+def test_threshold_matrix_anchors_to_funnel_and_is_monotone(spark, sf_dir):
+    """The committed-knob cell (QUALITY_CUTOFF, FLUENCY_FLOOR) must equal
+    the funnel's kept count exactly; kept counts must be monotone
+    non-increasing along both grid axes; every cell respects 0 <= n_kept
+    <= corpus and pct consistency."""
+    from collections import Counter
+
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.operators import corpus as co
+    from data_pipeline_for_autonomous_vehicles_spark.operators.dedup import QUALITY_CUTOFF
+
+    cells = {
+        (r["q_cutoff"], r["f_floor"]): r
+        for r in co.curation_threshold_matrix(spark, sf_dir).collect()
+    }
+    assert set(cells) == {(q, f) for q in co.QUALITY_GRID for f in co.FLUENCY_GRID}
+    verdicts = Counter(
+        r["verdict"] for r in co.curation_kept_docs(spark, sf_dir).collect()
+    )
+    assert cells[(QUALITY_CUTOFF, co.FLUENCY_FLOOR)]["n_kept"] == verdicts["kept"]
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    for (q, f), r in cells.items():
+        assert 0 <= r["n_kept"] <= n_docs
+        for q2 in co.QUALITY_GRID:
+            if q2 > q:
+                assert cells[(q2, f)]["n_kept"] <= r["n_kept"]
+        for f2 in co.FLUENCY_GRID:
+            if f2 > f:
+                assert cells[(q, f2)]["n_kept"] <= r["n_kept"]
+    # the grid actually discriminates on driver data
+    kept_vals = {r["n_kept"] for r in cells.values()}
+    assert len(kept_vals) > 1
+
+
 def test_curated_training_shards_capstone(spark, sf_dir):
     """The capstone composes verdicts x span-cut text x hash shards: every
     shard id 0..N_SHARDS-1 appears plus the -1 corpus-total rollup row; the
