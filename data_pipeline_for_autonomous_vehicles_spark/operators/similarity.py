@@ -1927,6 +1927,202 @@ ORDER BY g.tau
 """
 
 
+# --- incremental semantic dedup: O(delta) admission ---------------------------
+
+SEM_DELTA_MOD = 5  # vec_id % 5 == 4 plays the "new batch" (mirrors dedup.DELTA_MOD)
+
+
+def _sem_delta_cond() -> F.Column:
+    return (F.col("vec_id") % F.lit(SEM_DELTA_MOD)) == F.lit(SEM_DELTA_MOD - 1)
+
+
+def _sem_seed_ids() -> list[int]:
+    """First KMEANS_K corpus (non-delta) vec_ids — the deterministic seeds
+    of the FROZEN quantizer that existed before the new batch arrived."""
+    ids: list[int] = []
+    i = 0
+    while len(ids) < KMEANS_K:
+        if i % SEM_DELTA_MOD != SEM_DELTA_MOD - 1:
+            ids.append(i)
+        i += 1
+    return ids
+
+
+def incremental_semdedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic-dedup admission: a DELTA batch of new vectors
+    (the deterministic vec_id % SEM_DELTA_MOD == SEM_DELTA_MOD−1 slice)
+    probed against the semantic index of the already-ingested corpus — the
+    vector twin of `minhash_delta_probe`, completing the incremental
+    triad (`minhash_delta_probe` lexical / `incremental_ivf_update` ANN
+    maintenance / this one semantic dedup). The index is FROZEN at what
+    existed before the batch: Lloyd runs on the corpus slice only (seeded
+    from its first K vectors), delta vectors are assigned to those frozen
+    centroids map-side, and each delta vector is compared ONLY to the
+    SEMDEDUP_CAP smallest-id corpus members of its own cell — never corpus
+    × corpus, never delta × delta. Per delta vector: its cell, the cell's
+    examined corpus members (cap visibility), corpus duplicates at
+    SEMDEDUP_TAU, the max corpus cosine, the first (min-id) duplicate, and
+    the keep/drop `is_novel` verdict a daily embedding ingest needs.
+
+    Scale (100 TB): the corpus assignment + capped members persist as the
+    index, bucketed by cell; a new batch broadcasts the (tiny) frozen
+    centroid table, assigns itself in one map pass, and equi-joins the
+    index on cell id — cost O(|delta| · cap), no corpus rescan. Same
+    int64 fixed-point grid as the batch SemDeDup family, so estimates are
+    bit-identical to what a full rebuild would score.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _scaled_vec(F.col("embedding")).alias("sx"))
+    corpus = vecs.filter(~_sem_delta_cond())
+    delta = vecs.filter(_sem_delta_cond())
+    cents = corpus.filter(F.col("vec_id").isin(_sem_seed_ids())).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("sx").alias("c")
+    )
+    for _ in range(2):
+        cents = _km_update(_km_assign(corpus, cents))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    w_m = Window.partitionBy("cid").orderBy("vec_id")
+    idx = (
+        _km_assign(corpus, cents)
+        .select("vec_id", "cid", "sx")
+        .withColumn("mrank", F.row_number().over(w_m))
+        .filter(F.col("mrank") <= SEMDEDUP_CAP)
+        .select(
+            F.col("vec_id").alias("cvec"),
+            "cid",
+            F.col("sx").alias("cx"),
+            dot(F.col("sx"), F.col("sx")).alias("cn2"),
+        )
+    )
+    cell_sizes = idx.groupBy("cid").agg(F.count(F.lit(1)).alias("n_cell_corpus"))
+    da = _km_assign(delta, cents).select(
+        F.col("vec_id").alias("dvec"),
+        "cid",
+        F.col("sx").alias("dx"),
+        dot(F.col("sx"), F.col("sx")).alias("dn2"),
+    )
+    pairs = da.join(idx, "cid").select(
+        "dvec",
+        "cvec",
+        round_half_up(
+            dot(F.col("dx"), F.col("cx")).cast("double")
+            / (F.sqrt(F.col("dn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
+            4,
+        ).alias("cos"),
+    )
+    per = pairs.groupBy("dvec").agg(
+        F.sum((F.col("cos") >= F.lit(SEMDEDUP_TAU)).cast("long")).alias("n_corpus_dups"),
+        F.max("cos").alias("max_corpus_cosine"),
+        F.min(F.when(F.col("cos") >= F.lit(SEMDEDUP_TAU), F.col("cvec"))).alias(
+            "first_dup_vec"
+        ),
+    )
+    return (
+        da.select("dvec", "cid")
+        .join(F.broadcast(cell_sizes), "cid", "left")
+        .join(per, "dvec", "left")
+        .select(
+            F.col("dvec").alias("vec_id"),
+            F.col("cid").cast("long").alias("cell"),
+            F.coalesce(F.col("n_cell_corpus"), F.lit(0)).cast("long").alias(
+                "n_cell_corpus"
+            ),
+            F.coalesce(F.col("n_corpus_dups"), F.lit(0)).cast("long").alias(
+                "n_corpus_dups"
+            ),
+            F.coalesce(F.col("max_corpus_cosine"), F.lit(0.0)).alias(
+                "max_corpus_cosine"
+            ),
+            "first_dup_vec",
+            (F.coalesce(F.col("n_corpus_dups"), F.lit(0)) == 0)
+            .cast("int")
+            .alias("is_novel"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _sql_incr_semdedup() -> str:
+    sx = (
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> CAST(FLOOR(x * {_KM_SCALE} + 0.5) AS BIGINT))"
+    )
+    dist = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_zip(v.sx, c.c), x -> (x[1] - x[2]) * (x[1] - x[2]))), "
+        "(acc, x) -> acc + x)"
+    )
+
+    def assign(vecs: str, cents: str) -> str:
+        return f"""
+  SELECT vec_id, sx, cid FROM (
+    SELECT v.vec_id, v.sx, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM {vecs} v CROSS JOIN {cents} c) t
+  WHERE rn = 1"""
+
+    update = f"""
+  SELECT cid, list(cv ORDER BY pos) AS c FROM (
+    SELECT cid, i AS pos,
+           CAST(FLOOR(CAST(SUM(sx[i]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS cv
+    FROM {{src}}, generate_series(1, {DIM}) AS g(i)
+    GROUP BY cid, i) cells
+  GROUP BY cid"""
+
+    dotf = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), (acc, x) -> acc + x)"
+    )
+    seeds = ", ".join(str(i) for i in _sem_seed_ids())
+    return f"""
+WITH vecs AS (SELECT vec_id, {sx} AS sx FROM embeddings),
+corp AS (SELECT * FROM vecs WHERE vec_id % {SEM_DELTA_MOD} <> {SEM_DELTA_MOD - 1}),
+delt AS (SELECT * FROM vecs WHERE vec_id % {SEM_DELTA_MOD} = {SEM_DELTA_MOD - 1}),
+c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, sx AS c FROM corp WHERE vec_id IN ({seeds})),
+a1 AS ({assign('corp', 'c0')}),
+c1 AS ({update.format(src='a1')}),
+a2 AS ({assign('corp', 'c1')}),
+c2 AS ({update.format(src='a2')}),
+a3 AS ({assign('corp', 'c2')}),
+idx AS (
+  SELECT vec_id AS cvec, cid, sx AS cx, {dotf.format(a='sx', b='sx')} AS cn2
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS mrank
+        FROM a3) m
+  WHERE mrank <= {SEMDEDUP_CAP}),
+csize AS (SELECT cid, COUNT(*) AS n_cell_corpus FROM idx GROUP BY cid),
+da AS (
+  SELECT vec_id AS dvec, cid, sx AS dx, {dotf.format(a='sx', b='sx')} AS dn2
+  FROM ({assign('delt', 'c2')}) d),
+pairs AS (
+  SELECT da.dvec, i.cvec,
+         CAST(FLOOR((CAST({dotf.format(a='da.dx', b='i.cx')} AS DOUBLE)
+               / (sqrt(CAST(da.dn2 AS DOUBLE)) * sqrt(CAST(i.cn2 AS DOUBLE)))) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS cos
+  FROM da JOIN idx i USING (cid)),
+per AS (
+  SELECT dvec,
+         CAST(SUM(CASE WHEN cos >= {SEMDEDUP_TAU} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_corpus_dups,
+         MAX(cos) AS max_corpus_cosine,
+         MIN(CASE WHEN cos >= {SEMDEDUP_TAU} THEN cvec END) AS first_dup_vec
+  FROM pairs GROUP BY dvec)
+SELECT da.dvec AS vec_id,
+       CAST(da.cid AS BIGINT) AS cell,
+       CAST(COALESCE(cs.n_cell_corpus, 0) AS BIGINT) AS n_cell_corpus,
+       CAST(COALESCE(p.n_corpus_dups, 0) AS BIGINT) AS n_corpus_dups,
+       COALESCE(p.max_corpus_cosine, 0.0) AS max_corpus_cosine,
+       p.first_dup_vec,
+       CAST(CASE WHEN COALESCE(p.n_corpus_dups, 0) = 0 THEN 1 ELSE 0 END AS INT)
+         AS is_novel
+FROM da
+LEFT JOIN csize cs ON cs.cid = da.cid
+LEFT JOIN per p ON p.dvec = da.dvec
+ORDER BY vec_id
+"""
+
+
 # --- embedding norm QA --------------------------------------------------------
 
 # healthy band for unit-normalized embeddings: ‖x‖ ∈ [0.9, 1.1]
@@ -2741,6 +2937,7 @@ QUERIES = {
     "kmeans_label_purity": kmeans_label_purity,
     "semdedup_prune_report": semdedup_prune_report,
     "semdedup_tau_sweep": semdedup_tau_sweep,
+    "incremental_semdedup_probe": incremental_semdedup_probe,
     "embedding_coverage_audit": embedding_coverage_audit,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
@@ -2768,6 +2965,7 @@ ORACLES = {
     "kmeans_label_purity": _sql_km_purity(),
     "semdedup_prune_report": _sql_semdedup(),
     "semdedup_tau_sweep": _sql_tau_sweep(),
+    "incremental_semdedup_probe": _sql_incr_semdedup(),
     "embedding_coverage_audit": _COVERAGE_AUDIT_SQL,
     "ann_pq_topk": _sql_pq(),
     "ann_ivfpq_topk": _sql_ivfpq(),

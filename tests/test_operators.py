@@ -1906,6 +1906,76 @@ def test_semdedup_tau_sweep_matches_bruteforce_and_report(spark, sf_dir):
     assert rows[sim.SEMDEDUP_TAU]["n_pruned"] == report_total
 
 
+def test_incremental_semdedup_probe_matches_bruteforce(spark, sf_dir):
+    """The O(delta) probe must equal a literal Python recomputation of
+    frozen-centroid assignment (int64 argmin, ties to lowest cid), the
+    per-cell smallest-id cap, and the capped pairwise cosine — for every
+    delta vector: cell, examined members, dup count at tau, max cosine,
+    first dup, and the novelty verdict."""
+    import math
+
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.operators import similarity as sim
+    from pyspark.sql import functions as F2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", sim._scaled_vec(F2.col("embedding")).alias("sx"))
+    corpus_rows = {
+        r["vec_id"]: r["sx"] for r in vecs.filter(~sim._sem_delta_cond()).collect()
+    }
+    delta_rows = {
+        r["vec_id"]: r["sx"] for r in vecs.filter(sim._sem_delta_cond()).collect()
+    }
+    # frozen centroids via the module's own Lloyd helpers (pinned elsewhere
+    # by the kmeans brute-force tests); the PROBE logic below is literal
+    cents_df = vecs.filter(~sim._sem_delta_cond()).filter(
+        F2.col("vec_id").isin(sim._sem_seed_ids())
+    ).select(F2.col("vec_id").cast("int").alias("cid"), F2.col("sx").alias("c"))
+    corpus_df = vecs.filter(~sim._sem_delta_cond())
+    for _ in range(2):
+        cents_df = sim._km_update(sim._km_assign(corpus_df, cents_df))
+    cents = {r["cid"]: r["c"] for r in cents_df.collect()}
+
+    def assign(x):
+        return min(
+            (sum((a - b) ** 2 for a, b in zip(x, c)), cid) for cid, c in cents.items()
+        )[1]
+
+    cells: dict = {}
+    for vid in sorted(corpus_rows):
+        cells.setdefault(assign(corpus_rows[vid]), []).append(vid)
+    capped = {cid: vids[: sim.SEMDEDUP_CAP] for cid, vids in cells.items()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return math.floor(
+            d
+            / (
+                math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+            )
+            * 10000
+            + 0.5
+        ) / 10000.0
+
+    out = {
+        r["vec_id"]: r
+        for r in sim.incremental_semdedup_probe(spark, sf_dir).collect()
+    }
+    assert set(out) == set(delta_rows)
+    for vid, x in delta_rows.items():
+        cell = assign(x)
+        members = capped.get(cell, [])
+        cs = [(cos(x, corpus_rows[m]), m) for m in members]
+        dups = [(c, m) for c, m in cs if c >= sim.SEMDEDUP_TAU]
+        r = out[vid]
+        assert r["cell"] == cell
+        assert r["n_cell_corpus"] == len(members)
+        assert r["n_corpus_dups"] == len(dups)
+        assert r["max_corpus_cosine"] == (max(c for c, _ in cs) if cs else 0.0)
+        assert r["first_dup_vec"] == (min(m for _, m in dups) if dups else None)
+        assert r["is_novel"] == (0 if dups else 1)
+
+
 def test_embedding_coverage_audit_reconciles(spark, sf_dir):
     """Coverage rows reconcile exactly with the two tables: per-source doc
     counts partition the corpus, with+missing = docs on every row, orphan
