@@ -1876,6 +1876,117 @@ ORDER BY doc_id
 """
 
 
+# contamination-rate drop thresholds: 0.0 = the GPT-3 "any shared n-gram"
+# policy; the rest trade eval hygiene against corpus yield. Literals parse
+# to identical doubles in both engines; rates are 1e-4-quantized.
+DECON_RATE_GRID = [0.0, 0.05, 0.1, 0.2, 0.5]
+
+
+def decontamination_policy_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-of-policy curve for decontamination: for each θ in
+    DECON_RATE_GRID, how many training documents (and how much token
+    mass) a "drop if contamination_rate ≥ θ" policy removes — θ = 0.0 is
+    the any-hit GPT-3 rule, larger θ keeps lightly-grazed docs. The curve
+    is what decides the policy BEFORE a 100 TB purge: the difference
+    between dropping 8% and 0.3% of tokens is a retraining budget.
+
+    Plan shape: `decontamination_report`'s per-doc rate frame (broadcast
+    eval-shingle semi-join — the corpus never shuffles its text) is the
+    sufficient statistic; token counts join on only for the contaminated
+    docs (a tiny frame — contamination is rare by construction); the whole
+    grid prices as conditional sums in ONE aggregate over that frame plus
+    a 1-row train-corpus total, fanned out by a constant-size stack.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    n_toks = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    ).cast("long")
+    contaminated = decontamination_report(spark, sf_dir).select(
+        "doc_id", "contamination_rate"
+    )
+    per = contaminated.join(train.select("doc_id", n_toks.alias("n_tokens")), "doc_id")
+    c_agg = per.agg(
+        *[
+            e
+            for i, t in enumerate(DECON_RATE_GRID)
+            for e in (
+                F.coalesce(
+                    F.sum((F.col("contamination_rate") >= F.lit(t)).cast("long")),
+                    F.lit(0),
+                ).alias(f"docs_{i}"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("contamination_rate") >= F.lit(t), F.col("n_tokens")
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias(f"toks_{i}"),
+            )
+        ]
+    )
+    t_agg = train.agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.sum(n_toks).alias("n_train_tokens"),
+    )
+    stack_args = ", ".join(
+        f"CAST({t!r} AS DOUBLE), docs_{i}, toks_{i}"
+        for i, t in enumerate(DECON_RATE_GRID)
+    )
+    rows = c_agg.crossJoin(F.broadcast(t_agg)).selectExpr(
+        f"stack({len(DECON_RATE_GRID)}, {stack_args})"
+        " AS (theta, n_dropped_docs, dropped_tokens)",
+        "n_train_docs",
+        "n_train_tokens",
+    )
+    return rows.select(
+        "theta",
+        F.col("n_dropped_docs").cast("long").alias("n_dropped_docs"),
+        F.col("dropped_tokens").cast("long").alias("dropped_tokens"),
+        round_half_up(
+            F.col("n_dropped_docs").cast("double")
+            / F.col("n_train_docs").cast("double")
+            * 100.0,
+            4,
+        ).alias("dropped_docs_pct"),
+        round_half_up(
+            F.col("dropped_tokens").cast("double")
+            / F.col("n_train_tokens").cast("double")
+            * 100.0,
+            4,
+        ).alias("dropped_tokens_pct"),
+    ).orderBy("theta")
+
+
+def _sql_decon_policy_sweep() -> str:
+    thetas = ", ".join(f"{t!r}::DOUBLE" for t in DECON_RATE_GRID)
+    ntoks = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END"
+    )
+    return f"""
+WITH rates AS (SELECT doc_id, contamination_rate FROM ({_DECONTAM_SQL}) r),
+tok AS (SELECT doc_id, CAST({ntoks} AS BIGINT) AS n_tokens
+        FROM documents WHERE doc_id % {EVAL_MOD} != 0),
+per AS (SELECT r.contamination_rate, t.n_tokens FROM rates r JOIN tok t USING (doc_id)),
+tot AS (SELECT COUNT(*) AS n_train_docs, SUM(n_tokens) AS n_train_tokens FROM tok),
+taus AS (SELECT unnest([{thetas}]) AS theta),
+grid AS (
+  SELECT ts.theta,
+         CAST(COALESCE(SUM(CASE WHEN p.contamination_rate >= ts.theta THEN 1 END), 0)
+              AS BIGINT) AS n_dropped_docs,
+         CAST(COALESCE(SUM(CASE WHEN p.contamination_rate >= ts.theta
+                                THEN p.n_tokens END), 0) AS BIGINT) AS dropped_tokens
+  FROM taus ts LEFT JOIN per p ON TRUE GROUP BY ts.theta)
+SELECT g.theta, g.n_dropped_docs, g.dropped_tokens,
+       {sql_round_half_up("CAST(g.n_dropped_docs AS DOUBLE) / CAST(t.n_train_docs AS DOUBLE) * 100.0", 4)} AS dropped_docs_pct,
+       {sql_round_half_up("CAST(g.dropped_tokens AS DOUBLE) / CAST(t.n_train_tokens AS DOUBLE) * 100.0", 4)} AS dropped_tokens_pct
+FROM grid g CROSS JOIN tot t
+ORDER BY g.theta
+"""
+
+
 # --- cross-validation fold leakage ------------------------------------------
 
 N_FOLDS = 5
@@ -1980,6 +2091,7 @@ QUERIES = {
     "minhash_delta_probe": minhash_delta_probe,
     "training_corpus_mix": training_corpus_mix,
     "decontamination_report": decontamination_report,
+    "decontamination_policy_sweep": decontamination_policy_sweep,
 }
 
 ORACLES = {
@@ -2005,4 +2117,5 @@ ORACLES = {
     "minhash_delta_probe": _sql_delta_probe(),
     "training_corpus_mix": _sql_training_corpus_mix(),
     "decontamination_report": _DECONTAM_SQL,
+    "decontamination_policy_sweep": _sql_decon_policy_sweep(),
 }

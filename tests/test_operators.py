@@ -1906,6 +1906,45 @@ def test_semdedup_tau_sweep_matches_bruteforce_and_report(spark, sf_dir):
     assert rows[sim.SEMDEDUP_TAU]["n_pruned"] == report_total
 
 
+def test_decontamination_policy_sweep_matches_report(spark, sf_dir):
+    """The policy curve must reproduce a literal recount from the
+    committed per-doc contamination report at every θ (docs and token
+    mass), be monotone non-increasing in θ, and anchor θ=0.0 to the
+    any-hit policy (exactly the report's row count)."""
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.operators import dedup as dd
+    from pyspark.sql import functions as F2
+
+    report = {
+        r["doc_id"]: r["contamination_rate"]
+        for r in dd.decontamination_report(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    tok_rows = docs.filter(F2.col("doc_id") % dd.EVAL_MOD != 0).select(
+        "doc_id",
+        F2.when(F2.trim(F2.col("text")) == "", F2.lit(0))
+        .otherwise(F2.size(F2.split(F2.lower(F2.trim(F2.col("text"))), r"\s+")))
+        .alias("n_tokens"),
+    ).collect()
+    toks = {r["doc_id"]: r["n_tokens"] for r in tok_rows}
+    out = {
+        r["theta"]: r
+        for r in dd.decontamination_policy_sweep(spark, sf_dir).collect()
+    }
+    assert sorted(out) == sorted(dd.DECON_RATE_GRID)
+    prev = None
+    for theta in sorted(dd.DECON_RATE_GRID):
+        r = out[theta]
+        dropped = [d for d, rate in report.items() if rate >= theta]
+        assert r["n_dropped_docs"] == len(dropped)
+        assert r["dropped_tokens"] == sum(toks[d] for d in dropped)
+        if prev is not None:
+            assert r["n_dropped_docs"] <= prev["n_dropped_docs"]
+            assert r["dropped_tokens"] <= prev["dropped_tokens"]
+        prev = r
+    assert out[0.0]["n_dropped_docs"] == len(report)  # any-hit anchor
+
+
 def test_incremental_semdedup_probe_matches_bruteforce(spark, sf_dir):
     """The O(delta) probe must equal a literal Python recomputation of
     frozen-centroid assignment (int64 argmin, ties to lowest cid), the
