@@ -25,6 +25,7 @@ def _modules():
     from . import (
         anomaly,
         asof,
+        assembly,
         corpus,
         dedup,
         drift,
@@ -51,6 +52,7 @@ def _modules():
 
     return (
         anomaly,
+        assembly,
         corpus,
         tpch,
         tpch_ext,

@@ -1426,6 +1426,118 @@ ORDER BY source
 """
 
 
+# --- vocabulary coverage curve ------------------------------------------------
+
+VOCAB_GRID: tuple[int, ...] = (4, 8, 16, 32)
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage as a function of vocabulary budget: for each
+    candidate vocab size (top-N tokens by frequency, ties on the token
+    string), the share of the corpus' total token mass those N entries
+    cover. The vocab-sizing curve read BEFORE committing a tokenizer
+    budget — `oov_rate_report` prices one fixed cutoff per source; this is
+    the whole frontier. Coverage saturates at 1.0 once the budget exceeds
+    the true vocabulary (the largest grid point proves saturation on
+    driver data).
+
+    Exactness: masses are int64 token counts; the only double is the final
+    coverage ratio of two exact integers.
+
+    Scale: one explode → token hash-agg, a top-max(grid)
+    TakeOrderedAndProject, ranks via the K²-bounded broadcast
+    self-comparison (zipf's pattern — no global window), and the whole
+    grid prices as conditional sums in ONE aggregate over ≤max(grid)
+    cells + a 1-row totals broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = freqs.agg(
+        F.sum("n").alias("total_token_mass"), F.count(F.lit(1)).alias("vocab_size")
+    )
+    kept = freqs.orderBy(F.desc("n"), F.asc("token")).limit(max(VOCAB_GRID))
+    other = kept.select(F.col("n").alias("n2"), F.col("token").alias("k2"))
+    better = (F.col("n2") > F.col("n")) | (
+        (F.col("n2") == F.col("n")) & (F.col("k2") < F.col("token"))
+    )
+    ranked = (
+        kept.crossJoin(F.broadcast(other))
+        .groupBy("token", "n")
+        .agg((F.sum(F.when(better, 1).otherwise(0)) + F.lit(1)).alias("rank"))
+    )
+    aggs = []
+    for g in VOCAB_GRID:
+        hit = F.col("rank") <= g
+        aggs.append(
+            F.coalesce(F.sum(F.when(hit, F.col("n"))), F.lit(0))
+            .cast("long")
+            .alias(f"mass_{g}")
+        )
+        aggs.append(F.sum(hit.cast("long")).alias(f"cnt_{g}"))
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(g).alias("vocab_budget"),
+                    F.col(f"cnt_{g}").alias("tokens_covered"),
+                    F.col(f"mass_{g}").alias("mass_covered"),
+                )
+                for g in VOCAB_GRID
+            ]
+        )
+    )
+    return (
+        ranked.agg(*aggs)
+        .crossJoin(F.broadcast(totals))
+        .select("total_token_mass", "vocab_size", cells.alias("c"))
+        .select(
+            F.col("c.vocab_budget").alias("vocab_budget"),
+            F.col("c.tokens_covered").alias("tokens_covered"),
+            F.col("c.mass_covered").alias("mass_covered"),
+            "total_token_mass",
+            round_half_up(
+                F.col("c.mass_covered").cast("double")
+                / F.col("total_token_mass").cast("double"),
+                6,
+            ).alias("coverage_pct"),
+        )
+        .orderBy("vocab_budget")
+    )
+
+
+def _sql_vocab_coverage() -> str:
+    grid = ", ".join(str(g) for g in VOCAB_GRID)
+    return f"""
+WITH freqs AS (
+  SELECT token, COUNT(*) AS n FROM (
+    SELECT unnest({_SQL_TOKENS}) AS token
+    FROM documents WHERE trim(text) <> '') t
+  GROUP BY token),
+totals AS (
+  SELECT SUM(n) AS total_token_mass, COUNT(*) AS vocab_size FROM freqs),
+ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank
+  FROM freqs ORDER BY n DESC, token ASC LIMIT {max(VOCAB_GRID)}),
+grid AS (SELECT unnest([{grid}]) AS vocab_budget)
+SELECT CAST(vocab_budget AS INTEGER) AS vocab_budget,
+       CAST(SUM(CASE WHEN rank <= vocab_budget THEN 1 ELSE 0 END) AS BIGINT)
+         AS tokens_covered,
+       CAST(COALESCE(SUM(CASE WHEN rank <= vocab_budget THEN n END), 0) AS BIGINT)
+         AS mass_covered,
+       CAST(MAX(total_token_mass) AS BIGINT) AS total_token_mass,
+       {sql_round_half_up(
+           "CAST(COALESCE(SUM(CASE WHEN rank <= vocab_budget THEN n END), 0) AS DOUBLE)"
+           " / CAST(MAX(total_token_mass) AS DOUBLE)", 6)} AS coverage_pct
+FROM ranked CROSS JOIN grid CROSS JOIN totals
+GROUP BY vocab_budget
+ORDER BY vocab_budget
+"""
+
+
 # --- deterministic training shards ------------------------------------------
 
 N_SHARDS = 16
@@ -1616,6 +1728,7 @@ QUERIES = {
     "quality_classifier_scores": quality_classifier_scores,
     "quality_calibration_report": quality_calibration_report,
     "bigram_fluency_scores": bigram_fluency_scores,
+    "vocab_coverage_curve": vocab_coverage_curve,
 }
 
 ORACLES = {
@@ -1643,4 +1756,5 @@ ORACLES = {
     "quality_classifier_scores": _CLF_SQL,
     "quality_calibration_report": _sql_calibration(),
     "bigram_fluency_scores": _FLUENCY_SQL,
+    "vocab_coverage_curve": _sql_vocab_coverage(),
 }
