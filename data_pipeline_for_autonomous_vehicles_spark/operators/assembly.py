@@ -35,11 +35,13 @@ from ..functions.scalars import (
     sql_round_half_up,
 )
 from .text import (
-    _SQL_TOKENS,
+    _SQL_N_TOK,
     N_SHARDS,
     PACK_BUDGET_CHARS,
+    _n_tok,
     _quality_score_col,
-    _tokens,
+    pack_bin_col,
+    sql_pack_bins,
 )
 
 # Context lengths to grade truncation at. Driver docs run 10-99 whitespace
@@ -54,15 +56,25 @@ CONTEXT_LENS: tuple[int, ...] = (16, 32, 64, 96)
 PHASE_EDGES: tuple[float, ...] = (0.72, 0.64, 0.52)
 
 
-def _n_tok() -> F.Column:
+def _phase_col(q: F.Column) -> F.Column:
+    """Curriculum phase from a quality-score column — the ONE banding both
+    `curriculum_phases` and `curriculum_read_order` apply."""
     return (
-        F.when(F.trim(F.col("text")) == "", F.lit(0))
-        .otherwise(F.size(_tokens()))
-        .cast("long")
+        F.when(q >= PHASE_EDGES[0], F.lit(1))
+        .when(q >= PHASE_EDGES[1], F.lit(2))
+        .when(q >= PHASE_EDGES[2], F.lit(3))
+        .otherwise(F.lit(4))
     )
 
 
-_SQL_N_TOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQL_TOKENS}) END"
+def _sql_phase(score_expr: str) -> str:
+    """DuckDB twin of `_phase_col` over an already-computed score column."""
+    return (
+        f"CASE WHEN {score_expr} >= {PHASE_EDGES[0]} THEN 1"
+        f" WHEN {score_expr} >= {PHASE_EDGES[1]} THEN 2"
+        f" WHEN {score_expr} >= {PHASE_EDGES[2]} THEN 3"
+        f" ELSE 4 END"
+    )
 
 
 # --- context-length truncation waste ---------------------------------------
@@ -160,15 +172,8 @@ def packing_strategy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
 
     def _strategy(order_cols: list[F.Column], name: str) -> DataFrame:
-        w = Window.partitionBy("lang").orderBy(*order_cols)
-        cum_before = F.coalesce(
-            F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        )
         bins = (
-            docs.withColumn(
-                "bin_id", (cum_before / F.lit(PACK_BUDGET_CHARS)).cast("long")
-            )
+            docs.withColumn("bin_id", pack_bin_col(*order_cols))
             .groupBy("lang", "bin_id")
             .agg(F.sum("n_chars").cast("long").alias("bin_chars"))
         )
@@ -214,16 +219,7 @@ SELECT '{name}' AS strategy, lang,
        {sql_round_half_up(
            f"CAST(SUM(bin_chars) AS DOUBLE)"
            f" / (CAST(COUNT(*) AS DOUBLE) * {PACK_BUDGET_CHARS}.0)", 4)} AS mean_fill
-FROM (
-  SELECT lang, bin_id, SUM(n_chars) AS bin_chars
-  FROM (
-    SELECT lang, n_chars,
-           CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
-               PARTITION BY lang ORDER BY {order_by}
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             / {PACK_BUDGET_CHARS}.0) AS BIGINT) AS bin_id
-    FROM documents) b
-  GROUP BY lang, bin_id) bins
+FROM ({sql_pack_bins(order_by)}) bins
 GROUP BY lang"""
 
     return (
@@ -254,16 +250,13 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a 1-row broadcast for the shares."""
     docs = load_table(spark, sf_dir, "documents")
     q = _quality_score_col()
-    phase = (
-        F.when(q >= PHASE_EDGES[0], F.lit(1))
-        .when(q >= PHASE_EDGES[1], F.lit(2))
-        .when(q >= PHASE_EDGES[2], F.lit(3))
-        .otherwise(F.lit(4))
-    )
     q4 = F.floor(q * F.lit(10000.0) + F.lit(0.5)).cast("long")
     per_phase = (
         docs.select(
-            phase.alias("phase"), _n_tok().alias("n_tok"), q4.alias("q4"), "lang"
+            _phase_col(q).alias("phase"),
+            _n_tok().alias("n_tok"),
+            q4.alias("q4"),
+            "lang",
         )
         .groupBy("phase")
         .agg(
@@ -299,34 +292,20 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_quality_expr() -> str:
-    """DuckDB twin of text._quality_score_col (same fixed-point rounding)."""
-    from .text import LANG_MARKERS
-
-    en = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS["en"]) + "]"
-    raw = (
-        f"0.4::DOUBLE * LEAST(1.0::DOUBLE, CAST(n_chars AS DOUBLE) / 400.0::DOUBLE)"
-        f" + 0.3::DOUBLE * (CAST(len(list_distinct({_SQL_TOKENS})) AS DOUBLE)"
-        f" / CAST(len({_SQL_TOKENS}) AS DOUBLE))"
-        f" + 0.3::DOUBLE * LEAST(1.0::DOUBLE,"
-        f" CAST(len(list_intersect(list_distinct({_SQL_TOKENS}), {en})) AS DOUBLE)"
-        f" / {float(len(LANG_MARKERS['en']))}::DOUBLE * 2.0::DOUBLE)"
-    )
-    return f"CAST(FLOOR(({raw}) * 10000.0 + 0.5) AS DOUBLE) / 10000.0"
-
-
 def _sql_curriculum() -> str:
-    q = _sql_quality_expr()
+    # the score comes from text._QUALITY_SQL itself — the same join-the-
+    # quality-frame pattern every other funnel oracle uses, so the
+    # heuristic has exactly one SQL spelling repo-wide
+    from .text import _QUALITY_SQL
+
     return f"""
-WITH scored AS (
-  SELECT CASE WHEN {q} >= {PHASE_EDGES[0]} THEN 1
-              WHEN {q} >= {PHASE_EDGES[1]} THEN 2
-              WHEN {q} >= {PHASE_EDGES[2]} THEN 3
-              ELSE 4 END AS phase,
+WITH q AS (SELECT doc_id, quality_score FROM ({_QUALITY_SQL}) x),
+scored AS (
+  SELECT {_sql_phase("q.quality_score")} AS phase,
          {_SQL_N_TOK} AS n_tok,
-         CAST(FLOOR(({q}) * 10000.0 + 0.5) AS BIGINT) AS q4,
-         lang
-  FROM documents),
+         CAST(FLOOR(q.quality_score * 10000.0 + 0.5) AS BIGINT) AS q4,
+         d.lang
+  FROM documents d JOIN q ON q.doc_id = d.doc_id),
 per_phase AS (
   SELECT phase, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
          COUNT(DISTINCT lang) AS n_langs, SUM(q4) AS sum_q4
@@ -373,19 +352,22 @@ def shard_interleaving_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("source").over(w)
     new_run = (prev.isNull() | (prev != F.col("source"))).cast("long")
     run_id = F.sum(new_run).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    # `source` is constant within a run, so the run rollup can carry it
+    # (min == the value) and the per-shard distinct-source count rides the
+    # SAME windowed pass — one corpus scan, no second scan + join
     runs = (
         base.withColumn("run_id", run_id)
         .groupBy("shard", "run_id")
-        .agg(F.count(F.lit(1)).alias("run_len"))
+        .agg(F.count(F.lit(1)).alias("run_len"), F.min("source").alias("source"))
     )
-    per_shard = runs.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_runs"),
-        F.max("run_len").alias("max_run_len"),
-        F.sum("run_len").alias("n_docs"),
-    )
-    srcs = base.groupBy("shard").agg(F.countDistinct("source").alias("n_sources"))
     return (
-        per_shard.join(srcs, "shard")
+        runs.groupBy("shard")
+        .agg(
+            F.sum("run_len").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_len").alias("max_run_len"),
+        )
         .select(
             "shard",
             "n_docs",
@@ -412,25 +394,22 @@ marked AS (
   FROM base
   WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id)),
 numbered AS (
-  SELECT shard,
+  SELECT shard, source,
          SUM(new_run) OVER (PARTITION BY shard ORDER BY h, doc_id
                             ROWS UNBOUNDED PRECEDING) AS run_id
   FROM marked),
-runs AS (SELECT shard, run_id, COUNT(*) AS run_len FROM numbered GROUP BY 1, 2),
-agg AS (
-  SELECT shard, COUNT(*) AS n_runs, MAX(run_len) AS max_run_len,
-         SUM(run_len) AS n_docs
-  FROM runs GROUP BY shard),
-srcs AS (SELECT shard, COUNT(DISTINCT source) AS n_sources FROM base GROUP BY shard)
-SELECT a.shard,
-       CAST(a.n_docs AS BIGINT) AS n_docs,
-       CAST(s.n_sources AS BIGINT) AS n_sources,
-       CAST(a.n_runs AS BIGINT) AS n_runs,
-       CAST(a.max_run_len AS BIGINT) AS max_run_len,
+runs AS (
+  SELECT shard, run_id, COUNT(*) AS run_len, MIN(source) AS source
+  FROM numbered GROUP BY 1, 2)
+SELECT shard,
+       CAST(SUM(run_len) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(run_len) AS BIGINT) AS max_run_len,
        {sql_round_half_up(
-           "CAST(a.n_runs AS DOUBLE) / CAST(a.n_docs AS DOUBLE)", 4)}
+           "CAST(COUNT(*) AS DOUBLE) / CAST(SUM(run_len) AS DOUBLE)", 4)}
          AS interleave_ratio
-FROM agg a JOIN srcs s USING (shard)
+FROM runs GROUP BY shard
 ORDER BY shard
 """
 
@@ -454,15 +433,11 @@ def curriculum_read_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest weight as `curation_kept_docs`."""
     docs = load_table(spark, sf_dir, "documents")
     h = portable_hash(F.col("doc_id").cast("string"))
-    q = _quality_score_col()
-    phase = (
-        F.when(q >= PHASE_EDGES[0], F.lit(1))
-        .when(q >= PHASE_EDGES[1], F.lit(2))
-        .when(q >= PHASE_EDGES[2], F.lit(3))
-        .otherwise(F.lit(4))
-    )
     base = docs.select(
-        "doc_id", h.alias("h"), (h % N_SHARDS).alias("shard"), phase.alias("phase")
+        "doc_id",
+        h.alias("h"),
+        (h % N_SHARDS).alias("shard"),
+        _phase_col(_quality_score_col()).alias("phase"),
     )
     w = Window.partitionBy("shard").orderBy("phase", "h", "doc_id")
     return (
@@ -477,16 +452,15 @@ def curriculum_read_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_read_order() -> str:
-    h = sql_portable_hash("CAST(doc_id AS VARCHAR)")
-    q = _sql_quality_expr()
+    from .text import _QUALITY_SQL
+
+    h = sql_portable_hash("CAST(d.doc_id AS VARCHAR)")
     return f"""
-WITH base AS (
-  SELECT doc_id, {h} AS h, {h} % {N_SHARDS} AS shard,
-         CASE WHEN {q} >= {PHASE_EDGES[0]} THEN 1
-              WHEN {q} >= {PHASE_EDGES[1]} THEN 2
-              WHEN {q} >= {PHASE_EDGES[2]} THEN 3
-              ELSE 4 END AS phase
-  FROM documents)
+WITH q AS (SELECT doc_id, quality_score FROM ({_QUALITY_SQL}) x),
+base AS (
+  SELECT d.doc_id, {h} AS h, {h} % {N_SHARDS} AS shard,
+         {_sql_phase("q.quality_score")} AS phase
+  FROM documents d JOIN q ON q.doc_id = d.doc_id)
 SELECT doc_id, shard, CAST(phase AS INTEGER) AS phase,
        CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY phase, h, doc_id)
             AS BIGINT) AS read_pos

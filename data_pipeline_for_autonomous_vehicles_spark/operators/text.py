@@ -22,6 +22,19 @@ def _tokens() -> F.Column:
     return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
 _SQL_TOKENS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
+
+def _n_tok() -> F.Column:
+    """Empty-guarded whitespace token count — the ONE spelling every
+    token-counting operator (here and in assembly.py) shares."""
+    return (
+        F.when(F.trim(F.col("text")) == "", F.lit(0))
+        .otherwise(F.size(_tokens()))
+        .cast("long")
+    )
+
+
+_SQL_N_TOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQL_TOKENS}) END"
+
 # language marker vocabularies (n-gram heuristic): deterministic, public
 # stopword-style markers. The classifier is judged against its SQL twin, not
 # against ground truth — it is a heuristic, like any real lang-ID.
@@ -722,13 +735,8 @@ def token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort fits one task; packing quality is unchanged because bins never
     cross shards."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    cum_before = F.coalesce(
-        F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0),
-    )
     return (
-        docs.withColumn("bin_id", (cum_before / F.lit(PACK_BUDGET_CHARS)).cast("long"))
+        docs.withColumn("bin_id", pack_bin_col(F.col("doc_id")))
         .groupBy("lang", "bin_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -738,15 +746,37 @@ def token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_bin_col(*order_cols: F.Column) -> F.Column:
+    """THE packing rule: bin id = exclusive running char total DIV budget,
+    per lang, under the given document order. `token_budget_bins` packs in
+    corpus order; `assembly.packing_strategy_compare` re-prices the same
+    rule under alternative orders — one definition so the comparison can
+    never drift from the rule it claims to measure."""
+    w = Window.partitionBy("lang").orderBy(*order_cols)
+    cum_before = F.coalesce(
+        F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (cum_before / F.lit(PACK_BUDGET_CHARS)).cast("long")
+
+
+def sql_pack_bins(order_by: str) -> str:
+    """DuckDB twin of `pack_bin_col` + the per-bin char rollup, as a
+    subquery yielding (lang, bin_id, bin_chars, n_docs)."""
+    return f"""
+  SELECT lang, bin_id, COUNT(*) AS n_docs, SUM(n_chars) AS bin_chars
+  FROM (
+    SELECT lang, n_chars,
+           CAST(FLOOR(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY {order_by}
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / {PACK_BUDGET_CHARS}.0) AS BIGINT) AS bin_id
+    FROM documents) t
+  GROUP BY lang, bin_id"""
+
+
 _PACK_SQL = f"""
-SELECT lang, bin_id, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS bin_chars
-FROM (
-  SELECT lang, n_chars,
-         CAST(FLOOR(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              / {PACK_BUDGET_CHARS}.0) AS BIGINT) AS bin_id
-  FROM documents) t
-GROUP BY lang, bin_id
+SELECT lang, bin_id, n_docs, CAST(bin_chars AS BIGINT) AS bin_chars
+FROM ({sql_pack_bins("doc_id")}) b
 ORDER BY lang, bin_id
 """
 
@@ -1477,7 +1507,9 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias(f"mass_{g}")
         )
-        aggs.append(F.sum(hit.cast("long")).alias(f"cnt_{g}"))
+        aggs.append(
+            F.coalesce(F.sum(hit.cast("long")), F.lit(0)).cast("long").alias(f"cnt_{g}")
+        )
     cells = F.explode(
         F.array(
             *[
@@ -1493,12 +1525,17 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranked.agg(*aggs)
         .crossJoin(F.broadcast(totals))
+        # all-blank corpus: total mass is NULL (sum over nothing) and the
+        # oracle's FROM ranked ... GROUP BY yields no rows — drop the
+        # all-NULL grid here so both engines emit 0 rows
+        .filter(F.col("total_token_mass").isNotNull())
         .select("total_token_mass", "vocab_size", cells.alias("c"))
         .select(
             F.col("c.vocab_budget").alias("vocab_budget"),
             F.col("c.tokens_covered").alias("tokens_covered"),
             F.col("c.mass_covered").alias("mass_covered"),
             "total_token_mass",
+            "vocab_size",
             round_half_up(
                 F.col("c.mass_covered").cast("double")
                 / F.col("total_token_mass").cast("double"),
@@ -1529,6 +1566,7 @@ SELECT CAST(vocab_budget AS INTEGER) AS vocab_budget,
        CAST(COALESCE(SUM(CASE WHEN rank <= vocab_budget THEN n END), 0) AS BIGINT)
          AS mass_covered,
        CAST(MAX(total_token_mass) AS BIGINT) AS total_token_mass,
+       CAST(MAX(vocab_size) AS BIGINT) AS vocab_size,
        {sql_round_half_up(
            "CAST(COALESCE(SUM(CASE WHEN rank <= vocab_budget THEN n END), 0) AS DOUBLE)"
            " / CAST(MAX(total_token_mass) AS DOUBLE)", 6)} AS coverage_pct

@@ -231,6 +231,7 @@ def test_vocab_coverage_curve_matches_bruteforce(spark, sf_dir):
             mass,
             total,
         )
+        assert r.vocab_size == len(ordered)
         assert r.coverage_pct == _r(mass / total, 6)
     # the curve is monotone and saturates once the budget exceeds the vocab
     masses = [got[g].mass_covered for g in VOCAB_GRID]
@@ -239,3 +240,26 @@ def test_vocab_coverage_curve_matches_bruteforce(spark, sf_dir):
         top = got[max(VOCAB_GRID)]
         assert top.coverage_pct == 1.0
         assert top.tokens_covered == len(ordered)
+
+
+def test_vocab_coverage_curve_empty_corpus_matches_oracle(spark, tmp_path):
+    """All-blank corpus: BOTH engines must emit 0 rows (the Spark global
+    aggregate would otherwise manufacture an all-NULL grid the oracle's
+    GROUP BY never produces)."""
+    from pyspark.sql import Row
+
+    from data_pipeline_for_autonomous_vehicles_spark.operators.text import (
+        _sql_vocab_coverage,
+        vocab_coverage_curve,
+    )
+
+    d = str(tmp_path / "empty")
+    spark.createDataFrame(
+        [Row(doc_id=0, text="   ", lang="en", source="s", n_chars=3)]
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+    assert vocab_coverage_curve(spark, d).collect() == []
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    assert len(con.sql(_sql_vocab_coverage()).fetchall()) == 0
