@@ -1815,6 +1815,123 @@ ORDER BY lang, split
 """
 
 
+def split_leakage_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-integrity audit of train/holdout SPLIT POLICIES: for each
+    policy, how many near-dup candidate pairs survive with BOTH endpoints
+    in the corpus, and how many of those straddle the train/holdout
+    boundary (a holdout doc whose near-duplicate sits in train inflates
+    eval scores — the leakage `cv_fold_leakage_report` measures for exact
+    dups and K folds, here for NEAR dups and the mix's 90/10 split):
+
+      naive_hash — split every doc by the hash bucket alone (no dedup):
+        ≈ 2·p·(1−p) of near-dup pairs leak by construction;
+      cluster_representative — `training_corpus_mix`'s policy: keep one
+        doc per near-dup cluster BEFORE splitting, so no near-dup pair can
+        have two live endpoints; the audit proves the 0 instead of
+        asserting it.
+
+    Scale: the pair frame is the shared band-bucketed `_lsh_scored_pairs`
+    (digest-only shuffles, capped buckets); splits/keeps are per-row hash
+    expressions + one broadcast-sized reps join; both policies price as
+    conditional sums in ONE aggregate over the pair frame."""
+    from ..functions.scalars import portable_hash
+
+    pairs = _lsh_scored_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    reps = near_dup_clusters(spark, sf_dir).filter(
+        F.col("doc_id") == F.col("cluster_id")
+    )
+
+    def _doc_side(side: str) -> DataFrame:
+        split = F.when(
+            portable_hash(F.col("doc_id").cast("string")) % 100 < TRAIN_PCT,
+            F.lit("train"),
+        ).otherwise(F.lit("holdout"))
+        return (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", split.alias(f"split_{side}"))
+            .join(
+                reps.select("doc_id", F.lit(1).alias(f"kept_{side}")),
+                "doc_id",
+                "left",
+            )
+            .select(
+                F.col("doc_id").alias(f"doc_{side}"),
+                f"split_{side}",
+                F.coalesce(f"kept_{side}", F.lit(0)).alias(f"kept_{side}"),
+            )
+        )
+
+    joined = pairs.join(_doc_side("a"), "doc_a").join(_doc_side("b"), "doc_b")
+    cross = (F.col("split_a") != F.col("split_b")).cast("long")
+    live = (F.col("kept_a") * F.col("kept_b")).cast("long")
+    one = joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(cross).alias("cross_all"),
+        F.sum(live).alias("live_rep"),
+        F.sum(live * cross).alias("cross_rep"),
+    )
+
+    def _policy(name: str, live_col: str, cross_col: str) -> DataFrame:
+        pct = F.when(
+            F.col(live_col) > 0,
+            round_half_up(
+                F.col(cross_col).cast("double") / F.col(live_col).cast("double"), 6
+            ),
+        )
+        return one.select(
+            F.lit(name).alias("policy"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col(live_col).cast("long").alias("n_pairs_live"),
+            F.col(cross_col).cast("long").alias("n_cross_split"),
+            pct.alias("leaked_pct"),
+        )
+
+    return (
+        _policy("cluster_representative", "live_rep", "cross_rep")
+        .unionByName(_policy("naive_hash", "n_pairs", "cross_all"))
+        .orderBy("policy")
+    )
+
+
+def _sql_split_leakage() -> str:
+    h = "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    return f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({_sql_lsh_pairs()}) p),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN {h} % 100 < {TRAIN_PCT} THEN 'train' ELSE 'holdout' END AS split,
+         doc_id IN (SELECT doc_id FROM ({_sql_near_dup_clusters()}) c
+                    WHERE doc_id = cluster_id) AS kept
+  FROM documents),
+agg AS (
+  SELECT COUNT(*) AS n_pairs,
+         SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS cross_all,
+         SUM(CASE WHEN sa.kept AND sb.kept THEN 1 ELSE 0 END) AS live_rep,
+         SUM(CASE WHEN sa.kept AND sb.kept AND sa.split <> sb.split
+                  THEN 1 ELSE 0 END) AS cross_rep
+  FROM pairs p
+  JOIN splits sa ON sa.doc_id = p.doc_a
+  JOIN splits sb ON sb.doc_id = p.doc_b)
+SELECT * FROM (
+  SELECT 'cluster_representative' AS policy,
+         CAST(n_pairs AS BIGINT) AS n_pairs,
+         CAST(live_rep AS BIGINT) AS n_pairs_live,
+         CAST(cross_rep AS BIGINT) AS n_cross_split,
+         CASE WHEN live_rep > 0 THEN {sql_round_half_up(
+             "CAST(cross_rep AS DOUBLE) / CAST(live_rep AS DOUBLE)", 6)}
+         END AS leaked_pct
+  FROM agg
+  UNION ALL
+  SELECT 'naive_hash', CAST(n_pairs AS BIGINT), CAST(n_pairs AS BIGINT),
+         CAST(cross_all AS BIGINT),
+         CASE WHEN n_pairs > 0 THEN {sql_round_half_up(
+             "CAST(cross_all AS DOUBLE) / CAST(n_pairs AS DOUBLE)", 6)}
+         END
+  FROM agg) u
+ORDER BY policy
+"""
+
+
 # --- benchmark decontamination ---------------------------------------------
 
 EVAL_MOD = 20  # doc_id % 20 == 0 → the deterministic pseudo-benchmark split
@@ -2090,6 +2207,7 @@ QUERIES = {
     "near_dup_canonicals": near_dup_canonicals,
     "minhash_delta_probe": minhash_delta_probe,
     "training_corpus_mix": training_corpus_mix,
+    "split_leakage_compare": split_leakage_compare,
     "decontamination_report": decontamination_report,
     "decontamination_policy_sweep": decontamination_policy_sweep,
 }
@@ -2116,6 +2234,7 @@ ORACLES = {
     "near_dup_canonicals": _sql_near_dup_canonicals(),
     "minhash_delta_probe": _sql_delta_probe(),
     "training_corpus_mix": _sql_training_corpus_mix(),
+    "split_leakage_compare": _sql_split_leakage(),
     "decontamination_report": _DECONTAM_SQL,
     "decontamination_policy_sweep": _sql_decon_policy_sweep(),
 }

@@ -746,18 +746,24 @@ def token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_cum_before(*order_cols: F.Column) -> F.Column:
+    """Exclusive running char total per lang under the given document
+    order — the packing rule's running state (bin id and intra-bin offset
+    are both pure functions of it)."""
+    w = Window.partitionBy("lang").orderBy(*order_cols)
+    return F.coalesce(
+        F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+
+
 def pack_bin_col(*order_cols: F.Column) -> F.Column:
     """THE packing rule: bin id = exclusive running char total DIV budget,
     per lang, under the given document order. `token_budget_bins` packs in
     corpus order; `assembly.packing_strategy_compare` re-prices the same
-    rule under alternative orders — one definition so the comparison can
-    never drift from the rule it claims to measure."""
-    w = Window.partitionBy("lang").orderBy(*order_cols)
-    cum_before = F.coalesce(
-        F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0),
-    )
-    return (cum_before / F.lit(PACK_BUDGET_CHARS)).cast("long")
+    rule under alternative orders; `packed_sequences_manifest` emits the
+    per-doc assignment — one definition so none can drift."""
+    return (pack_cum_before(*order_cols) / F.lit(PACK_BUDGET_CHARS)).cast("long")
 
 
 def sql_pack_bins(order_by: str) -> str:
@@ -778,6 +784,50 @@ _PACK_SQL = f"""
 SELECT lang, bin_id, n_docs, CAST(bin_chars AS BIGINT) AS bin_chars
 FROM ({sql_pack_bins("doc_id")}) b
 ORDER BY lang, bin_id
+"""
+
+
+def packed_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packer's ACTING artifact: per document, the training bin it
+    lands in and its char offset INSIDE that bin, under the
+    `token_budget_bins` rule in corpus order. This manifest is what a
+    packing writer materializes — concatenate each bin's docs at their
+    offsets and the training sequences exist; `token_budget_bins` is the
+    rollup view of exactly this assignment.
+
+    Scale: the same one window pass as `token_budget_bins` (offset and
+    bin id are both pure functions of the exclusive running total); output
+    is one row per doc, the `curation_kept_docs` manifest weight."""
+    docs = load_table(spark, sf_dir, "documents")
+    cum = pack_cum_before(F.col("doc_id"))
+    base = docs.select("doc_id", "lang", "n_chars", cum.alias("_cum"))
+    bin_id = (F.col("_cum") / F.lit(PACK_BUDGET_CHARS)).cast("long")
+    return (
+        base.select(
+            "doc_id",
+            "lang",
+            bin_id.alias("bin_id"),
+            (F.col("_cum") - bin_id * F.lit(PACK_BUDGET_CHARS))
+            .cast("long")
+            .alias("offset_chars"),
+            "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PACK_MANIFEST_SQL = f"""
+SELECT doc_id, lang,
+       CAST(FLOOR(cum / {PACK_BUDGET_CHARS}.0) AS BIGINT) AS bin_id,
+       CAST(cum - CAST(FLOOR(cum / {PACK_BUDGET_CHARS}.0) AS BIGINT)
+              * {PACK_BUDGET_CHARS} AS BIGINT) AS offset_chars,
+       n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM documents) t
+ORDER BY doc_id
 """
 
 
@@ -1767,6 +1817,7 @@ QUERIES = {
     "quality_calibration_report": quality_calibration_report,
     "bigram_fluency_scores": bigram_fluency_scores,
     "vocab_coverage_curve": vocab_coverage_curve,
+    "packed_sequences_manifest": packed_sequences_manifest,
 }
 
 ORACLES = {
@@ -1795,4 +1846,5 @@ ORACLES = {
     "quality_calibration_report": _sql_calibration(),
     "bigram_fluency_scores": _FLUENCY_SQL,
     "vocab_coverage_curve": _sql_vocab_coverage(),
+    "packed_sequences_manifest": _PACK_MANIFEST_SQL,
 }

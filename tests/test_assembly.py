@@ -263,3 +263,81 @@ def test_vocab_coverage_curve_empty_corpus_matches_oracle(spark, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
     )
     assert len(con.sql(_sql_vocab_coverage()).fetchall()) == 0
+
+
+def test_packed_sequences_manifest_matches_bruteforce_and_rollup(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators.text import (
+        packed_sequences_manifest,
+        token_budget_bins,
+    )
+
+    rows = _docs(sf_dir)
+    by_lang = defaultdict(list)
+    for doc_id, _, lang, _, n_chars in rows:
+        by_lang[lang].append((doc_id, n_chars))
+    exp = {}
+    for lang, docs in by_lang.items():
+        cum = 0
+        for doc_id, n_chars in sorted(docs):
+            exp[doc_id] = (
+                lang,
+                cum // PACK_BUDGET_CHARS,
+                cum - (cum // PACK_BUDGET_CHARS) * PACK_BUDGET_CHARS,
+                n_chars,
+            )
+            cum += n_chars
+    got = packed_sequences_manifest(spark, sf_dir).collect()
+    assert len(got) == len(exp)
+    for r in got:
+        assert (r.lang, r.bin_id, r.offset_chars, r.n_chars) == exp[r.doc_id]
+    # the manifest must aggregate to EXACTLY the token_budget_bins rollup
+    rollup = {
+        (r.lang, r.bin_id): (r.n_docs, r.bin_chars)
+        for r in token_budget_bins(spark, sf_dir).collect()
+    }
+    agg = defaultdict(lambda: [0, 0])
+    for r in got:
+        cell = agg[(r.lang, r.bin_id)]
+        cell[0] += 1
+        cell[1] += r.n_chars
+    assert {k: tuple(v) for k, v in agg.items()} == rollup
+
+
+def test_split_leakage_compare_bruteforce_and_zero_by_construction(spark, sf_dir):
+    from data_pipeline_for_autonomous_vehicles_spark.operators.dedup import (
+        TRAIN_PCT,
+        minhash_lsh_pairs,
+        near_dup_clusters,
+        split_leakage_compare,
+    )
+
+    got = {r.policy: r for r in split_leakage_compare(spark, sf_dir).collect()}
+    pairs = [
+        (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(spark, sf_dir).collect()
+    ]
+    reps = {
+        r.doc_id
+        for r in near_dup_clusters(spark, sf_dir).collect()
+        if r.doc_id == r.cluster_id
+    }
+
+    def split(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return "train" if h % 100 < TRAIN_PCT else "holdout"
+
+    cross_all = sum(1 for a, b in pairs if split(a) != split(b))
+    live_rep = sum(1 for a, b in pairs if a in reps and b in reps)
+    naive = got["naive_hash"]
+    assert (naive.n_pairs, naive.n_pairs_live, naive.n_cross_split) == (
+        len(pairs),
+        len(pairs),
+        cross_all,
+    )
+    if pairs:
+        assert naive.leaked_pct == _r(cross_all / len(pairs), 6)
+        # driver data has near-dup pairs, so the naive policy MUST leak
+        assert naive.n_cross_split > 0
+    rep = got["cluster_representative"]
+    # one representative per cluster -> no pair can keep both endpoints
+    assert live_rep == 0
+    assert (rep.n_pairs_live, rep.n_cross_split, rep.leaked_pct) == (0, 0, None)
