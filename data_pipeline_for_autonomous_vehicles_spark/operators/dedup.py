@@ -1836,7 +1836,10 @@ def split_leakage_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional sums in ONE aggregate over the pair frame."""
     from ..functions.scalars import portable_hash
 
-    pairs = _lsh_scored_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # the candidate SET suffices (scores are irrelevant to leakage), so
+    # skip _lsh_scored_pairs' two 16-column signature re-joins
+    sigs = _register_cache(_minhash_signatures(spark, sf_dir).cache())
+    pairs = _lsh_candidates(sigs)
     reps = near_dup_clusters(spark, sf_dir).filter(
         F.col("doc_id") == F.col("cluster_id")
     )
@@ -1866,9 +1869,9 @@ def split_leakage_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = (F.col("kept_a") * F.col("kept_b")).cast("long")
     one = joined.agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(cross).alias("cross_all"),
-        F.sum(live).alias("live_rep"),
-        F.sum(live * cross).alias("cross_rep"),
+        F.coalesce(F.sum(cross), F.lit(0)).cast("long").alias("cross_all"),
+        F.coalesce(F.sum(live), F.lit(0)).cast("long").alias("live_rep"),
+        F.coalesce(F.sum(live * cross), F.lit(0)).cast("long").alias("cross_rep"),
     )
 
     def _policy(name: str, live_col: str, cross_col: str) -> DataFrame:
@@ -1894,9 +1897,10 @@ def split_leakage_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_split_leakage() -> str:
-    h = "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    h = sql_portable_hash("CAST(doc_id AS VARCHAR)")
     return f"""
-WITH pairs AS (SELECT doc_a, doc_b FROM ({_sql_lsh_pairs()}) p),
+WITH {_sql_minhash_cte()},
+{_sql_lsh_cand_ctes()},
 splits AS (
   SELECT doc_id,
          CASE WHEN {h} % 100 < {TRAIN_PCT} THEN 'train' ELSE 'holdout' END AS split,
@@ -1905,11 +1909,13 @@ splits AS (
   FROM documents),
 agg AS (
   SELECT COUNT(*) AS n_pairs,
-         SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS cross_all,
-         SUM(CASE WHEN sa.kept AND sb.kept THEN 1 ELSE 0 END) AS live_rep,
-         SUM(CASE WHEN sa.kept AND sb.kept AND sa.split <> sb.split
-                  THEN 1 ELSE 0 END) AS cross_rep
-  FROM pairs p
+         COALESCE(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0)
+           AS cross_all,
+         COALESCE(SUM(CASE WHEN sa.kept AND sb.kept THEN 1 ELSE 0 END), 0)
+           AS live_rep,
+         COALESCE(SUM(CASE WHEN sa.kept AND sb.kept AND sa.split <> sb.split
+                  THEN 1 ELSE 0 END), 0) AS cross_rep
+  FROM cand p
   JOIN splits sa ON sa.doc_id = p.doc_a
   JOIN splits sb ON sb.doc_id = p.doc_b)
 SELECT * FROM (

@@ -757,13 +757,31 @@ def pack_cum_before(*order_cols: F.Column) -> F.Column:
     )
 
 
+def pack_bin_of(cum: F.Column) -> F.Column:
+    """Bin id from the running total — the DIV half of the packing rule."""
+    return (cum / F.lit(PACK_BUDGET_CHARS)).cast("long")
+
+
 def pack_bin_col(*order_cols: F.Column) -> F.Column:
     """THE packing rule: bin id = exclusive running char total DIV budget,
     per lang, under the given document order. `token_budget_bins` packs in
     corpus order; `assembly.packing_strategy_compare` re-prices the same
     rule under alternative orders; `packed_sequences_manifest` emits the
     per-doc assignment — one definition so none can drift."""
-    return (pack_cum_before(*order_cols) / F.lit(PACK_BUDGET_CHARS)).cast("long")
+    return pack_bin_of(pack_cum_before(*order_cols))
+
+
+def sql_pack_cum(order_by: str) -> str:
+    """DuckDB twin of `pack_cum_before` — a subquery yielding every
+    documents column plus `cum`, the exclusive running char total."""
+    return f"""
+    SELECT doc_id, lang, n_chars,
+           COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY {order_by}
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+    FROM documents"""
+
+
+_SQL_PACK_BIN_OF = f"CAST(FLOOR(cum / {PACK_BUDGET_CHARS}.0) AS BIGINT)"
 
 
 def sql_pack_bins(order_by: str) -> str:
@@ -772,11 +790,8 @@ def sql_pack_bins(order_by: str) -> str:
     return f"""
   SELECT lang, bin_id, COUNT(*) AS n_docs, SUM(n_chars) AS bin_chars
   FROM (
-    SELECT lang, n_chars,
-           CAST(FLOOR(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY {order_by}
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                / {PACK_BUDGET_CHARS}.0) AS BIGINT) AS bin_id
-    FROM documents) t
+    SELECT lang, n_chars, {_SQL_PACK_BIN_OF} AS bin_id
+    FROM ({sql_pack_cum(order_by)}) c) t
   GROUP BY lang, bin_id"""
 
 
@@ -801,7 +816,7 @@ def packed_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cum = pack_cum_before(F.col("doc_id"))
     base = docs.select("doc_id", "lang", "n_chars", cum.alias("_cum"))
-    bin_id = (F.col("_cum") / F.lit(PACK_BUDGET_CHARS)).cast("long")
+    bin_id = pack_bin_of(F.col("_cum"))
     return (
         base.select(
             "doc_id",
@@ -818,15 +833,10 @@ def packed_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PACK_MANIFEST_SQL = f"""
 SELECT doc_id, lang,
-       CAST(FLOOR(cum / {PACK_BUDGET_CHARS}.0) AS BIGINT) AS bin_id,
-       CAST(cum - CAST(FLOOR(cum / {PACK_BUDGET_CHARS}.0) AS BIGINT)
-              * {PACK_BUDGET_CHARS} AS BIGINT) AS offset_chars,
+       {_SQL_PACK_BIN_OF} AS bin_id,
+       CAST(cum - {_SQL_PACK_BIN_OF} * {PACK_BUDGET_CHARS} AS BIGINT) AS offset_chars,
        n_chars
-FROM (
-  SELECT doc_id, lang, n_chars,
-         COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-  FROM documents) t
+FROM ({sql_pack_cum("doc_id")}) t
 ORDER BY doc_id
 """
 
