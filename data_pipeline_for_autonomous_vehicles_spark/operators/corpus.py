@@ -27,6 +27,17 @@ C4- and Gopher-style corpus filtering:
 * `substring_dup_removal_audit` — the convergence proof: re-measures the
   corpus duplicated-window share on the rewritten text (before/after rows,
   the signal an iterate-to-clean pipeline loops on).
+* `segment_df_report` / `boilerplate_segment_removal` /
+  `boilerplate_removal_audit` / `boilerplate_delta_probe` — the CCNet
+  boilerplate policy (Wenzek et al. 2019) over NON-overlapping segments:
+  doc-frequency bands (the τ-choice evidence), drop-everywhere removal at
+  df ≥ BOILERPLATE_DF (unlike the keep-first rule above, the FIRST
+  occurrence goes too), the before/after convergence audit, and the
+  O(delta) incremental admission probe (known + newly-minted boilerplate,
+  union ≡ rebuild).
+* `epoch_allocation_plan` — the acting half of
+  `mixture_temperature_weights`: integer token grants per source under an
+  EPOCH_CAP repeat ceiling with one pro-rata redistribution round.
 
 Scale notes. All three are explode → hash-aggregate shapes: the unit of
 shuffle is a (doc_id, token/passage-digest) pair, partial aggregation is
@@ -1024,6 +1035,139 @@ ORDER BY source
 """
 
 
+# --- epoch allocation: acting on the temperature mix -------------------------
+
+EPOCH_CAP = 4.0  # max repeats of any source's data (data-constrained scaling:
+                 # ~4 epochs is where repeated tokens stop helping — Muennighoff
+                 # et al. 2023; the standard cap in multi-source mixing)
+
+
+def epoch_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The acting half of `mixture_temperature_weights`: turn the τ=0.5
+    temperature shares into an integer TOKEN GRANT per source under a
+    MIX_TOKEN_BUDGET draw with an EPOCH_CAP repeat ceiling, plus ONE
+    pro-rata redistribution round of the capped sources' surplus to the
+    sources with headroom (full water-filling iterates this step to a
+    fixed point; one round is reported so the residual is visible rather
+    than hidden — `shortfall_tokens` > 0 after redistribution means the
+    budget cannot be placed without exceeding the cap somewhere).
+
+    Per source: the raw allocation, the cap, the granted tokens after
+    redistribution, the final epoch count, and whether the cap bound.
+
+    Exactness: grants are floor'd int64 token counts derived from the
+    same 1e-6 fixed-point sqrt weights as the mixture report — every
+    column is a ratio/floor of exact integers, engine-portable.
+
+    Scale: |sources| rows after one map-side token-count agg; the two
+    "totals" combines are 1-row broadcasts. Nothing grows with the corpus
+    but the first aggregation's input.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", F.size(_toks()).cast("long").alias("n_toks"))
+        .groupBy("source")
+        .agg(F.sum("n_toks").alias("n_tokens"))
+        .withColumn(
+            "w_e6",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6 + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+    )
+    tot_w = per_source.agg(F.sum("w_e6").alias("_tot_w"))
+    g0 = (
+        per_source.crossJoin(F.broadcast(tot_w))
+        .withColumn(
+            "alloc_tokens",
+            F.floor(
+                F.col("w_e6").cast("double")
+                / F.col("_tot_w").cast("double")
+                * F.lit(float(MIX_TOKEN_BUDGET))
+            ).cast("long"),
+        )
+        .withColumn(
+            "cap_tokens",
+            F.floor(F.col("n_tokens").cast("double") * F.lit(EPOCH_CAP)).cast("long"),
+        )
+        .withColumn("granted0", F.least("alloc_tokens", "cap_tokens"))
+        .withColumn("headroom", F.col("cap_tokens") - F.col("granted0"))
+    )
+    spill = g0.agg(
+        F.sum(F.col("alloc_tokens") - F.col("granted0")).alias("_spill"),
+        F.sum("headroom").alias("_headroom"),
+    )
+    redist = F.when(
+        (F.col("_headroom") > 0) & (F.col("_spill") > 0),
+        F.least(
+            F.col("headroom"),
+            F.floor(
+                F.col("_spill").cast("double")
+                * F.col("headroom").cast("double")
+                / F.col("_headroom").cast("double")
+            ).cast("long"),
+        ),
+    ).otherwise(F.lit(0))
+    granted = F.col("granted0") + redist
+    return (
+        g0.crossJoin(F.broadcast(spill))
+        .select(
+            "source",
+            "n_tokens",
+            "alloc_tokens",
+            "cap_tokens",
+            granted.cast("long").alias("granted_tokens"),
+            (F.col("alloc_tokens") - granted).cast("long").alias("shortfall_tokens"),
+            round_half_up(
+                granted.cast("double") / F.col("n_tokens").cast("double"), 4
+            ).alias("epochs"),
+            (F.col("alloc_tokens") > F.col("cap_tokens")).alias("capped"),
+        )
+        .orderBy("source")
+    )
+
+
+_EPOCH_PLAN_SQL = f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+              AS w_e6
+  FROM per_source),
+tot AS (SELECT SUM(w_e6) AS tot_w FROM w),
+g0 AS (
+  SELECT source, n_tokens,
+         CAST(FLOOR(CAST(w_e6 AS DOUBLE) / CAST(tot_w AS DOUBLE) * {float(MIX_TOKEN_BUDGET)}) AS BIGINT)
+           AS alloc_tokens,
+         CAST(FLOOR(CAST(n_tokens AS DOUBLE) * {EPOCH_CAP}) AS BIGINT) AS cap_tokens
+  FROM w CROSS JOIN tot),
+g1 AS (
+  SELECT *, LEAST(alloc_tokens, cap_tokens) AS granted0,
+         cap_tokens - LEAST(alloc_tokens, cap_tokens) AS headroom
+  FROM g0),
+spill AS (
+  SELECT SUM(alloc_tokens - granted0) AS spill, SUM(headroom) AS headroom_tot
+  FROM g1),
+g2 AS (
+  SELECT g1.*,
+         granted0 + CASE WHEN s.headroom_tot > 0 AND s.spill > 0
+                         THEN LEAST(headroom,
+                                    CAST(FLOOR(CAST(s.spill AS DOUBLE) * CAST(headroom AS DOUBLE)
+                                               / CAST(s.headroom_tot AS DOUBLE)) AS BIGINT))
+                         ELSE 0 END AS granted
+  FROM g1 CROSS JOIN spill s)
+SELECT source, n_tokens, alloc_tokens, cap_tokens,
+       CAST(granted AS BIGINT) AS granted_tokens,
+       CAST(alloc_tokens - granted AS BIGINT) AS shortfall_tokens,
+       {sql_round_half_up('CAST(granted AS DOUBLE) / CAST(n_tokens AS DOUBLE)', 4)} AS epochs,
+       alloc_tokens > cap_tokens AS capped
+FROM g2
+ORDER BY source
+"""
+
+
 # --- the curation funnel: sequential survival through the filter ladder ----
 
 FLUENCY_FLOOR = 2.0  # mean corpus bigram count >= 2: not mostly-unique text
@@ -1570,6 +1714,435 @@ ORDER BY v.doc_id
 """
 
 
+# --- CCNet-style segment boilerplate: measure → act → audit -----------------
+#
+# Complements the ExactSubstr family above with the OTHER classic dedup
+# policy: `substring_dup_removal` keeps the FIRST occurrence of a duplicated
+# sliding window; boilerplate removal drops segments that recur across many
+# documents (headers, footers, navigation chrome, license blurbs)
+# EVERYWHERE — including the first occurrence — because high doc-frequency
+# text carries no training signal no matter which copy you keep (the CCNet
+# paragraph-dedup / C4 boilerplate rule, Wenzek et al. 2019, re-expressed at
+# non-overlapping PASSAGE_TOKENS-token segment granularity since the
+# synthetic corpus has no newline structure).
+
+BOILERPLATE_DF = 3  # a segment found in >= 3 DISTINCT docs is boilerplate
+
+
+def _segment_rows(base: DataFrame) -> DataFrame:
+    """One row per NON-overlapping PASSAGE_TOKENS-token segment of each doc:
+    (doc_id, pos 1-based, ntok, digest). Unlike `passage_dedup_stats` (a
+    measurement that restricts to full windows), the trailing PARTIAL
+    segment is included so the acting operator's token accounting is exact
+    — every token belongs to exactly one segment. Only the 32-char md5
+    digest ever leaves the row; segment text never enters a shuffle."""
+    w = PASSAGE_TOKENS
+    segs = F.expr(
+        f"transform(sequence(1, cast(ceil(size(toks) / {w}.0) as int)), "
+        f"i -> struct(i AS pos, "
+        f"md5(array_join(slice(toks, (i - 1) * {w} + 1, {w}), ' ')) AS digest))"
+    )
+    return base.select(
+        "doc_id", F.size("toks").alias("n"), F.explode(segs).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.pos").cast("long").alias("pos"),
+        F.least(F.lit(w), F.col("n") - (F.col("s.pos") - 1) * w)
+        .cast("long")
+        .alias("ntok"),
+        F.col("s.digest").alias("digest"),
+    )
+
+
+_SEG_BANDS = ("1_unique", "2_duplicated", "3_boilerplate")
+
+
+def segment_df_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The τ-choice evidence for `boilerplate_segment_removal`: corpus-level
+    doc-frequency bands over non-overlapping segments — unique (df = 1),
+    duplicated (2 ≤ df < BOILERPLATE_DF), boilerplate (df ≥ BOILERPLATE_DF)
+    — with distinct-segment / instance / token mass and the token share
+    each band occupies. The number a curator reads before picking τ.
+
+    Scale: one digest-keyed hash-agg (map-side partial) → |bands| rows.
+    Nothing is pairwise; the shuffle unit is the 32-char digest.
+    """
+    docs = _nonempty(load_table(spark, sf_dir, "documents"))
+    segs = _segment_rows(docs.select("doc_id", _toks().alias("toks")))
+    per = segs.groupBy("digest").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("n_inst"),
+        F.sum("ntok").alias("n_toks"),
+    )
+    band = (
+        F.when(F.col("df") >= BOILERPLATE_DF, F.lit(_SEG_BANDS[2]))
+        .when(F.col("df") >= 2, F.lit(_SEG_BANDS[1]))
+        .otherwise(F.lit(_SEG_BANDS[0]))
+    )
+    banded = per.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_distinct_segments"),
+        F.sum("n_inst").cast("long").alias("n_instances"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    tot = banded.agg(F.sum("n_tokens").alias("_tot"))
+    return (
+        banded.crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_distinct_segments",
+            "n_instances",
+            "n_tokens",
+            round_half_up(
+                F.col("n_tokens").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("token_share"),
+        )
+        .orderBy("band")
+    )
+
+
+_SEG_SQL_CTES = f"""base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE trim(text) <> ''),
+segs AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         CAST(LEAST(i * {PASSAGE_TOKENS}, len(toks)) - (i - 1) * {PASSAGE_TOKENS} AS BIGINT) AS ntok,
+         md5(array_to_string(toks[((i - 1) * {PASSAGE_TOKENS} + 1):(i * {PASSAGE_TOKENS})], ' ')) AS digest
+  FROM base,
+       LATERAL unnest(range(1, CAST(CEIL(len(toks) / {PASSAGE_TOKENS}.0) AS BIGINT) + 1)) u(i))"""
+
+
+_SEG_REPORT_SQL = f"""
+WITH {_SEG_SQL_CTES},
+per AS (
+  SELECT digest, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS n_inst,
+         SUM(ntok) AS n_toks
+  FROM segs GROUP BY digest),
+banded AS (
+  SELECT CASE WHEN df >= {BOILERPLATE_DF} THEN '{_SEG_BANDS[2]}'
+              WHEN df >= 2 THEN '{_SEG_BANDS[1]}'
+              ELSE '{_SEG_BANDS[0]}' END AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_segments,
+         CAST(SUM(n_inst) AS BIGINT) AS n_instances,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+  FROM per GROUP BY 1),
+tot AS (SELECT SUM(n_tokens) AS tot FROM banded)
+SELECT band, n_distinct_segments, n_instances, n_tokens,
+       {sql_round_half_up('CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)', 6)}
+         AS token_share
+FROM banded CROSS JOIN tot
+ORDER BY band
+"""
+
+
+def _boiler_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared core of the boilerplate acting family: one row per non-empty
+    doc with `toks`, the boilerplate segment positions (`cut_pos`), and the
+    post-drop token array (`kept_toks`). No finishing stage — the removal
+    and its audit each apply their own, so a fused job can cache THIS frame
+    (same contract as `_removal_frame`).
+
+    Scale (100 TB): df is ONE hash-agg on the segment digest (COUNT
+    DISTINCT doc_id — no pairwise join); boilerplate positions come back as
+    a digest equi-join that carries only (doc_id, pos); each doc then drops
+    its own segments with a per-row higher-order filter — document text
+    never shuffles wider than its own row, exactly like `_removal_frame`.
+    """
+    w = PASSAGE_TOKENS
+    docs = _nonempty(load_table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", _toks().alias("toks"))
+    segs = _segment_rows(base)
+    boiler = (
+        segs.groupBy("digest")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILERPLATE_DF)
+        .select("digest")
+    )
+    cuts = (
+        segs.join(boiler, "digest")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("cut_pos"))
+    )
+    joined = base.join(cuts, "doc_id", "left").withColumn(
+        "cut_pos", F.coalesce("cut_pos", F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    )
+    kept_toks = F.expr(
+        f"transform(filter(transform(sequence(1, size(toks)), "
+        f"i -> struct(i AS i, element_at(toks, i) AS tok)), "
+        f"x -> NOT array_contains(cut_pos, CAST((x.i - 1) DIV {w} AS BIGINT) + 1)), "
+        f"x -> x.tok)"
+    )
+    return joined.select("doc_id", "toks", "cut_pos", kept_toks.alias("kept_toks"))
+
+
+def boilerplate_segment_removal(
+    spark: SparkSession, sf_dir: str, frame: DataFrame | None = None
+) -> DataFrame:
+    """The acting half of `segment_df_report`: rewrite every document with
+    boilerplate segments (doc-frequency ≥ BOILERPLATE_DF) dropped — ALL
+    occurrences, including the first, which is what distinguishes the
+    boilerplate policy from `substring_dup_removal`'s keep-first rule.
+    Within-doc repeats below the df threshold are deliberately kept: df
+    counts DISTINCT documents, so a doc that repeats its own segment is
+    not (by itself) boilerplate — that is `repetition_ratios`' signal.
+
+    Per doc: segment totals, boilerplate segment count, token counts
+    before/after, cut fraction, and the rewritten text. A doc made
+    entirely of boilerplate survives as a row with kept_text '' (the
+    curator decides whether to drop empties; this operator only cuts).
+
+    `frame` injects a pre-built (optionally cached) `_boiler_frame` so a
+    job that also materializes the audit pays the df pass once.
+    """
+    frame = _boiler_frame(spark, sf_dir) if frame is None else frame
+    w = PASSAGE_TOKENS
+    return frame.select(
+        "doc_id",
+        F.ceil(F.size("toks") / F.lit(float(w))).cast("long").alias("n_segments"),
+        F.size("cut_pos").cast("long").alias("n_boiler_segments"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size("kept_toks").cast("long").alias("n_kept_tokens"),
+        round_half_up(
+            (F.size("toks") - F.size("kept_toks")).cast("double")
+            / F.size("toks").cast("double"),
+            4,
+        ).alias("cut_frac"),
+        F.array_join("kept_toks", " ").alias("kept_text"),
+    ).orderBy("doc_id")
+
+
+_BOILER_REMOVAL_SQL = f"""
+WITH {_SEG_SQL_CTES},
+boiler AS (
+  SELECT digest FROM (
+    SELECT digest, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY digest) d
+  WHERE df >= {BOILERPLATE_DF}),
+cutp AS (SELECT s.doc_id, s.pos FROM segs s JOIN boiler USING (digest)),
+cutc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler FROM cutp GROUP BY doc_id),
+tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, toks[i] AS tok
+  FROM base, LATERAL unnest(range(1, len(toks) + 1)) u(i)),
+flag AS (
+  SELECT t.doc_id, t.i, t.tok, (c.pos IS NULL) AS kept
+  FROM tok t LEFT JOIN cutp c
+    ON c.doc_id = t.doc_id AND c.pos = ((t.i - 1) // {PASSAGE_TOKENS}) + 1),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_tokens,
+         COALESCE(string_agg(CASE WHEN kept THEN tok END, ' ' ORDER BY i), '')
+           AS kept_text
+  FROM flag GROUP BY doc_id)
+SELECT a.doc_id,
+       CAST(CEIL(a.n_tokens / {PASSAGE_TOKENS}.0) AS BIGINT) AS n_segments,
+       COALESCE(c.n_boiler, 0) AS n_boiler_segments,
+       a.n_tokens,
+       a.n_kept_tokens,
+       {sql_round_half_up('CAST(a.n_tokens - a.n_kept_tokens AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)', 4)}
+         AS cut_frac,
+       a.kept_text
+FROM agg a LEFT JOIN cutc c USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+
+def _seg_corpus_measure(base: DataFrame, stage: str) -> DataFrame:
+    """One corpus-level row of the boilerplate measurement over a
+    (doc_id, toks) frame: doc/segment totals, boilerplate instance count
+    and share at BOILERPLATE_DF, and the max doc-frequency observed."""
+    segs = _segment_rows(base)
+    per = segs.groupBy("digest").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        segs.join(per, "digest")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.countDistinct("digest").cast("long").alias("n_distinct_segments"),
+            F.sum((F.col("df") >= BOILERPLATE_DF).cast("long"))
+            .cast("long")
+            .alias("n_boiler_segments"),
+            F.max("df").cast("long").alias("max_df"),
+        )
+        .select(
+            F.lit(stage).alias("stage"),
+            "n_docs",
+            "n_segments",
+            "n_distinct_segments",
+            "n_boiler_segments",
+            round_half_up(
+                F.col("n_boiler_segments").cast("double")
+                / F.col("n_segments").cast("double"),
+                6,
+            ).alias("boiler_share"),
+            "max_df",
+        )
+    )
+
+
+def boilerplate_removal_audit(
+    spark: SparkSession, sf_dir: str, frame: DataFrame | None = None
+) -> DataFrame:
+    """Did dropping boilerplate actually clean the corpus? Re-run the
+    segment doc-frequency measurement on the REWRITTEN text and report
+    before/after. Residual boilerplate share need not be exactly zero:
+    dropping a segment makes its neighbours adjacent, and re-segmenting
+    the rewritten text from position 1 can mint NEW segments that happen
+    to recur — the same boundary-shift caveat as
+    `substring_dup_removal_audit`, measured rather than assumed. This is
+    the convergence signal an iterate-to-clean pipeline loops on.
+
+    `frame` injects a shared `_boiler_frame` (see `boilerplate_segment_removal`).
+    """
+    frame = _boiler_frame(spark, sf_dir) if frame is None else frame
+    before = _seg_corpus_measure(frame.select("doc_id", "toks"), "before")
+    after = _seg_corpus_measure(
+        frame.filter(F.size("kept_toks") > 0).select(
+            "doc_id", F.col("kept_toks").alias("toks")
+        ),
+        "after",
+    )
+    return before.unionByName(after).orderBy("stage")
+
+
+def boilerplate_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental boilerplate admission: a DELTA batch of new documents
+    (the same deterministic doc_id % DELTA_MOD == DELTA_MOD-1 slice as
+    `minhash_delta_probe` / `incremental_semdedup_probe`) probed against
+    the segment doc-frequency INDEX of the already-ingested corpus. Per
+    delta doc: segments already boilerplate in the corpus (df_corpus ≥
+    BOILERPLATE_DF — cut on sight), segments the delta batch itself tips
+    over the threshold (df_corpus + df_delta ≥ BOILERPLATE_DF while
+    df_corpus alone is below — NEWLY minted boilerplate, the reason df
+    admission cannot be per-doc), and the token cut the combined rule
+    would make. `known + new` per doc equals exactly what a full-corpus
+    `boilerplate_segment_removal` rebuild decides for that doc (pinned by
+    pytest) — the union ≡ rebuild proof for this family.
+
+    Scale: the corpus df index is ONE digest-keyed agg, persisted/bucketed
+    by digest in a real ingest so each new batch shuffles only its own
+    delta postings — cost O(|delta| segments), never a corpus rescan.
+    """
+    from .dedup import DELTA_MOD
+
+    docs = _nonempty(load_table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", _toks().alias("toks"))
+    is_delta = (F.col("doc_id") % F.lit(DELTA_MOD)) == F.lit(DELTA_MOD - 1)
+    segs = _segment_rows(base)
+    corpus_df = (
+        segs.filter(~is_delta)
+        .groupBy("digest")
+        .agg(F.countDistinct("doc_id").alias("df_corpus"))
+    )
+    delta_segs = segs.filter(is_delta)
+    delta_df = delta_segs.groupBy("digest").agg(
+        F.countDistinct("doc_id").alias("df_delta")
+    )
+    flagged = (
+        delta_segs.join(corpus_df, "digest", "left")
+        .join(delta_df, "digest")
+        .withColumn("df_corpus", F.coalesce("df_corpus", F.lit(0)))
+        .withColumn("known", F.col("df_corpus") >= BOILERPLATE_DF)
+        .withColumn(
+            "new",
+            (~F.col("known"))
+            & ((F.col("df_corpus") + F.col("df_delta")) >= BOILERPLATE_DF),
+        )
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.col("known").cast("long")).cast("long").alias("n_known_boiler"),
+            F.sum(F.col("new").cast("long")).cast("long").alias("n_new_boiler"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("known") | F.col("new"), F.col("ntok")).otherwise(0))
+            .cast("long")
+            .alias("n_cut_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_known_boiler",
+            "n_new_boiler",
+            "n_tokens",
+            "n_cut_tokens",
+            round_half_up(
+                F.col("n_cut_tokens").cast("double") / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("cut_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_boiler_delta() -> str:
+    from .dedup import DELTA_MOD
+
+    d = DELTA_MOD
+    return f"""
+WITH {_SEG_SQL_CTES},
+corpus_df AS (
+  SELECT digest, COUNT(DISTINCT doc_id) AS df_corpus
+  FROM segs WHERE doc_id % {d} <> {d - 1} GROUP BY digest),
+delta_segs AS (SELECT * FROM segs WHERE doc_id % {d} = {d - 1}),
+delta_df AS (
+  SELECT digest, COUNT(DISTINCT doc_id) AS df_delta
+  FROM delta_segs GROUP BY digest),
+flagged AS (
+  SELECT s.doc_id, s.ntok,
+         COALESCE(c.df_corpus, 0) >= {BOILERPLATE_DF} AS known,
+         COALESCE(c.df_corpus, 0) < {BOILERPLATE_DF}
+           AND COALESCE(c.df_corpus, 0) + dd.df_delta >= {BOILERPLATE_DF} AS new
+  FROM delta_segs s
+  LEFT JOIN corpus_df c USING (digest)
+  JOIN delta_df dd USING (digest))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN known THEN 1 ELSE 0 END) AS BIGINT) AS n_known_boiler,
+       CAST(SUM(CASE WHEN new THEN 1 ELSE 0 END) AS BIGINT) AS n_new_boiler,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN known OR new THEN ntok ELSE 0 END) AS BIGINT)
+         AS n_cut_tokens,
+       {sql_round_half_up('CAST(SUM(CASE WHEN known OR new THEN ntok ELSE 0 END) AS DOUBLE) / CAST(SUM(ntok) AS DOUBLE)', 4)}
+         AS cut_frac
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def _sql_boiler_audit() -> str:
+    measure = f"""
+  SELECT COUNT(DISTINCT s.doc_id) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(COUNT(DISTINCT s.digest) AS BIGINT) AS n_distinct_segments,
+         CAST(SUM(CASE WHEN p.df >= {BOILERPLATE_DF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler_segments,
+         {sql_round_half_up(f'CAST(SUM(CASE WHEN p.df >= {BOILERPLATE_DF} THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)', 6)}
+           AS boiler_share,
+         CAST(MAX(p.df) AS BIGINT) AS max_df"""
+    seg_of = (
+        f"SELECT doc_id, CAST(i AS BIGINT) AS pos, "
+        f"md5(array_to_string(toks[((i - 1) * {PASSAGE_TOKENS} + 1):(i * {PASSAGE_TOKENS})], ' ')) AS digest "
+        f"FROM {{b}}, LATERAL unnest(range(1, CAST(CEIL(len(toks) / {PASSAGE_TOKENS}.0) AS BIGINT) + 1)) u(i)"
+    )
+    return f"""
+WITH before_base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE trim(text) <> ''),
+after_base AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(kept_text)), '\\s+') AS toks
+  FROM ({_BOILER_REMOVAL_SQL}) r WHERE trim(kept_text) <> ''),
+bsegs AS ({seg_of.format(b='before_base')}),
+asegs AS ({seg_of.format(b='after_base')}),
+bdf AS (SELECT digest, COUNT(DISTINCT doc_id) AS df FROM bsegs GROUP BY digest),
+adf AS (SELECT digest, COUNT(DISTINCT doc_id) AS df FROM asegs GROUP BY digest)
+SELECT 'before' AS stage, * FROM (
+  {measure} FROM bsegs s JOIN bdf p USING (digest))
+UNION ALL
+SELECT 'after' AS stage, * FROM (
+  {measure} FROM asegs s JOIN adf p USING (digest))
+ORDER BY stage
+"""
+
+
 def _sql_curation_funnel() -> str:
     from .dedup import QUALITY_CUTOFF, _sql_near_dup_canonicals
     from .text import _CLF_SQL, _FLUENCY_SQL, _QUALITY_SQL
@@ -1602,11 +2175,16 @@ ORDER BY d.lang
 QUERIES = {
     "source_diversity_by_lang": source_diversity_by_lang,
     "mixture_temperature_weights": mixture_temperature_weights,
+    "epoch_allocation_plan": epoch_allocation_plan,
     "repetition_ratios": repetition_ratios,
     "passage_dedup_stats": passage_dedup_stats,
     "substring_dup_spans": substring_dup_spans,
     "substring_dup_removal": substring_dup_removal,
     "substring_dup_removal_audit": substring_dup_removal_audit,
+    "segment_df_report": segment_df_report,
+    "boilerplate_segment_removal": boilerplate_segment_removal,
+    "boilerplate_removal_audit": boilerplate_removal_audit,
+    "boilerplate_delta_probe": boilerplate_delta_probe,
     "token_entropy": token_entropy,
     "source_dedup_overlap": source_dedup_overlap,
     "lang_confusion_matrix": lang_confusion_matrix,
@@ -1622,11 +2200,16 @@ QUERIES = {
 ORACLES = {
     "source_diversity_by_lang": _DIVERSITY_SQL,
     "mixture_temperature_weights": _MIXTURE_SQL,
+    "epoch_allocation_plan": _EPOCH_PLAN_SQL,
     "repetition_ratios": _REPETITION_SQL,
     "passage_dedup_stats": _PASSAGE_SQL,
     "substring_dup_spans": _SUBSTRING_SPANS_SQL,
     "substring_dup_removal": _SUBSTRING_REMOVAL_SQL,
     "substring_dup_removal_audit": _sql_removal_audit(),
+    "segment_df_report": _SEG_REPORT_SQL,
+    "boilerplate_segment_removal": _BOILER_REMOVAL_SQL,
+    "boilerplate_removal_audit": _sql_boiler_audit(),
+    "boilerplate_delta_probe": _sql_boiler_delta(),
     "token_entropy": _ENTROPY_SQL,
     "source_dedup_overlap": _SOURCE_OVERLAP_SQL,
     "lang_confusion_matrix": _sql_lang_confusion(),

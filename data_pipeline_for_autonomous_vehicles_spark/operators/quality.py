@@ -728,10 +728,100 @@ ORDER BY k
 """
 
 
+L_DIV_THRESHOLDS = (2, 3, 5)
+
+
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The homogeneity-attack companion to `k_anonymity_report`
+    (Machanavajjhala et al. 2007): k-anonymity alone cannot stop an
+    adversary when every row of a QI equivalence class belongs to the
+    SAME person — the class is large but reveals the sensitive attribute
+    anyway. Same QI tuple as the k-report (event_type, day, value band);
+    sensitive attribute = user_id (a class whose rows all trace to one
+    user discloses that user's activity pattern). For each ℓ in
+    L_DIV_THRESHOLDS: QI classes with fewer than ℓ DISTINCT users, the
+    rows inside them, and the at-risk row fraction — the suppression
+    budget a release at that diversity level must pay.
+
+    Scale: one (QI, user) dedup agg then one QI-keyed distinct count —
+    both map-side combinable hash aggregations; the ℓ grid crosses a tiny
+    aggregate, never the fact table.
+    """
+    events = load_table(spark, sf_dir, "events")
+    classes = (
+        events.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") / F.lit(10.0)).alias("value_band"),
+            "user_id",
+        )
+        .groupBy("event_type", "day", "value_band")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("user_id").alias("n_distinct_users"),
+        )
+    )
+    ls = spark.createDataFrame([(l,) for l in L_DIV_THRESHOLDS], "l int")
+    total = classes.agg(
+        F.sum("class_size").alias("_total_rows"),
+        F.count(F.lit(1)).alias("_total_classes"),
+    )
+    return (
+        classes.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.sum(
+                F.when(F.col("n_distinct_users") < F.col("l"), 1).otherwise(0)
+            ).alias("n_classes_below"),
+            F.sum(
+                F.when(
+                    F.col("n_distinct_users") < F.col("l"), F.col("class_size")
+                ).otherwise(F.lit(0))
+            ).alias("n_rows_at_risk"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l",
+            "n_classes_below",
+            "n_rows_at_risk",
+            F.col("_total_classes").alias("n_classes_total"),
+            round_half_up(
+                F.col("n_rows_at_risk").cast("double")
+                / F.col("_total_rows").cast("double"),
+                4,
+            ).alias("frac_rows_at_risk"),
+        )
+        .orderBy("l")
+    )
+
+
+_L_DIV_SQL = f"""
+WITH classes AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(FLOOR(value / 10.0) AS BIGINT) AS value_band,
+         COUNT(*) AS class_size,
+         COUNT(DISTINCT user_id) AS n_distinct_users
+  FROM events GROUP BY 1, 2, 3),
+ls AS (SELECT unnest({list(L_DIV_THRESHOLDS)}) AS l),
+tot AS (SELECT SUM(class_size) AS total_rows, COUNT(*) AS total_classes FROM classes)
+SELECT CAST(l AS INTEGER) AS l,
+       CAST(SUM(CASE WHEN n_distinct_users < l THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_below,
+       CAST(SUM(CASE WHEN n_distinct_users < l THEN class_size ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       CAST(MIN(total_classes) AS BIGINT) AS n_classes_total,
+       CAST(FLOOR(CAST(SUM(CASE WHEN n_distinct_users < l THEN class_size ELSE 0 END) AS DOUBLE)
+                  / CAST(MIN(total_rows) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+         AS frac_rows_at_risk
+FROM classes CROSS JOIN ls CROSS JOIN tot
+GROUP BY l
+ORDER BY l
+"""
+
+
 QUERIES = {
     "table_profile": table_profile,
     "dq_checks": dq_checks,
     "k_anonymity_report": k_anonymity_report,
+    "l_diversity_report": l_diversity_report,
     "benford_audit": benford_audit,
     "value_winsorized_stats": value_winsorized_stats,
     "value_mad_outliers": value_mad_outliers,
@@ -742,6 +832,7 @@ ORACLES = {
     "table_profile": _sql_profile(),
     "dq_checks": _sql_dq(),
     "k_anonymity_report": _K_ANON_SQL,
+    "l_diversity_report": _L_DIV_SQL,
     "benford_audit": _sql_benford(),
     "value_winsorized_stats": _WINSOR_SQL,
     "value_mad_outliers": _MAD_SQL,

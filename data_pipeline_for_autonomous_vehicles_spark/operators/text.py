@@ -914,6 +914,66 @@ ORDER BY source
 """
 
 
+def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The acting half of `pii_redaction_stats`: the per-document scrubbed
+    artifact itself — doc_id, the span counts found, and the REDACTED text
+    (emails → [EMAIL], phones → [PHONE], same deterministic raw
+    augmentation and the same two regexes as the stats report, so the two
+    can never drift). The stats aggregate IS this frame grouped by source;
+    this is the frame a release pipeline actually writes out.
+
+    Scale: embarrassingly parallel — two JVM-side regexp_replace passes
+    per row, zero shuffles before the presentation sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, F.lit(_EMAIL_RE), F.lit("[EMAIL]")),
+        F.lit(_PHONE_RE),
+        F.lit("[PHONE]"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count(raw, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+            F.regexp_count(raw, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+            (F.length(raw) - F.length(redacted)).cast("long").alias("chars_removed"),
+            redacted.alias("redacted_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PII_DOCS_SQL = f"""
+WITH raw AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source
+              || '.example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+  FROM documents),
+scrubbed AS (
+  SELECT doc_id, raw,
+         regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{_PHONE_RE}', '[PHONE]', 'g') AS redacted
+  FROM raw)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(raw) - len(redacted) AS BIGINT) AS chars_removed,
+       redacted AS redacted_text
+FROM scrubbed
+ORDER BY doc_id
+"""
+
+
 CHUNK_TOKENS = 32  # words per chunk
 CHUNK_STRIDE = 24  # overlap = CHUNK_TOKENS - CHUNK_STRIDE = 8 words
 
@@ -1823,6 +1883,7 @@ QUERIES = {
     "stratified_sample_report": stratified_sample_report,
     "token_budget_bins": token_budget_bins,
     "pii_redaction_stats": pii_redaction_stats,
+    "pii_redacted_docs": pii_redacted_docs,
     "quality_classifier_scores": quality_classifier_scores,
     "quality_calibration_report": quality_calibration_report,
     "bigram_fluency_scores": bigram_fluency_scores,
@@ -1852,6 +1913,7 @@ ORACLES = {
     "stratified_sample_report": _STRATIFIED_SQL,
     "token_budget_bins": _PACK_SQL,
     "pii_redaction_stats": _PII_SQL,
+    "pii_redacted_docs": _PII_DOCS_SQL,
     "quality_classifier_scores": _CLF_SQL,
     "quality_calibration_report": _sql_calibration(),
     "bigram_fluency_scores": _FLUENCY_SQL,

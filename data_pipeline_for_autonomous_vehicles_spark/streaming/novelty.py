@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -238,9 +239,121 @@ def streaming_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "verdict").orderBy("doc_id")
 
 
+# --- streaming boilerplate admission ------------------------------------------
+
+
+def corpus_boiler_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The static boilerplate digest index over the at-rest corpus slice:
+    segment digests whose corpus doc-frequency already clears
+    BOILERPLATE_DF. Built once pre-stream and eagerly materialized by the
+    caller, like the band index — at 100 TB this is a persisted table
+    bucketed by digest."""
+    from ..catalog import load_table
+    from ..operators.corpus import (
+        BOILERPLATE_DF,
+        _nonempty,
+        _segment_rows,
+        _toks,
+    )
+
+    docs = _nonempty(load_table(spark, sf_dir, "documents")).filter(~_is_delta())
+    segs = _segment_rows(docs.select("doc_id", _toks().alias("toks")))
+    return (
+        segs.groupBy("digest")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILERPLATE_DF)
+        .select("digest")
+    )
+
+
+def boilerplate_gate_frame(batch_docs: DataFrame, boiler_index: DataFrame) -> DataFrame:
+    """Per-doc on-sight boilerplate verdict for ANY documents frame: which
+    of the doc's segments are ALREADY boilerplate in the static index, and
+    the token cut the gate would make. Depends only on (doc, static
+    index), so any micro-batch chunking yields identical verdicts.
+
+    Deliberately narrower than `boilerplate_delta_probe`: NEWLY-minted
+    boilerplate (segments the delta batch itself tips over the threshold)
+    is not decidable on the stream without cross-batch state and a second
+    look at already-admitted docs — the stream gate cuts on sight, and the
+    batch probe runs as the end-of-ingest reconciliation that catches the
+    delta-minted remainder. This split (causal gate + batch reconcile) is
+    the production shape; the pytest pins gate ≡ the probe's `known`
+    component exactly."""
+    from ..operators.corpus import _nonempty, _segment_rows, _toks
+
+    from ..functions.scalars import round_half_up
+
+    base = _nonempty(batch_docs).select("doc_id", _toks().alias("toks"))
+    segs = _segment_rows(base)
+    flagged = segs.join(
+        boiler_index.withColumn("boiler", F.lit(1)), "digest", "left"
+    ).withColumn("boiler", F.coalesce("boiler", F.lit(0)))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("boiler").cast("long").alias("n_known_boiler"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("boiler") == 1, F.col("ntok")).otherwise(0))
+            .cast("long")
+            .alias("n_cut_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_known_boiler",
+            "n_tokens",
+            "n_cut_tokens",
+            round_half_up(
+                F.col("n_cut_tokens").cast("double") / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("cut_frac"),
+        )
+    )
+
+
+BOILER_GATE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_segments", LongType()),
+        StructField("n_known_boiler", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("n_cut_tokens", LongType()),
+        StructField("cut_frac", DoubleType()),
+    ]
+)
+
+
+def streaming_boilerplate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry form: stream the delta slice of `documents` through the
+    on-sight boilerplate gate against the static corpus digest index;
+    per-batch verdicts append executor-side to a scratch parquet sink,
+    exactly like the other streaming admission entries."""
+    import atexit
+    import shutil
+    import tempfile
+
+    index = corpus_boiler_index(spark, sf_dir).localCheckpoint(eager=True)
+    stream = stream_documents(spark, sf_dir).where(_is_delta())
+    out_dir = tempfile.mkdtemp(prefix="boiler_gate_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        boilerplate_gate_frame(batch_df, index).write.mode("append").parquet(out_dir)
+
+    q = stream.writeStream.foreachBatch(_probe).trigger(availableNow=True).start()
+    q.awaitTermination()
+    out = spark.read.schema(BOILER_GATE_SCHEMA).parquet(out_dir)
+    return out.orderBy("doc_id")
+
+
 QUERIES = {
     "streaming_novelty_probe": streaming_novelty_probe,
     "streaming_curation_verdicts": streaming_curation_verdicts,
+    "streaming_boilerplate_gate": streaming_boilerplate_gate,
 }
 
 
@@ -272,9 +385,41 @@ LEFT JOIN f ON f.doc_id = p.doc_id
 ORDER BY d.doc_id
 """
 
+    def _boiler_gate_sql() -> str:
+        from ..operators.corpus import BOILERPLATE_DF, _SEG_SQL_CTES
+        from ..operators.dedup import DELTA_MOD
+        from ..functions.scalars import sql_round_half_up
+
+        d = DELTA_MOD
+        return f"""
+WITH {_SEG_SQL_CTES},
+boiler AS (
+  SELECT digest FROM (
+    SELECT digest, COUNT(DISTINCT doc_id) AS df
+    FROM segs WHERE doc_id % {d} <> {d - 1} GROUP BY digest) x
+  WHERE df >= {BOILERPLATE_DF}),
+flagged AS (
+  SELECT s.doc_id, s.ntok,
+         CASE WHEN b.digest IS NOT NULL THEN 1 ELSE 0 END AS boiler
+  FROM segs s LEFT JOIN boiler b USING (digest)
+  WHERE s.doc_id % {d} = {d - 1})
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(boiler) AS BIGINT) AS n_known_boiler,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN boiler = 1 THEN ntok ELSE 0 END) AS BIGINT)
+         AS n_cut_tokens,
+       {sql_round_half_up('CAST(SUM(CASE WHEN boiler = 1 THEN ntok ELSE 0 END) AS DOUBLE) / CAST(SUM(ntok) AS DOUBLE)', 4)}
+         AS cut_frac
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
     return {
         "streaming_novelty_probe": _sql_delta_probe(),
         "streaming_curation_verdicts": _curation_sql(),
+        "streaming_boilerplate_gate": _boiler_gate_sql(),
     }
 
 

@@ -634,3 +634,249 @@ def test_fused_curation_frame_shares_one_pass(spark, sf_dir):
         released = release_plan_caches(blocking=True)
     assert released >= 1
     assert not (frame.storageLevel.useMemory or frame.storageLevel.useDisk)
+
+
+def test_boilerplate_segment_removal_matches_bruteforce(spark, sf_dir):
+    """Drop-everywhere at df >= BOILERPLATE_DF equals a literal Python
+    rewrite over non-overlapping segments (trailing partial included)."""
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        BOILERPLATE_DF,
+        PASSAGE_TOKENS as W,
+        boilerplate_segment_removal,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].strip().lower().split()
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r["text"].strip()
+    }
+    seg_docs: dict[str, set[int]] = {}
+    segged = {}
+    for did, toks in docs.items():
+        segs = [
+            " ".join(toks[i : i + W]) for i in range(0, len(toks), W)
+        ]  # trailing partial kept
+        segged[did] = segs
+        for s in segs:
+            seg_docs.setdefault(s, set()).add(did)
+    expect = {}
+    for did, toks in docs.items():
+        segs = segged[did]
+        boiler = [len(seg_docs[s]) >= BOILERPLATE_DF for s in segs]
+        kept = [
+            t
+            for j, s in enumerate(segs)
+            if not boiler[j]
+            for t in s.split()
+        ]
+        expect[did] = (
+            len(segs),
+            sum(boiler),
+            len(toks),
+            len(kept),
+            " ".join(kept),
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_segments"],
+            r["n_boiler_segments"],
+            r["n_tokens"],
+            r["n_kept_tokens"],
+            r["kept_text"],
+        )
+        for r in boilerplate_segment_removal(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the rule fires on driver data, but not on everything
+    assert any(v[1] > 0 for v in got.values())
+    assert any(v[1] == 0 for v in got.values())
+
+
+def test_boilerplate_audit_matches_bruteforce_and_report_bands(spark, sf_dir):
+    """The before/after audit equals a literal recount over original and
+    rewritten text, and segment_df_report's bands partition the corpus."""
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        BOILERPLATE_DF,
+        PASSAGE_TOKENS as W,
+        boilerplate_removal_audit,
+        boilerplate_segment_removal,
+        segment_df_report,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].strip().lower().split()
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r["text"].strip()
+    }
+    rewritten = {
+        r["doc_id"]: r["kept_text"].split()
+        for r in boilerplate_segment_removal(spark, sf_dir).collect()
+        if r["kept_text"]
+    }
+
+    def measure(corpus):
+        seg_docs: dict[str, set[int]] = {}
+        inst = []
+        for did, toks in corpus.items():
+            for i in range(0, len(toks), W):
+                s = " ".join(toks[i : i + W])
+                inst.append((did, s))
+                seg_docs.setdefault(s, set()).add(did)
+        n_boiler = sum(1 for _, s in inst if len(seg_docs[s]) >= BOILERPLATE_DF)
+        return (
+            len(corpus),
+            len(inst),
+            len(seg_docs),
+            n_boiler,
+            max(len(v) for v in seg_docs.values()),
+        )
+
+    audit = {r["stage"]: r for r in boilerplate_removal_audit(spark, sf_dir).collect()}
+    for stage, corpus in (("before", docs), ("after", rewritten)):
+        got = audit[stage]
+        assert (
+            got["n_docs"],
+            got["n_segments"],
+            got["n_distinct_segments"],
+            got["n_boiler_segments"],
+            got["max_df"],
+        ) == measure(corpus)
+    assert audit["after"]["boiler_share"] <= audit["before"]["boiler_share"]
+
+    # report bands partition the instance/token mass of the 'before' corpus
+    rep = {r["band"]: r for r in segment_df_report(spark, sf_dir).collect()}
+    assert sum(r["n_instances"] for r in rep.values()) == audit["before"]["n_segments"]
+    assert sum(r["n_distinct_segments"] for r in rep.values()) == audit["before"][
+        "n_distinct_segments"
+    ]
+    assert abs(sum(r["token_share"] for r in rep.values()) - 1.0) < 1e-5
+    assert sum(r["n_tokens"] for r in rep.values()) == sum(
+        len(t) for t in docs.values()
+    )
+
+
+def test_boilerplate_drops_all_occurrences_including_first(spark, tmp_path):
+    """Pins the policy split vs substring_dup_removal: a segment in >= 3
+    distinct docs vanishes from ALL of them (keep-first does not apply),
+    a df=2 duplicate is kept everywhere, and an all-boilerplate doc
+    survives as an empty row; frame injection reuses one df pass."""
+    from pyspark.sql import Row
+
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        _boiler_frame,
+        boilerplate_removal_audit,
+        boilerplate_segment_removal,
+    )
+
+    seg = " ".join(f"b{i}" for i in range(1, 9))      # the boilerplate 8-gram
+    dup = " ".join(f"d{i}" for i in range(1, 9))      # df=2: below threshold
+    uniq = ["u%d" % i for i in range(1, 6)]           # partial-tail segment
+    rows = [
+        Row(doc_id=0, text=seg, lang="en", source="s", n_chars=0),
+        Row(doc_id=1, text=seg + " " + dup, lang="en", source="s", n_chars=0),
+        Row(doc_id=2, text=seg + " " + " ".join(uniq), lang="en", source="s", n_chars=0),
+        Row(doc_id=3, text=dup, lang="en", source="s", n_chars=0),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(d + "/documents.parquet")
+
+    got = {r["doc_id"]: r for r in boilerplate_segment_removal(spark, d).collect()}
+    assert got[0]["kept_text"] == "" and got[0]["n_boiler_segments"] == 1
+    assert got[1]["kept_text"] == dup        # boiler cut, df=2 dup kept
+    assert got[2]["kept_text"] == " ".join(uniq)
+    assert got[3]["kept_text"] == dup and got[3]["n_boiler_segments"] == 0
+
+    audit = {r["stage"]: r for r in boilerplate_removal_audit(spark, d).collect()}
+    assert audit["before"]["max_df"] == 3
+    assert audit["before"]["n_docs"] == 4 and audit["after"]["n_docs"] == 3
+    # residual: dup still has df=2 (< threshold), so zero boiler remains
+    assert audit["after"]["n_boiler_segments"] == 0
+
+    frame = _boiler_frame(spark, d)
+    assert boilerplate_segment_removal(spark, d, frame).collect() == sorted(
+        got.values(), key=lambda r: r["doc_id"]
+    )
+    assert (
+        boilerplate_removal_audit(spark, d, frame).collect()
+        == boilerplate_removal_audit(spark, d).collect()
+    )
+
+
+def test_epoch_allocation_plan_invariants_and_redistribution(spark, sf_dir, tmp_path):
+    """Grants never exceed the cap, shortfall accounting balances, and the
+    one-round redistribution actually moves a capped source's surplus to
+    sources with headroom (pinned on a constructed skewed corpus)."""
+    from pyspark.sql import Row
+
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        EPOCH_CAP,
+        MIX_TOKEN_BUDGET,
+        epoch_allocation_plan,
+        mixture_temperature_weights,
+    )
+
+    rows = epoch_allocation_plan(spark, sf_dir).collect()
+    mix = {r["source"]: r for r in mixture_temperature_weights(spark, sf_dir).collect()}
+    assert {r["source"] for r in rows} == set(mix)
+    for r in rows:
+        assert 0 <= r["granted_tokens"] <= r["cap_tokens"]
+        assert r["shortfall_tokens"] == r["alloc_tokens"] - r["granted_tokens"]
+        assert r["epochs"] <= EPOCH_CAP + 1e-9
+        assert r["capped"] == (r["alloc_tokens"] > r["cap_tokens"])
+    # raw allocations are the mixture's temp shares over the budget
+    assert (
+        abs(sum(r["alloc_tokens"] for r in rows) - MIX_TOKEN_BUDGET)
+        <= len(rows)  # one floor() per source
+    )
+    assert sum(r["granted_tokens"] for r in rows) <= MIX_TOKEN_BUDGET
+
+    # skewed corpus: a tiny source whose sqrt-boosted allocation blows
+    # past 4 epochs of its data -> capped; surplus flows to the big source
+    docs = []
+    did = 0
+    # big must hold >= BUDGET/EPOCH_CAP = 250k tokens so its own allocation
+    # fits under its cap and it has headroom for the small source's spill
+    for i in range(5000):
+        docs.append(Row(doc_id=did, text=" ".join(f"w{did}_{j}" for j in range(50)),
+                        lang="en", source="big", n_chars=0))
+        did += 1
+    docs.append(Row(doc_id=did, text="tiny doc of eight tokens here now ok",
+                    lang="en", source="small", n_chars=0))
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(docs).coalesce(1).write.parquet(d + "/documents.parquet")
+    plan = {r["source"]: r for r in epoch_allocation_plan(spark, d).collect()}
+    assert plan["small"]["capped"] and plan["small"]["granted_tokens"] == plan["small"]["cap_tokens"]
+    assert not plan["big"]["capped"]
+    # redistribution: big got MORE than its raw allocation
+    assert plan["big"]["granted_tokens"] > plan["big"]["alloc_tokens"] - 1
+    assert plan["big"]["shortfall_tokens"] <= 0
+
+
+def test_boilerplate_delta_probe_union_equals_rebuild(spark, sf_dir):
+    """The incremental admission decision (known + newly-minted boilerplate
+    per delta doc) equals exactly what a full-corpus rebuild decides for
+    those docs — the union ≡ rebuild proof for the boilerplate family."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        boilerplate_delta_probe,
+        boilerplate_segment_removal,
+    )
+    from data_pipeline_for_autonomous_vehicles_spark.operators.dedup import DELTA_MOD
+
+    probe = {r["doc_id"]: r for r in boilerplate_delta_probe(spark, sf_dir).collect()}
+    full = {
+        r["doc_id"]: r
+        for r in boilerplate_segment_removal(spark, sf_dir).collect()
+        if r["doc_id"] % DELTA_MOD == DELTA_MOD - 1
+    }
+    assert set(probe) == set(full)
+    for did, p in probe.items():
+        f = full[did]
+        assert p["n_segments"] == f["n_segments"]
+        assert p["n_known_boiler"] + p["n_new_boiler"] == f["n_boiler_segments"]
+        assert p["n_tokens"] == f["n_tokens"]
+        assert p["n_cut_tokens"] == f["n_tokens"] - f["n_kept_tokens"]
+    # both flavors fire somewhere on driver data: boilerplate that predates
+    # the delta, and boilerplate the delta itself mints
+    assert any(p["n_known_boiler"] > 0 for p in probe.values())

@@ -610,3 +610,64 @@ def test_streaming_curation_verdicts_multibatch_and_funnel_agreement(
     # and the ladder bites on the stream too
     assert "kept" in streamed.values()
     assert any(v != "kept" for v in streamed.values())
+
+
+def test_streaming_boilerplate_gate_multibatch_equals_probe_known(
+    spark, sf_dir, tmp_path
+):
+    """The on-sight boilerplate gate is chunking-invariant (verdicts depend
+    only on the static digest index), and equals exactly the `known`
+    component of the batch `boilerplate_delta_probe` — the causal-gate /
+    batch-reconcile split pinned as code, not prose."""
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        boilerplate_delta_probe,
+    )
+    from data_pipeline_for_autonomous_vehicles_spark.operators.dedup import _is_delta
+    from data_pipeline_for_autonomous_vehicles_spark.streaming import novelty
+
+    delta = load_table(spark, sf_dir, "documents").where(_is_delta())
+    split_dir = tmp_path / "delta_files"
+    for i in range(3):
+        delta.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(split_dir))
+
+    index = novelty.corpus_boiler_index(spark, sf_dir).localCheckpoint(eager=True)
+    stream = (
+        spark.readStream.schema(novelty.DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(split_dir))
+    )
+    batches: list[tuple[int, list]] = []
+
+    def _probe(df, bid):
+        if df.isEmpty():
+            return
+        batches.append((bid, novelty.boilerplate_gate_frame(df, index).collect()))
+
+    q = stream.writeStream.foreachBatch(_probe).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert len(batches) >= 3
+    streamed = {
+        r["doc_id"]: (r["n_segments"], r["n_known_boiler"], r["n_cut_tokens"])
+        for _, rows in batches
+        for r in rows
+    }
+    probe = {
+        r["doc_id"]: r for r in boilerplate_delta_probe(spark, sf_dir).collect()
+    }
+    assert set(streamed) == set(probe)
+    for did, (n_seg, n_known, _) in streamed.items():
+        assert n_seg == probe[did]["n_segments"]
+        assert n_known == probe[did]["n_known_boiler"]
+    # the gate's cut is a subset of the reconciled (known + new) cut
+    assert all(
+        streamed[d][2] <= probe[d]["n_cut_tokens"] for d in streamed
+    )
+    # and somewhere the reconciler catches what the gate could not
+    assert any(p["n_new_boiler"] > 0 for p in probe.values()) or all(
+        streamed[d][2] == probe[d]["n_cut_tokens"] for d in streamed
+    )
+    ids = [r["doc_id"] for _, rows in batches for r in rows]
+    assert len(ids) == len(set(ids))
