@@ -960,6 +960,37 @@ ORDER BY lang
 MIX_TOKEN_BUDGET = 1_000_000  # tokens drawn per training epoch in the report
 
 
+def _source_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (n_docs, n_tokens, w_e6): the τ=0.5 temperature weight
+    block — sqrt(n_tokens) rounded to 1e-6 fixed point BEFORE any
+    denominator sum. The ONE definition `mixture_temperature_weights` and
+    `epoch_allocation_plan` share (a temperature or fixed-point-scale
+    change here moves both reports together; their SQL twins share
+    `_SQL_SOURCE_WEIGHTS` the same way)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.size(_toks()).cast("long").alias("n_toks"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+        .withColumn(
+            "w_e6",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6 + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+    )
+
+
+_SQL_SOURCE_WEIGHTS = f"""per_source AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+              AS w_e6
+  FROM per_source)"""
+
+
 def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source sampling weights for temperature-scaled data mixing at
     τ = 0.5 — the standard multilingual/multi-source rebalancing rule
@@ -979,18 +1010,7 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row denominator broadcast back. Nothing grows with the corpus but
     the first aggregation's input.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    per_source = (
-        docs.select("source", F.size(_toks()).cast("long").alias("n_toks"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
-        .withColumn(
-            "w_e6",
-            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6 + F.lit(0.5)).cast(
-                "long"
-            ),
-        )
-    )
+    per_source = _source_weight_frame(spark, sf_dir)
     totals = per_source.agg(
         F.sum("n_tokens").alias("_tot_tokens"), F.sum("w_e6").alias("_tot_w")
     )
@@ -1015,15 +1035,7 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MIXTURE_SQL = f"""
-WITH per_source AS (
-  SELECT source, COUNT(*) AS n_docs,
-         CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT)
-           AS n_tokens
-  FROM documents GROUP BY source),
-w AS (
-  SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
-              AS w_e6
-  FROM per_source),
+WITH {_SQL_SOURCE_WEIGHTS},
 tot AS (SELECT SUM(n_tokens) AS tot_tokens, SUM(w_e6) AS tot_w FROM w)
 SELECT source, n_docs, n_tokens,
        {sql_round_half_up("CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)", 6)} AS natural_share,
@@ -1049,8 +1061,12 @@ def epoch_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pro-rata redistribution round of the capped sources' surplus to the
     sources with headroom (full water-filling iterates this step to a
     fixed point; one round is reported so the residual is visible rather
-    than hidden — `shortfall_tokens` > 0 after redistribution means the
-    budget cannot be placed without exceeding the cap somewhere).
+    than hidden). `shortfall_tokens` is the SIGNED per-row delta
+    alloc − granted: positive on a capped source (its unplaced raw
+    allocation), negative on a receiver (spill absorbed beyond its own
+    allocation). Only the SUM across rows — not any single row — says
+    whether the budget is placeable under the cap (sum > 0 after this
+    round ⇒ it is not, pending further water-filling rounds).
 
     Per source: the raw allocation, the cap, the granted tokens after
     redistribution, the final epoch count, and whether the cap bound.
@@ -1063,18 +1079,7 @@ def epoch_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "totals" combines are 1-row broadcasts. Nothing grows with the corpus
     but the first aggregation's input.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    per_source = (
-        docs.select("source", F.size(_toks()).cast("long").alias("n_toks"))
-        .groupBy("source")
-        .agg(F.sum("n_toks").alias("n_tokens"))
-        .withColumn(
-            "w_e6",
-            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6 + F.lit(0.5)).cast(
-                "long"
-            ),
-        )
-    )
+    per_source = _source_weight_frame(spark, sf_dir).drop("n_docs")
     tot_w = per_source.agg(F.sum("w_e6").alias("_tot_w"))
     g0 = (
         per_source.crossJoin(F.broadcast(tot_w))
@@ -1128,14 +1133,7 @@ def epoch_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EPOCH_PLAN_SQL = f"""
-WITH per_source AS (
-  SELECT source,
-         CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY source),
-w AS (
-  SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
-              AS w_e6
-  FROM per_source),
+WITH {_SQL_SOURCE_WEIGHTS},
 tot AS (SELECT SUM(w_e6) AS tot_w FROM w),
 g0 AS (
   SELECT source, n_tokens,
@@ -1833,12 +1831,36 @@ ORDER BY band
 """
 
 
+def _boiler_digests(segs: DataFrame) -> DataFrame:
+    """Digests whose doc-frequency clears BOILERPLATE_DF over a
+    (doc_id, pos, ntok, digest) segment frame — the ONE spelling of the
+    boilerplate rule, shared by `_boiler_frame` and the streaming gate's
+    `corpus_boiler_index` (their SQL twins share `_sql_boiler_digests`)."""
+    return (
+        segs.groupBy("digest")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILERPLATE_DF)
+        .select("digest")
+    )
+
+
+def _sql_boiler_digests(seg_rel: str) -> str:
+    """The SQL twin of `_boiler_digests` over any aliased segment relation
+    (a CTE name, or an aliased subquery)."""
+    return (
+        f"SELECT digest FROM (SELECT digest, COUNT(DISTINCT doc_id) AS df "
+        f"FROM {seg_rel} GROUP BY digest) bd WHERE df >= {BOILERPLATE_DF}"
+    )
+
+
 def _boiler_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared core of the boilerplate acting family: one row per non-empty
     doc with `toks`, the boilerplate segment positions (`cut_pos`), and the
     post-drop token array (`kept_toks`). No finishing stage — the removal
-    and its audit each apply their own, so a fused job can cache THIS frame
-    (same contract as `_removal_frame`).
+    and its audit each apply their own; a fused job injects
+    `fused_boiler_frame` (the cached/registered builder, same contract as
+    `fused_curation_frame`) so the df pass runs once — injecting an
+    UNcached frame only shares the plan, not the computation.
 
     Scale (100 TB): df is ONE hash-agg on the segment digest (COUNT
     DISTINCT doc_id — no pairwise join); boilerplate positions come back as
@@ -1850,12 +1872,7 @@ def _boiler_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _nonempty(load_table(spark, sf_dir, "documents"))
     base = docs.select("doc_id", _toks().alias("toks"))
     segs = _segment_rows(base)
-    boiler = (
-        segs.groupBy("digest")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= BOILERPLATE_DF)
-        .select("digest")
-    )
+    boiler = _boiler_digests(segs)
     cuts = (
         segs.join(boiler, "digest")
         .groupBy("doc_id")
@@ -1871,6 +1888,18 @@ def _boiler_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"x -> x.tok)"
     )
     return joined.select("doc_id", "toks", "cut_pos", kept_toks.alias("kept_toks"))
+
+
+def fused_boiler_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build `_boiler_frame` once, cache it (scoped via
+    `pkg.caching.register_plan_cache`), and return it for injection into
+    `boilerplate_segment_removal` / `boilerplate_removal_audit` — a job
+    materializing both pays the segment-df pass once. The standalone
+    registry entries deliberately do NOT cache (a single consumer gains
+    nothing from materialization); same contract as `fused_curation_frame`."""
+    from ..caching import register_plan_cache
+
+    return register_plan_cache(_boiler_frame(spark, sf_dir).cache())
 
 
 def boilerplate_segment_removal(
@@ -1911,10 +1940,7 @@ def boilerplate_segment_removal(
 
 _BOILER_REMOVAL_SQL = f"""
 WITH {_SEG_SQL_CTES},
-boiler AS (
-  SELECT digest FROM (
-    SELECT digest, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY digest) d
-  WHERE df >= {BOILERPLATE_DF}),
+boiler AS ({_sql_boiler_digests('segs')}),
 cutp AS (SELECT s.doc_id, s.pos FROM segs s JOIN boiler USING (digest)),
 cutc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler FROM cutp GROUP BY doc_id),
 tok AS (

@@ -719,8 +719,7 @@ SELECT CAST(k AS INTEGER) AS k,
        CAST(SUM(CASE WHEN class_size < k THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_below,
        CAST(SUM(CASE WHEN class_size < k THEN class_size ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
        CAST(MIN(total_classes) AS BIGINT) AS n_classes_total,
-       CAST(FLOOR(CAST(SUM(CASE WHEN class_size < k THEN class_size ELSE 0 END) AS DOUBLE)
-                  / CAST(MIN(total_rows) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+       {sql_round_half_up('CAST(SUM(CASE WHEN class_size < k THEN class_size ELSE 0 END) AS DOUBLE) / CAST(MIN(total_rows) AS DOUBLE)', 4)}
          AS frac_rows_at_risk
 FROM classes CROSS JOIN ks CROSS JOIN tot
 GROUP BY k
@@ -808,8 +807,7 @@ SELECT CAST(l AS INTEGER) AS l,
        CAST(SUM(CASE WHEN n_distinct_users < l THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_below,
        CAST(SUM(CASE WHEN n_distinct_users < l THEN class_size ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
        CAST(MIN(total_classes) AS BIGINT) AS n_classes_total,
-       CAST(FLOOR(CAST(SUM(CASE WHEN n_distinct_users < l THEN class_size ELSE 0 END) AS DOUBLE)
-                  / CAST(MIN(total_rows) AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+       {sql_round_half_up('CAST(SUM(CASE WHEN n_distinct_users < l THEN class_size ELSE 0 END) AS DOUBLE) / CAST(MIN(total_rows) AS DOUBLE)', 4)}
          AS frac_rows_at_risk
 FROM classes CROSS JOIN ls CROSS JOIN tot
 GROUP BY l

@@ -855,11 +855,13 @@ _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE_RE = r"\+1-555-[0-9]{4}"
 
 
-def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per source: docs scanned, PII spans found (emails / phones), and the
-    size delta after masking — the audit report a scrub pass emits."""
-    docs = load_table(spark, sf_dir, "documents")
-    raw = F.concat(
+def _pii_raw() -> F.Column:
+    """The deterministic PII-augmented text (synthetic email + phone spans
+    appended, since the corpus itself carries none) — the ONE spelling
+    `pii_redaction_stats` and `pii_redacted_docs` share, so the audit and
+    the acting artifact can never drift (their SQL twins share
+    `_SQL_PII_RAW_CTE` the same way)."""
+    return F.concat(
         F.col("text"),
         F.lit(" contact user"),
         F.col("doc_id").cast("string"),
@@ -868,11 +870,36 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".example.com or +1-555-"),
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
     )
-    redacted = F.regexp_replace(
+
+
+def _pii_redacted(raw: F.Column) -> F.Column:
+    """emails → [EMAIL], phones → [PHONE]; shared by both PII operators."""
+    return F.regexp_replace(
         F.regexp_replace(raw, F.lit(_EMAIL_RE), F.lit("[EMAIL]")),
         F.lit(_PHONE_RE),
         F.lit("[PHONE]"),
     )
+
+
+_SQL_PII_RAW_CTE = """raw AS (
+  SELECT doc_id, source,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source
+              || '.example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+  FROM documents)"""
+
+_SQL_PII_REDACTED = (
+    f"regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '[EMAIL]', 'g'), "
+    f"'{_PHONE_RE}', '[PHONE]', 'g')"
+)
+
+
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: docs scanned, PII spans found (emails / phones), and the
+    size delta after masking — the audit report a scrub pass emits."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = _pii_raw()
+    redacted = _pii_redacted(raw)
     per_doc = docs.select(
         "source",
         F.regexp_count(raw, F.lit(_EMAIL_RE)).alias("n_emails"),
@@ -892,16 +919,9 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PII_SQL = f"""
-WITH raw AS (
-  SELECT source,
-         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source
-              || '.example.com or +1-555-'
-              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
-  FROM documents),
+WITH {_SQL_PII_RAW_CTE},
 scrubbed AS (
-  SELECT source, raw,
-         regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '[EMAIL]', 'g'),
-                        '{_PHONE_RE}', '[PHONE]', 'g') AS redacted
+  SELECT source, raw, {_SQL_PII_REDACTED} AS redacted
   FROM raw)
 SELECT source,
        COUNT(*) AS n_docs,
@@ -926,20 +946,8 @@ def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per row, zero shuffles before the presentation sort.
     """
     docs = load_table(spark, sf_dir, "documents")
-    raw = F.concat(
-        F.col("text"),
-        F.lit(" contact user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@"),
-        F.col("source"),
-        F.lit(".example.com or +1-555-"),
-        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-    )
-    redacted = F.regexp_replace(
-        F.regexp_replace(raw, F.lit(_EMAIL_RE), F.lit("[EMAIL]")),
-        F.lit(_PHONE_RE),
-        F.lit("[PHONE]"),
-    )
+    raw = _pii_raw()
+    redacted = _pii_redacted(raw)
     return (
         docs.select(
             "doc_id",
@@ -953,16 +961,9 @@ def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PII_DOCS_SQL = f"""
-WITH raw AS (
-  SELECT doc_id,
-         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source
-              || '.example.com or +1-555-'
-              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
-  FROM documents),
+WITH {_SQL_PII_RAW_CTE},
 scrubbed AS (
-  SELECT doc_id, raw,
-         regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '[EMAIL]', 'g'),
-                        '{_PHONE_RE}', '[PHONE]', 'g') AS redacted
+  SELECT doc_id, raw, {_SQL_PII_REDACTED} AS redacted
   FROM raw)
 SELECT doc_id,
        CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,

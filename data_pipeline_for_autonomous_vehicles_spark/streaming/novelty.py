@@ -249,21 +249,11 @@ def corpus_boiler_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     caller, like the band index — at 100 TB this is a persisted table
     bucketed by digest."""
     from ..catalog import load_table
-    from ..operators.corpus import (
-        BOILERPLATE_DF,
-        _nonempty,
-        _segment_rows,
-        _toks,
-    )
+    from ..operators.corpus import _boiler_digests, _nonempty, _segment_rows, _toks
 
     docs = _nonempty(load_table(spark, sf_dir, "documents")).filter(~_is_delta())
     segs = _segment_rows(docs.select("doc_id", _toks().alias("toks")))
-    return (
-        segs.groupBy("digest")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= BOILERPLATE_DF)
-        .select("digest")
-    )
+    return _boiler_digests(segs)
 
 
 def boilerplate_gate_frame(batch_docs: DataFrame, boiler_index: DataFrame) -> DataFrame:
@@ -386,18 +376,15 @@ ORDER BY d.doc_id
 """
 
     def _boiler_gate_sql() -> str:
-        from ..operators.corpus import BOILERPLATE_DF, _SEG_SQL_CTES
+        from ..operators.corpus import _SEG_SQL_CTES, _sql_boiler_digests
         from ..operators.dedup import DELTA_MOD
         from ..functions.scalars import sql_round_half_up
 
         d = DELTA_MOD
+        corpus_segs = f"(SELECT * FROM segs WHERE doc_id % {d} <> {d - 1}) cs"
         return f"""
 WITH {_SEG_SQL_CTES},
-boiler AS (
-  SELECT digest FROM (
-    SELECT digest, COUNT(DISTINCT doc_id) AS df
-    FROM segs WHERE doc_id % {d} <> {d - 1} GROUP BY digest) x
-  WHERE df >= {BOILERPLATE_DF}),
+boiler AS ({_sql_boiler_digests(corpus_segs)}),
 flagged AS (
   SELECT s.doc_id, s.ntok,
          CASE WHEN b.digest IS NOT NULL THEN 1 ELSE 0 END AS boiler

@@ -765,9 +765,9 @@ def test_boilerplate_drops_all_occurrences_including_first(spark, tmp_path):
     from pyspark.sql import Row
 
     from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
-        _boiler_frame,
         boilerplate_removal_audit,
         boilerplate_segment_removal,
+        fused_boiler_frame,
     )
 
     seg = " ".join(f"b{i}" for i in range(1, 9))      # the boilerplate 8-gram
@@ -794,7 +794,7 @@ def test_boilerplate_drops_all_occurrences_including_first(spark, tmp_path):
     # residual: dup still has df=2 (< threshold), so zero boiler remains
     assert audit["after"]["n_boiler_segments"] == 0
 
-    frame = _boiler_frame(spark, d)
+    frame = fused_boiler_frame(spark, d)  # cached: the df pass runs once
     assert boilerplate_segment_removal(spark, d, frame).collect() == sorted(
         got.values(), key=lambda r: r["doc_id"]
     )

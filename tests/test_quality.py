@@ -1,3 +1,7 @@
+"""Privacy-release audits (k-anonymity / l-diversity) — literal recounts
+over exact QI classes on driver data."""
+
+from __future__ import annotations
 
 
 def test_l_diversity_consistent_with_k_anonymity_and_bruteforce(spark, sf_dir):

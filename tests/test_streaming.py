@@ -661,13 +661,59 @@ def test_streaming_boilerplate_gate_multibatch_equals_probe_known(
     for did, (n_seg, n_known, _) in streamed.items():
         assert n_seg == probe[did]["n_segments"]
         assert n_known == probe[did]["n_known_boiler"]
-    # the gate's cut is a subset of the reconciled (known + new) cut
-    assert all(
-        streamed[d][2] <= probe[d]["n_cut_tokens"] for d in streamed
-    )
-    # and somewhere the reconciler catches what the gate could not
-    assert any(p["n_new_boiler"] > 0 for p in probe.values()) or all(
-        streamed[d][2] == probe[d]["n_cut_tokens"] for d in streamed
-    )
+    # the gate's cut is a subset of the reconciled (known + new) cut, and
+    # the gap is exactly the newly-minted segments' doing: where the probe
+    # minted nothing, gate cut == probe cut; where it did, gate cut < probe
+    for d, (_, _, gate_cut) in streamed.items():
+        if probe[d]["n_new_boiler"] == 0:
+            assert gate_cut == probe[d]["n_cut_tokens"]
+        else:
+            assert gate_cut < probe[d]["n_cut_tokens"]
     ids = [r["doc_id"] for _, rows in batches for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def test_boilerplate_delta_probe_minted_branch_fires(spark, tmp_path):
+    """Pins the NEWLY-minted branch on a constructed corpus: a segment with
+    df_corpus=1 that two delta docs tip to df=3 is `new` (cut by the
+    reconciler, NOT by the on-sight gate), while a df_corpus=3 segment is
+    `known` (cut by both)."""
+    from pyspark.sql import Row
+
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        boilerplate_delta_probe,
+    )
+    from data_pipeline_for_autonomous_vehicles_spark.streaming import novelty
+
+    known = " ".join(f"k{i}" for i in range(1, 9))  # corpus df=3: boiler already
+    mint = " ".join(f"m{i}" for i in range(1, 9))   # corpus df=1 + delta df=2 -> 3
+    rows = [
+        # corpus slice (doc_id % 5 != 4)
+        Row(doc_id=0, text=known, lang="en", source="s", n_chars=0),
+        Row(doc_id=1, text=known, lang="en", source="s", n_chars=0),
+        Row(doc_id=2, text=known + " " + mint, lang="en", source="s", n_chars=0),
+        # delta slice (doc_id % 5 == 4)
+        Row(doc_id=4, text=known + " " + mint, lang="en", source="s", n_chars=0),
+        Row(doc_id=9, text=mint, lang="en", source="s", n_chars=0),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(d + "/documents.parquet")
+
+    probe = {r["doc_id"]: r for r in boilerplate_delta_probe(spark, d).collect()}
+    assert probe[4]["n_known_boiler"] == 1 and probe[4]["n_new_boiler"] == 1
+    assert probe[4]["n_cut_tokens"] == 16
+    assert probe[9]["n_known_boiler"] == 0 and probe[9]["n_new_boiler"] == 1
+    assert probe[9]["n_cut_tokens"] == 8
+
+    # the on-sight gate cuts only the known segment — minted ones pass
+    index = novelty.corpus_boiler_index(spark, d).localCheckpoint(eager=True)
+    from data_pipeline_for_autonomous_vehicles_spark.catalog import load_table
+    from data_pipeline_for_autonomous_vehicles_spark.operators.dedup import _is_delta
+
+    gate = {
+        r["doc_id"]: r
+        for r in novelty.boilerplate_gate_frame(
+            load_table(spark, d, "documents").where(_is_delta()), index
+        ).collect()
+    }
+    assert gate[4]["n_cut_tokens"] == 8 and gate[9]["n_cut_tokens"] == 0

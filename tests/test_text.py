@@ -1,3 +1,7 @@
+"""Text acting artifacts (PII scrub) — acting frame vs stats report
+consistency on driver data."""
+
+from __future__ import annotations
 
 
 def test_pii_redacted_docs_aggregates_to_stats_and_scrubs(spark, sf_dir):
