@@ -246,3 +246,54 @@ def test_tie_aware_running_desc_grouped_extreme_domains(spark, rows, parts):
     for key, (rows_before, keys_before) in got.items():
         assert rows_before + 1 == expected_rank[key], key
         assert keys_before + 1 == expected_dense[key], key
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=20),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_segment_rows_partition_and_boiler_rule(spark, docs):
+    """On arbitrary corpora: non-overlapping segments partition each doc's
+    tokens exactly (every token in exactly one segment, ntok sums back to
+    the doc length, trailing partial included), digests equal md5 of the
+    space-joined slice, and _boiler_digests implements df >= BOILERPLATE_DF
+    over distinct docs — the invariants the whole boilerplate family
+    (removal / audit / delta probe / streaming gate) rests on."""
+    import hashlib
+    import math
+
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        BOILERPLATE_DF,
+        PASSAGE_TOKENS as W,
+        _boiler_digests,
+        _segment_rows,
+    )
+
+    base = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(docs)], "doc_id long, toks array<string>"
+    )
+    segs = _segment_rows(base).collect()
+
+    by_doc: dict[int, list] = {}
+    for r in segs:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(len(docs)))
+    seg_docs: dict[str, set[int]] = {}
+    for i, toks in enumerate(docs):
+        rows = sorted(by_doc[i], key=lambda r: r["pos"])
+        assert [r["pos"] for r in rows] == list(range(1, math.ceil(len(toks) / W) + 1))
+        assert sum(r["ntok"] for r in rows) == len(toks)
+        for r in rows:
+            piece = toks[(r["pos"] - 1) * W : (r["pos"] - 1) * W + W]
+            assert r["ntok"] == len(piece)
+            expect_digest = hashlib.md5(" ".join(piece).encode()).hexdigest()
+            assert r["digest"] == expect_digest
+            seg_docs.setdefault(r["digest"], set()).add(i)
+
+    got_boiler = {r["digest"] for r in _boiler_digests(_segment_rows(base)).collect()}
+    expect_boiler = {d for d, s in seg_docs.items() if len(s) >= BOILERPLATE_DF}
+    assert got_boiler == expect_boiler
