@@ -1314,6 +1314,81 @@ ORDER BY d.doc_id
 
 # (order, name, the stage's FAIL predicate over `_curation_joined` columns) —
 # the same four signals `_verdict_col` sequences, evaluated independently
+def curation_vocab_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the funnel bias the corpus vocabulary? Per language: the
+    distinct-token vocabulary of all docs vs of the verdict='kept' docs,
+    the vocabulary LOST (tokens appearing only in dropped docs), and the
+    token-mass share the kept set retains. Quality/fluency filters are
+    known to disproportionately kill rare-token and low-resource text —
+    the per-language funnel counts (`curation_funnel_report`) cannot see
+    that; this is the vocabulary-level bias audit run before accepting a
+    threshold setting (the diversity companion to
+    `curation_threshold_matrix`'s keep-count surface).
+
+    Scale: one token explode joined to the per-doc verdict manifest →
+    (lang, token)-keyed distinct aggregation (map-side combinable) →
+    |langs| rows. The verdict side is one row per doc; nothing pairwise.
+    """
+    docs = _nonempty(load_table(spark, sf_dir, "documents"))
+    verd = curation_kept_docs(spark, sf_dir).select(
+        "doc_id", (F.col("verdict") == "kept").alias("kept")
+    )
+    toks = docs.select("doc_id", "lang", F.explode(_toks()).alias("tok"))
+    joined = toks.join(verd, "doc_id")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.countDistinct("tok").alias("vocab_total"),
+            F.countDistinct(F.when(F.col("kept"), F.col("tok"))).alias("vocab_kept"),
+            F.count(F.lit(1)).alias("tokens_total"),
+            F.sum(F.col("kept").cast("long")).alias("tokens_kept"),
+        )
+        .select(
+            "lang",
+            F.col("vocab_total").cast("long").alias("vocab_total"),
+            F.col("vocab_kept").cast("long").alias("vocab_kept"),
+            (F.col("vocab_total") - F.col("vocab_kept")).cast("long").alias("vocab_lost"),
+            round_half_up(
+                (F.col("vocab_total") - F.col("vocab_kept")).cast("double")
+                / F.col("vocab_total").cast("double"),
+                6,
+            ).alias("vocab_lost_frac"),
+            F.col("tokens_total").cast("long").alias("tokens_total"),
+            F.col("tokens_kept").cast("long").alias("tokens_kept"),
+            round_half_up(
+                F.col("tokens_kept").cast("double") / F.col("tokens_total").cast("double"),
+                6,
+            ).alias("kept_mass_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_vocab_impact() -> str:
+    return f"""
+WITH verd AS (
+  SELECT doc_id, verdict = 'kept' AS kept FROM ({_sql_curation_kept()}) v),
+tok AS (
+  SELECT doc_id, lang, unnest({_SQL_TOKS}) AS tok
+  FROM documents WHERE trim(text) <> ''),
+joined AS (SELECT t.lang, t.tok, v.kept FROM tok t JOIN verd v USING (doc_id))
+SELECT lang,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_total,
+       CAST(COUNT(DISTINCT CASE WHEN kept THEN tok END) AS BIGINT) AS vocab_kept,
+       CAST(COUNT(DISTINCT tok) - COUNT(DISTINCT CASE WHEN kept THEN tok END) AS BIGINT)
+         AS vocab_lost,
+       {sql_round_half_up('CAST(COUNT(DISTINCT tok) - COUNT(DISTINCT CASE WHEN kept THEN tok END) AS DOUBLE) / CAST(COUNT(DISTINCT tok) AS DOUBLE)', 6)}
+         AS vocab_lost_frac,
+       CAST(COUNT(*) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS tokens_kept,
+       {sql_round_half_up('CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)', 6)}
+         AS kept_mass_share
+FROM joined
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 _ABLATION_STAGES = ("near_dup", "quality", "classifier", "fluency")
 
 
@@ -2218,6 +2293,7 @@ QUERIES = {
     "curation_funnel_report": curation_funnel_report,
     "curation_kept_docs": curation_kept_docs,
     "curation_stage_ablation": curation_stage_ablation,
+    "curation_vocab_impact": curation_vocab_impact,
     "curation_threshold_matrix": curation_threshold_matrix,
     "curated_training_shards": curated_training_shards,
     "curated_shard_manifest": curated_shard_manifest,
@@ -2243,6 +2319,7 @@ ORACLES = {
     "curation_funnel_report": _sql_curation_funnel(),
     "curation_kept_docs": _sql_curation_kept(),
     "curation_stage_ablation": _sql_stage_ablation(),
+    "curation_vocab_impact": _sql_vocab_impact(),
     "curation_threshold_matrix": _sql_threshold_matrix(),
     "curated_training_shards": _sql_curated_shards(),
     "curated_shard_manifest": _sql_curated_manifest(),

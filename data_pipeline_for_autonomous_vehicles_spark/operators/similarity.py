@@ -2921,6 +2921,84 @@ ORDER BY source
 """
 
 
+DRIFT_ABS_E6 = 50_000  # per-dim mean shift > 0.05 (unit-scale embeddings) drifts
+
+
+def embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean drift between the at-rest corpus slice and the
+    incoming batch (the SEM_DELTA_MOD delta convention shared with
+    `incremental_semdedup_probe`): the maintenance gate run before
+    trusting `incremental_ivf_update` / `incremental_semdedup_probe`
+    after an ingest — a shifted embedding distribution (new encoder
+    version, new domain) silently degrades a FROZEN quantizer's cells,
+    and recall audits only catch it after the index is already stale.
+
+    Exactness: per-slice sums are int64 over the 1e6 fixed-point grid;
+    the drift flag |mean_delta − mean_corpus| > 0.05 is cross-multiplied
+    in integers (|sx_d·n_c − sx_c·n_d| > DRIFT_ABS_E6·n_d·n_c — exact, no
+    division); displayed means/shift are single IEEE divisions rounded
+    6dp. The threshold is ABSOLUTE on the unit embedding scale, not
+    variance-relative: a variance-scaled test needs (Δ·n)²-sized
+    integers that overflow int64 at corpus scale, and an absolute gate
+    on a normalized space is the production norm anyway.
+
+    Scale: one posexplode pass → 2·dim cells; fully map-side combined.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = (
+        emb.select(
+            _sem_delta_cond().alias("is_delta"),
+            F.posexplode(_scaled_vec(F.col("embedding"))).alias("pos", "v"),
+        )
+        .groupBy("pos")
+        .agg(
+            F.sum(F.when(~F.col("is_delta"), 1).otherwise(0)).alias("n_c"),
+            F.sum(F.when(~F.col("is_delta"), F.col("v")).otherwise(0)).alias("sx_c"),
+            F.sum(F.when(F.col("is_delta"), 1).otherwise(0)).alias("n_d"),
+            F.sum(F.when(F.col("is_delta"), F.col("v")).otherwise(0)).alias("sx_d"),
+        )
+    )
+    mean_c = F.col("sx_c").cast("double") / F.col("n_c").cast("double") / F.lit(_KM_SCALE)
+    mean_d = F.col("sx_d").cast("double") / F.col("n_d").cast("double") / F.lit(_KM_SCALE)
+    lhs = F.abs(F.col("sx_d") * F.col("n_c") - F.col("sx_c") * F.col("n_d"))
+    return cells.select(
+        F.col("pos").cast("long").alias("dim"),
+        F.col("n_c").cast("long").alias("n_corpus"),
+        F.col("n_d").cast("long").alias("n_delta"),
+        round_half_up(mean_c, 6).alias("mean_corpus"),
+        round_half_up(mean_d, 6).alias("mean_delta"),
+        round_half_up(mean_d - mean_c, 6).alias("shift"),
+        (lhs > F.lit(DRIFT_ABS_E6) * F.col("n_d") * F.col("n_c")).alias("drifted"),
+    ).orderBy("dim")
+
+
+_DRIFT_AUDIT_SQL = f"""
+WITH cells AS (
+  SELECT pos,
+         SUM(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS n_c,
+         SUM(CASE WHEN NOT is_delta THEN v ELSE 0 END) AS sx_c,
+         SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS n_d,
+         SUM(CASE WHEN is_delta THEN v ELSE 0 END) AS sx_d
+  FROM (
+    SELECT vec_id % {SEM_DELTA_MOD} = {SEM_DELTA_MOD - 1} AS is_delta,
+           unnest(list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(FLOOR(x * {_KM_SCALE} + 0.5) AS BIGINT))) AS v,
+           unnest(range(0, len(embedding))) AS pos
+    FROM embeddings) t
+  GROUP BY pos)
+SELECT CAST(pos AS BIGINT) AS dim,
+       CAST(n_c AS BIGINT) AS n_corpus,
+       CAST(n_d AS BIGINT) AS n_delta,
+       {sql_round_half_up(f"CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE) / {_KM_SCALE}", 6)} AS mean_corpus,
+       {sql_round_half_up(f"CAST(sx_d AS DOUBLE) / CAST(n_d AS DOUBLE) / {_KM_SCALE}", 6)} AS mean_delta,
+       {sql_round_half_up(f"CAST(sx_d AS DOUBLE) / CAST(n_d AS DOUBLE) / {_KM_SCALE} - CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE) / {_KM_SCALE}", 6)} AS shift,
+       ABS(sx_d * n_c - sx_c * n_d) > {DRIFT_ABS_E6} * n_d * n_c AS drifted
+FROM cells
+ORDER BY dim
+"""
+
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "uncertainty_sampling_topk": uncertainty_sampling_topk,
@@ -2945,6 +3023,7 @@ QUERIES = {
     "source_centroid_similarity": source_centroid_similarity,
     "embedding_norm_audit": embedding_norm_audit,
     "embedding_dim_stats": embedding_dim_stats,
+    "embedding_drift_audit": embedding_drift_audit,
     "hard_negative_topk": hard_negative_topk,
     "triplet_margin_report": triplet_margin_report,
 }
@@ -2973,6 +3052,7 @@ ORACLES = {
     "source_centroid_similarity": _CENTROID_SIM_SQL,
     "embedding_norm_audit": _NORM_AUDIT_SQL,
     "embedding_dim_stats": _DIM_STATS_SQL,
+    "embedding_drift_audit": _DRIFT_AUDIT_SQL,
     "hard_negative_topk": _HARD_NEG_SQL,
     "triplet_margin_report": _TRIPLET_SQL,
 }
