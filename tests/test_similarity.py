@@ -1,3 +1,7 @@
+"""Embedding-space maintenance audits — fixed-point recounts on driver
+data."""
+
+from __future__ import annotations
 
 
 def test_embedding_drift_audit_matches_bruteforce(spark, sf_dir):
