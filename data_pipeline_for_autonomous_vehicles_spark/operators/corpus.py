@@ -1310,10 +1310,8 @@ ORDER BY d.doc_id
 """
 
 
-# --- stage ablation: order-free attribution of the funnel's drops -------------
+# --- vocabulary-impact audit of the funnel -----------------------------------
 
-# (order, name, the stage's FAIL predicate over `_curation_joined` columns) —
-# the same four signals `_verdict_col` sequences, evaluated independently
 def curation_vocab_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Did the funnel bias the corpus vocabulary? Per language: the
     distinct-token vocabulary of all docs vs of the verdict='kept' docs,
@@ -1389,6 +1387,10 @@ ORDER BY lang
 """
 
 
+# --- stage ablation: order-free attribution of the funnel's drops -------------
+
+# (order, name, the stage's FAIL predicate over `_curation_joined` columns) —
+# the same four signals `_verdict_col` sequences, evaluated independently
 _ABLATION_STAGES = ("near_dup", "quality", "classifier", "fluency")
 
 

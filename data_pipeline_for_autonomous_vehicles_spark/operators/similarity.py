@@ -2935,12 +2935,17 @@ def embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: per-slice sums are int64 over the 1e6 fixed-point grid;
     the drift flag |mean_delta − mean_corpus| > 0.05 is cross-multiplied
-    in integers (|sx_d·n_c − sx_c·n_d| > DRIFT_ABS_E6·n_d·n_c — exact, no
-    division); displayed means/shift are single IEEE divisions rounded
-    6dp. The threshold is ABSOLUTE on the unit embedding scale, not
-    variance-relative: a variance-scaled test needs (Δ·n)²-sized
-    integers that overflow int64 at corpus scale, and an absolute gate
-    on a normalized space is the production norm anyway.
+    exactly with NO division — in decimal(38,0) on Spark and HUGEINT on
+    DuckDB, because the int64 products |sx·n| reach ~1e22 at
+    1e8-vector corpus scale (int64 wraps silently at 9.2e18; the flag
+    output stays BOOLEAN, so the driver's no-decimal-columns rule is
+    untouched). Displayed means/shift are single IEEE divisions rounded
+    6dp, NULL when a slice is empty (both engines guard the division —
+    DuckDB would otherwise emit IEEE inf/NaN); an empty slice can never
+    flag (|0·n − sx·0| > τ·0 is false). The threshold is ABSOLUTE on the
+    unit embedding scale, not variance-relative: a variance-scaled test
+    squares the products again, and an absolute gate on a normalized
+    space is the production norm anyway.
 
     Scale: one posexplode pass → 2·dim cells; fully map-side combined.
     """
@@ -2958,9 +2963,19 @@ def embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("is_delta"), F.col("v")).otherwise(0)).alias("sx_d"),
         )
     )
-    mean_c = F.col("sx_c").cast("double") / F.col("n_c").cast("double") / F.lit(_KM_SCALE)
-    mean_d = F.col("sx_d").cast("double") / F.col("n_d").cast("double") / F.lit(_KM_SCALE)
-    lhs = F.abs(F.col("sx_d") * F.col("n_c") - F.col("sx_c") * F.col("n_d"))
+    mean_c = F.when(
+        F.col("n_c") > 0,
+        F.col("sx_c").cast("double") / F.col("n_c").cast("double") / F.lit(_KM_SCALE),
+    )
+    mean_d = F.when(
+        F.col("n_d") > 0,
+        F.col("sx_d").cast("double") / F.col("n_d").cast("double") / F.lit(_KM_SCALE),
+    )
+    dec = "decimal(38,0)"
+    lhs = F.abs(
+        F.col("sx_d").cast(dec) * F.col("n_c") - F.col("sx_c").cast(dec) * F.col("n_d")
+    )
+    rhs = F.lit(DRIFT_ABS_E6).cast(dec) * F.col("n_d") * F.col("n_c")
     return cells.select(
         F.col("pos").cast("long").alias("dim"),
         F.col("n_c").cast("long").alias("n_corpus"),
@@ -2968,7 +2983,7 @@ def embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(mean_c, 6).alias("mean_corpus"),
         round_half_up(mean_d, 6).alias("mean_delta"),
         round_half_up(mean_d - mean_c, 6).alias("shift"),
-        (lhs > F.lit(DRIFT_ABS_E6) * F.col("n_d") * F.col("n_c")).alias("drifted"),
+        (lhs > rhs).alias("drifted"),
     ).orderBy("dim")
 
 
@@ -2989,10 +3004,11 @@ WITH cells AS (
 SELECT CAST(pos AS BIGINT) AS dim,
        CAST(n_c AS BIGINT) AS n_corpus,
        CAST(n_d AS BIGINT) AS n_delta,
-       {sql_round_half_up(f"CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE) / {_KM_SCALE}", 6)} AS mean_corpus,
-       {sql_round_half_up(f"CAST(sx_d AS DOUBLE) / CAST(n_d AS DOUBLE) / {_KM_SCALE}", 6)} AS mean_delta,
-       {sql_round_half_up(f"CAST(sx_d AS DOUBLE) / CAST(n_d AS DOUBLE) / {_KM_SCALE} - CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE) / {_KM_SCALE}", 6)} AS shift,
-       ABS(sx_d * n_c - sx_c * n_d) > {DRIFT_ABS_E6} * n_d * n_c AS drifted
+       CASE WHEN n_c > 0 THEN {sql_round_half_up(f"CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE) / {_KM_SCALE}", 6)} END AS mean_corpus,
+       CASE WHEN n_d > 0 THEN {sql_round_half_up(f"CAST(sx_d AS DOUBLE) / CAST(n_d AS DOUBLE) / {_KM_SCALE}", 6)} END AS mean_delta,
+       CASE WHEN n_c > 0 AND n_d > 0 THEN {sql_round_half_up(f"CAST(sx_d AS DOUBLE) / CAST(n_d AS DOUBLE) / {_KM_SCALE} - CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE) / {_KM_SCALE}", 6)} END AS shift,
+       ABS(CAST(sx_d AS HUGEINT) * n_c - CAST(sx_c AS HUGEINT) * n_d)
+         > CAST({DRIFT_ABS_E6} AS HUGEINT) * n_d * n_c AS drifted
 FROM cells
 ORDER BY dim
 """
