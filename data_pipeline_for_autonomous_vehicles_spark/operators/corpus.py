@@ -966,8 +966,10 @@ def _source_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator sum. The ONE definition `mixture_temperature_weights` and
     `epoch_allocation_plan` share (a temperature or fixed-point-scale
     change here moves both reports together; their SQL twins share
-    `_SQL_SOURCE_WEIGHTS` the same way)."""
-    docs = load_table(spark, sf_dir, "documents")
+    `_SQL_SOURCE_WEIGHTS` the same way). Whitespace-only docs are excluded
+    (split yields [''] on both engines, which would count 1 phantom token
+    into n_tokens and the EPOCH_CAP ceiling)."""
+    docs = _nonempty(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("source", F.size(_toks()).cast("long").alias("n_toks"))
         .groupBy("source")
@@ -984,7 +986,7 @@ def _source_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SOURCE_WEIGHTS = f"""per_source AS (
   SELECT source, COUNT(*) AS n_docs,
          CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY source),
+  FROM documents WHERE trim(text) <> '' GROUP BY source),
 w AS (
   SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
               AS w_e6

@@ -844,9 +844,13 @@ def test_epoch_allocation_plan_invariants_and_redistribution(spark, sf_dir, tmp_
         did += 1
     docs.append(Row(doc_id=did, text="tiny doc of eight tokens here now ok",
                     lang="en", source="small", n_chars=0))
+    did += 1
+    # whitespace-only doc: split yields [''] — must count 0 tokens, not 1
+    docs.append(Row(doc_id=did, text="   ", lang="en", source="big", n_chars=0))
     d = str(tmp_path / "docs")
     spark.createDataFrame(docs).coalesce(1).write.parquet(d + "/documents.parquet")
     plan = {r["source"]: r for r in epoch_allocation_plan(spark, d).collect()}
+    assert plan["big"]["n_tokens"] == 5000 * 50  # ws-only doc excluded
     assert plan["small"]["capped"] and plan["small"]["granted_tokens"] == plan["small"]["cap_tokens"]
     assert not plan["big"]["capped"]
     # redistribution: big got MORE than its raw allocation
@@ -880,6 +884,7 @@ def test_boilerplate_delta_probe_union_equals_rebuild(spark, sf_dir):
     # both flavors fire somewhere on driver data: boilerplate that predates
     # the delta, and boilerplate the delta itself mints
     assert any(p["n_known_boiler"] > 0 for p in probe.values())
+    assert any(p["n_new_boiler"] > 0 for p in probe.values())
 
 
 def test_curation_vocab_impact_matches_bruteforce(spark, sf_dir):

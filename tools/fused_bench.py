@@ -49,6 +49,8 @@ def _noop(df) -> None:
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_scaled_10x"
     mode = sys.argv[2] if len(sys.argv) > 2 else "curation"
+    if mode not in ("curation", "boiler"):
+        sys.exit(f"usage: fused_bench.py [sf_dir] [curation|boiler] (got {mode!r})")
     parts = BOILER_PARTS if mode == "boiler" else PARTS
     fused_builder = (
         corpus.fused_boiler_frame if mode == "boiler" else corpus.fused_curation_frame
