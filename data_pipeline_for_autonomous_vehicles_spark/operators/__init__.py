@@ -33,6 +33,7 @@ def _modules():
         fuzzy,
         graph,
         history,
+        ingest,
         metrics,
         multimodal,
         olap,
@@ -65,6 +66,7 @@ def _modules():
         frequency,
         fuzzy,
         graph,
+        ingest,
         quality,
         ranking,
         sampling,

@@ -429,37 +429,57 @@ def _removal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     `substring_dup_removal_audit`, `curated_training_shards`,
     `curated_shard_manifest`) each apply their own, so a fused job can
     cache THIS frame and pay for the windows/islands pass once."""
-    from pyspark.sql import Window
-
     docs = _nonempty(load_table(spark, sf_dir, "documents"))
-    w = PASSAGE_TOKENS
     base = docs.select("doc_id", _toks().alias("toks"))
-    wins_expr = _win_digests()
-    wins = (
-        base.filter(F.size("toks") >= w)
-        .select("doc_id", F.posexplode(wins_expr).alias("pos0", "digest"))
-        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "digest")
-    )
+    wins = _positioned_windows(base)
     keeper = wins.groupBy("digest").agg(F.min("doc_id").alias("keep_doc"))
     cut = (
         wins.join(keeper, "digest")
         .filter(F.col("keep_doc") < F.col("doc_id"))
         .select("doc_id", "pos")
     )
-    # consecutive cut positions -> one island; island [p1, p2] covers
-    # tokens [p1, p2 + W - 1] (token extents of nearby islands may still
-    # overlap — the per-token exists() below handles that naturally)
+    return _excise(base, _cut_intervals(cut))
+
+
+def _positioned_windows(base: DataFrame) -> DataFrame:
+    """(doc_id, pos 1-based, digest) sliding PASSAGE_TOKENS-token windows of
+    a (doc_id, toks) frame — the positioned twin of `_win_digests`, shared
+    by `_removal_frame` and the incremental span-cut probe."""
+    return (
+        base.filter(F.size("toks") >= PASSAGE_TOKENS)
+        .select("doc_id", F.posexplode(_win_digests()).alias("pos0", "digest"))
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "digest")
+    )
+
+
+def _cut_intervals(cut: DataFrame) -> DataFrame:
+    """Compress per-doc cut window POSITIONS into interval lists:
+    consecutive cut positions -> one island; island [p1, p2] covers tokens
+    [p1, p2 + W - 1] (token extents of nearby islands may still overlap —
+    the per-token exists() in `_excise` handles that naturally). The window
+    is doc_id-partitioned and bounded by windows-per-doc."""
+    from pyspark.sql import Window
+
     runw = Window.partitionBy("doc_id").orderBy("pos")
-    ivs = (
+    return (
         cut.withColumn("grp", F.col("pos") - F.row_number().over(runw))
         .groupBy("doc_id", "grp")
         .agg(
             F.min("pos").alias("s"),
-            (F.max("pos") + F.lit(w - 1)).cast("long").alias("e"),
+            (F.max("pos") + F.lit(PASSAGE_TOKENS - 1)).cast("long").alias("e"),
         )
         .groupBy("doc_id")
         .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
     )
+
+
+def _excise(base: DataFrame, ivs: DataFrame) -> DataFrame:
+    """Apply a per-doc cut-interval list to a (doc_id, toks) frame: left-join
+    the `(doc_id, ivs: array<struct<s,e>>)` intervals and drop every token
+    whose 1-based position falls inside any interval — the ONE excision
+    definition shared by `_removal_frame` and the incremental admission
+    pipeline (`ingest._delta_removal_frame`). Pure per-row higher-order
+    functions; the token array never shuffles wider than its own row."""
     joined = base.join(ivs, "doc_id", "left").withColumn(
         "ivs",
         F.coalesce("ivs", F.expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)")),
@@ -2107,24 +2127,11 @@ def boilerplate_removal_audit(
     return before.unionByName(after).orderBy("stage")
 
 
-def boilerplate_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental boilerplate admission: a DELTA batch of new documents
-    (the same deterministic doc_id % DELTA_MOD == DELTA_MOD-1 slice as
-    `minhash_delta_probe` / `incremental_semdedup_probe`) probed against
-    the segment doc-frequency INDEX of the already-ingested corpus. Per
-    delta doc: segments already boilerplate in the corpus (df_corpus ≥
-    BOILERPLATE_DF — cut on sight), segments the delta batch itself tips
-    over the threshold (df_corpus + df_delta ≥ BOILERPLATE_DF while
-    df_corpus alone is below — NEWLY minted boilerplate, the reason df
-    admission cannot be per-doc), and the token cut the combined rule
-    would make. `known + new` per doc equals exactly what a full-corpus
-    `boilerplate_segment_removal` rebuild decides for that doc (pinned by
-    pytest) — the union ≡ rebuild proof for this family.
-
-    Scale: the corpus df index is ONE digest-keyed agg, persisted/bucketed
-    by digest in a real ingest so each new batch shuffles only its own
-    delta postings — cost O(|delta| segments), never a corpus rescan.
-    """
+def _boiler_delta_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted per-delta-doc boilerplate admission counts (doc_id,
+    n_segments, n_known_boiler, n_new_boiler, n_tokens, n_cut_tokens) — the
+    shared core of `boilerplate_delta_probe` (adds cut_frac + sort) and the
+    on-sight boilerplate gate in `ingest._admission_frame`."""
     from .dedup import DELTA_MOD
 
     docs = _nonempty(load_table(spark, sf_dir, "documents"))
@@ -2151,17 +2158,37 @@ def boilerplate_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((F.col("df_corpus") + F.col("df_delta")) >= BOILERPLATE_DF),
         )
     )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.col("known").cast("long")).cast("long").alias("n_known_boiler"),
+        F.sum(F.col("new").cast("long")).cast("long").alias("n_new_boiler"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("known") | F.col("new"), F.col("ntok")).otherwise(0))
+        .cast("long")
+        .alias("n_cut_tokens"),
+    )
+
+
+def boilerplate_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental boilerplate admission: a DELTA batch of new documents
+    (the same deterministic doc_id % DELTA_MOD == DELTA_MOD-1 slice as
+    `minhash_delta_probe` / `incremental_semdedup_probe`) probed against
+    the segment doc-frequency INDEX of the already-ingested corpus. Per
+    delta doc: segments already boilerplate in the corpus (df_corpus ≥
+    BOILERPLATE_DF — cut on sight), segments the delta batch itself tips
+    over the threshold (df_corpus + df_delta ≥ BOILERPLATE_DF while
+    df_corpus alone is below — NEWLY minted boilerplate, the reason df
+    admission cannot be per-doc), and the token cut the combined rule
+    would make. `known + new` per doc equals exactly what a full-corpus
+    `boilerplate_segment_removal` rebuild decides for that doc (pinned by
+    pytest) — the union ≡ rebuild proof for this family.
+
+    Scale: the corpus df index is ONE digest-keyed agg, persisted/bucketed
+    by digest in a real ingest so each new batch shuffles only its own
+    delta postings — cost O(|delta| segments), never a corpus rescan.
+    """
     return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_segments"),
-            F.sum(F.col("known").cast("long")).cast("long").alias("n_known_boiler"),
-            F.sum(F.col("new").cast("long")).cast("long").alias("n_new_boiler"),
-            F.sum("ntok").cast("long").alias("n_tokens"),
-            F.sum(F.when(F.col("known") | F.col("new"), F.col("ntok")).otherwise(0))
-            .cast("long")
-            .alias("n_cut_tokens"),
-        )
+        _boiler_delta_frame(spark, sf_dir)
         .select(
             "doc_id",
             "n_segments",
