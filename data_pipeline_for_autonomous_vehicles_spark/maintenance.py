@@ -53,13 +53,15 @@ def _fs(spark: SparkSession, path: str):
     return _hadoop_path(spark, path).getFileSystem(spark._jsc.hadoopConfiguration())
 
 
-def list_partitions(spark: SparkSession, path: str) -> dict[str, dict[str, int]]:
+def list_partitions(
+    spark: SparkSession, path: str, partition_col: str = PARTITION_COL
+) -> dict[str, dict[str, int]]:
     """Map partition value -> {"files": n, "bytes": total} from a directory
     listing of ``path``. Metadata-only: the cost is one LIST per partition,
     independent of data volume."""
     fs = _fs(spark, path)
     out: dict[str, dict[str, int]] = {}
-    prefix = f"{PARTITION_COL}="
+    prefix = f"{partition_col}="
     for st in fs.listStatus(_hadoop_path(spark, path)):
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith(prefix)):
@@ -82,6 +84,7 @@ def compact_partitions(
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     days: list[str] | None = None,
     sort_cols: tuple[str, ...] = ("user_id",),
+    partition_col: str = PARTITION_COL,
 ) -> dict[str, dict[str, int]]:
     """Bin-pack small files in the selected (default: all) partitions.
 
@@ -96,10 +99,17 @@ def compact_partitions(
     each partition so the min/max row-group skipping layout written by
     ``sinks.write_time_partitioned`` survives compaction.
 
-    Returns the plan: {day: {"files": before, "planned": n_out}} for the
+    ``partition_col`` selects the layout: the date-partitioned sinks
+    (default) or any other single-column layout — the curated-shard
+    directories (`partition_col="shard"`, sort by doc_id) degrade file-wise
+    under `ingest` appends exactly the way streaming days do, and this same
+    bin-pack heals them (see `ingest.shard_file_audit` + the compaction
+    pytest).
+
+    Returns the plan: {value: {"files": before, "planned": n_out}} for the
     partitions actually rewritten.
     """
-    stats = list_partitions(spark, path)
+    stats = list_partitions(spark, path, partition_col)
     plan: dict[str, dict[str, int]] = {}
     for day, st in stats.items():
         if days is not None and day not in days:
@@ -114,22 +124,24 @@ def compact_partitions(
         *[x for day, p in plan.items() for x in (F.lit(day), F.lit(p["planned"]))]
     )
     df = spark.read.parquet(path).filter(
-        F.col(PARTITION_COL).isin(list(plan))  # partition-pruned scan
+        # partition-pruned scan; values cast to string to match the
+        # directory names whatever the inferred partition type (date, int)
+        F.col(partition_col).cast("string").isin(list(plan))
     )
-    data_cols = [c for c in df.columns if c != PARTITION_COL]
+    data_cols = [c for c in df.columns if c != partition_col]
     slot = F.pmod(
         F.xxhash64(*data_cols),
-        F.element_at(slot_map, F.col(PARTITION_COL).cast("string")),
+        F.element_at(slot_map, F.col(partition_col).cast("string")),
     ).alias("_slot")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
             df.withColumn("_slot", slot)
-            .repartition(F.col(PARTITION_COL), F.col("_slot"))
+            .repartition(F.col(partition_col), F.col("_slot"))
             .drop("_slot")
-            .sortWithinPartitions(PARTITION_COL, *sort_cols)
-            .write.partitionBy(PARTITION_COL)
+            .sortWithinPartitions(partition_col, *sort_cols)
+            .write.partitionBy(partition_col)
             .mode("overwrite")
             .parquet(path)
         )

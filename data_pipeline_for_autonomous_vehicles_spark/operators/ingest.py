@@ -467,12 +467,218 @@ ORDER BY shard
 """
 
 
+# --- post-append shard layout: materialize, audit, compact -------------------
+
+# a file is "small" when it carries less than 1/SMALL_FILE_DIV of its
+# shard's rows (integer cross-multiply; the row-based twin of
+# maintenance.DEFAULT_TARGET_FILE_BYTES, chosen so the oracle can predict
+# smallness from data alone — on-disk bytes are encoder-dependent)
+SMALL_FILE_DIV = 4
+
+_MANIFEST_COLS = ("doc_id", "n_tokens", "n_bytes", "kept_text")
+
+
+def _shard_layout_dir(sf_dir: str) -> str:
+    import os
+
+    return f"/tmp/shard_layout_{os.path.basename(sf_dir.rstrip('/'))}"
+
+
+def _materialize_shard_layout(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Write the post-append curated-shard layout at ``path``: the base
+    build (full-rebuild `curated_shard_manifest` restricted to
+    already-ingested doc_ids — what the last full build wrote) as one file
+    per shard, then the incremental batch's ADMITTED rows appended — one
+    more file per shard that received appends. `repartition(N, shard)`
+    puts each shard's rows in one task, so the dynamic partition writer
+    emits exactly one file per shard per write: the layout (and therefore
+    the audit below) is deterministic and oracle-predictable. The previous
+    layout is wiped first, so re-runs are idempotent."""
+    from ..maintenance import _fs, _hadoop_path
+    from .corpus import curated_shard_manifest
+    from .dedup import DELTA_MOD
+    from .text import N_SHARDS
+
+    _fs(spark, path).delete(_hadoop_path(spark, path), True)
+    base = curated_shard_manifest(spark, sf_dir).filter(
+        (F.col("doc_id") % F.lit(DELTA_MOD)) != F.lit(DELTA_MOD - 1)
+    )
+    for frame, mode in (
+        (base, "overwrite"),
+        (
+            _admission_frame(spark, sf_dir).filter(F.col("verdict") == "admitted"),
+            "append",
+        ),
+    ):
+        (
+            frame.select("shard", *_MANIFEST_COLS)
+            .repartition(N_SHARDS, "shard")
+            .write.partitionBy("shard")
+            .mode(mode)
+            .parquet(path)
+        )
+
+
+def shard_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-file health report of the curated-shard layout AFTER an
+    incremental append: materialize base-build + appended-batch shard
+    directories (see `_materialize_shard_layout`), then per shard count
+    files, rows, content bytes, and files carrying under 1/SMALL_FILE_DIV
+    of the shard's rows — the signal that schedules
+    `maintenance.compact_partitions(..., partition_col="shard")` before
+    append churn turns every trainer scan into a file-listing storm (each
+    50-doc append is one more file per shard; a day of hourly batches is
+    24× the file count for the same bytes).
+
+    Content bytes are the manifest's `n_bytes` sums (data-derived, so the
+    DuckDB twin can recompute them); ON-DISK bytes are encoder-dependent
+    and come from `maintenance.list_partitions` in a real scheduler.
+
+    Scale: the audit is one `input_file_name()` group-by over the shard
+    directories — file-count many groups, no wide shuffle; the layout
+    write itself is the shard writer this family exists to feed."""
+    path = _shard_layout_dir(sf_dir)
+    _materialize_shard_layout(spark, sf_dir, path)
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.col("shard").cast("long").alias("shard"), F.input_file_name().alias("_f"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_rows"),
+            F.sum("n_bytes").cast("long").alias("_bytes"),
+        )
+    )
+    tot = per_file.groupBy("shard").agg(F.sum("_rows").alias("_shard_rows"))
+    return (
+        per_file.join(tot, "shard")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("_rows").cast("long").alias("n_rows"),
+            F.sum("_bytes").cast("long").alias("n_content_bytes"),
+            F.sum(
+                (F.col("_rows") * F.lit(SMALL_FILE_DIV) < F.col("_shard_rows")).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_small_files"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _sql_shard_file_audit() -> str:
+    from .corpus import _sql_curated_manifest
+    from .dedup import DELTA_MOD
+
+    d = DELTA_MOD
+    return f"""
+WITH man AS (SELECT * FROM ({_sql_curated_manifest()}) mm),
+basef AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS rows_, CAST(SUM(n_bytes) AS BIGINT) AS bytes_
+  FROM man WHERE doc_id % {d} <> {d - 1} GROUP BY shard),
+appf AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS rows_, CAST(SUM(n_bytes) AS BIGINT) AS bytes_
+  FROM ({_sql_admission_manifest()}) am WHERE verdict = 'admitted' GROUP BY shard),
+per_file AS (SELECT * FROM basef UNION ALL SELECT * FROM appf),
+tot AS (SELECT shard, SUM(rows_) AS shard_rows FROM per_file GROUP BY shard)
+SELECT p.shard,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(p.rows_) AS BIGINT) AS n_rows,
+       CAST(SUM(p.bytes_) AS BIGINT) AS n_content_bytes,
+       CAST(SUM(CASE WHEN p.rows_ * {SMALL_FILE_DIV} < t.shard_rows
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_small_files
+FROM per_file p JOIN tot t USING (shard)
+GROUP BY p.shard
+ORDER BY p.shard
+"""
+
+
+# --- observed-write run report: zero-extra-scan output accounting ------------
+
+
+def pipeline_run_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the full curated-shard manifest through
+    `observe.observed_write` and return the row accounting computed ON THE
+    ROWS ACTUALLY WRITTEN — doc/token/byte totals, empty-payload count, and
+    an order-insensitive row checksum — as a 1-row DataFrame: the run
+    manifest a scheduler stores next to the output and alerts on (a
+    checksum or count drift between two runs of the same input is a
+    correctness incident, caught for zero extra scans because the
+    Observation rides the write job itself).
+
+    The DuckDB twin recomputes every column from the manifest definition,
+    so the driver gate proves the OBSERVED values equal the declared
+    semantics — the write path drops or duplicates nothing.
+
+    Scale: `df.observe` merges per-task partial aggregates on the driver —
+    no second pass, no shuffle beyond the write's own; the checksum is a
+    SUM of bounded per-row hashes (< 2^32 each), exact in int64 to ~10^9
+    rows per run."""
+    from ..observe import observed_write
+    from .corpus import curated_shard_manifest
+
+    man = curated_shard_manifest(spark, sf_dir)
+    row_hash = portable_hash(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.col("shard").cast("string"),
+            F.col("n_tokens").cast("string"),
+            F.col("kept_text"),
+        )
+    )
+    import os
+
+    path = f"/tmp/pipeline_run_{os.path.basename(sf_dir.rstrip('/'))}"
+    vals = observed_write(
+        man,
+        path,
+        {
+            "n_docs": F.count(F.lit(1)).cast("long"),
+            "n_tokens": F.sum("n_tokens").cast("long"),
+            "n_bytes": F.sum("n_bytes").cast("long"),
+            "n_empty_docs": F.sum((F.length("kept_text") == 0).cast("long")).cast(
+                "long"
+            ),
+            "row_checksum": F.sum(row_hash).cast("long"),
+        },
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cols = ["n_docs", "n_tokens", "n_bytes", "n_empty_docs", "row_checksum"]
+    schema = StructType([StructField(c, LongType()) for c in cols])
+    return spark.createDataFrame([tuple(vals[c] for c in cols)], schema)
+
+
+def _sql_run_report() -> str:
+    from .corpus import _sql_curated_manifest
+
+    h = sql_portable_hash(
+        "CAST(doc_id AS VARCHAR) || '|' || CAST(shard AS VARCHAR) || '|' || "
+        "CAST(n_tokens AS VARCHAR) || '|' || kept_text"
+    )
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+       CAST(SUM(CASE WHEN len(kept_text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_empty_docs,
+       CAST(SUM({h}) AS BIGINT) AS row_checksum
+FROM ({_sql_curated_manifest()}) m
+"""
+
+
 QUERIES = {
     "incremental_admission_manifest": incremental_admission_manifest,
     "incremental_shard_update": incremental_shard_update,
+    "shard_file_audit": shard_file_audit,
+    "pipeline_run_report": pipeline_run_report,
 }
 
 ORACLES = {
     "incremental_admission_manifest": _sql_admission_manifest(),
     "incremental_shard_update": _sql_shard_update(),
+    "shard_file_audit": _sql_shard_file_audit(),
+    "pipeline_run_report": _sql_run_report(),
 }

@@ -124,6 +124,62 @@ def test_append_equals_rebuild_on_constructed_corpus(spark, tmp_path):
     _assert_admitted_equals_rebuild(spark, d)
 
 
+def test_shard_compaction_heals_append_files_preserving_rows(spark, sf_dir):
+    """The append batch degrades the shard layout to 2 files (base + append)
+    on every shard that received admissions; `compact_partitions` wired to
+    the shard layout bin-packs them back to one file per shard while every
+    manifest row survives byte-identical."""
+    from data_pipeline_for_autonomous_vehicles_spark.maintenance import (
+        compact_partitions,
+        list_partitions,
+    )
+    from data_pipeline_for_autonomous_vehicles_spark.operators.ingest import (
+        _shard_layout_dir,
+        shard_file_audit,
+    )
+
+    audit = {r["shard"]: r for r in shard_file_audit(spark, sf_dir).collect()}
+    path = _shard_layout_dir(sf_dir)
+    assert any(r["n_files"] == 2 for r in audit.values())
+    assert any(r["n_small_files"] >= 1 for r in audit.values())
+    # the audit's file counts are the real directory listing's
+    stats = list_partitions(spark, path, partition_col="shard")
+    assert {int(k): v["files"] for k, v in stats.items()} == {
+        s: r["n_files"] for s, r in audit.items()
+    }
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    files_before = sum(v["files"] for v in stats.values())
+
+    plan = compact_partitions(
+        spark, path, target_file_bytes=1 << 30,
+        sort_cols=("doc_id",), partition_col="shard",
+    )
+    assert plan, "no shard was rewritten although multi-file shards exist"
+    after_stats = list_partitions(spark, path, partition_col="shard")
+    assert all(v["files"] == 1 for v in after_stats.values())
+    assert sum(v["files"] for v in after_stats.values()) < files_before
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+
+
+def test_pipeline_run_report_matches_direct_aggregation(spark, sf_dir):
+    """The observed-write metrics equal a direct aggregation of the manifest
+    — the write path drops or duplicates nothing."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        curated_shard_manifest,
+    )
+    from data_pipeline_for_autonomous_vehicles_spark.operators.ingest import (
+        pipeline_run_report,
+    )
+
+    rep = pipeline_run_report(spark, sf_dir).collect()[0]
+    man = curated_shard_manifest(spark, sf_dir).collect()
+    assert rep["n_docs"] == len(man)
+    assert rep["n_tokens"] == sum(r["n_tokens"] for r in man)
+    assert rep["n_bytes"] == sum(r["n_bytes"] for r in man)
+    assert rep["n_empty_docs"] == sum(1 for r in man if r["kept_text"] == "")
+
+
 def test_shard_update_accounting(spark, sf_dir):
     """The rollup row balances: every count column totals the shard rows,
     verdicts partition the batch, and the share columns are exact."""
