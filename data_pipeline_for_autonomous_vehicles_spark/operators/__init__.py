@@ -39,6 +39,7 @@ def _modules():
         olap,
         quality,
         ranking,
+        readiness,
         sampling,
         sequences,
         similarity,
@@ -69,6 +70,7 @@ def _modules():
         ingest,
         quality,
         ranking,
+        readiness,
         sampling,
         sequences,
         similarity,
