@@ -478,7 +478,7 @@ def _excise(base: DataFrame, ivs: DataFrame) -> DataFrame:
     the `(doc_id, ivs: array<struct<s,e>>)` intervals and drop every token
     whose 1-based position falls inside any interval — the ONE excision
     definition shared by `_removal_frame` and the incremental admission
-    pipeline (`ingest._delta_removal_frame`). Pure per-row higher-order
+    pipeline (`ingest._admission_frame`). Pure per-row higher-order
     functions; the token array never shuffles wider than its own row."""
     joined = base.join(ivs, "doc_id", "left").withColumn(
         "ivs",

@@ -275,6 +275,7 @@ def incremental_shard_update(
     for the shares. Inject ``frame=_admission_frame(...)`` (cached) when a
     job also materializes the manifest — the gate pass then runs once.
     """
+    from ..caching import register_plan_cache
     from .text import N_SHARDS
 
     per = _admission_frame(spark, sf_dir) if frame is None else frame
@@ -295,10 +296,12 @@ def incremental_shard_update(
         .cast("long")
         .alias("n_bytes_appended"),
     )
-    tot = per.agg(
-        F.sum(F.when(adm, F.col("n_tokens")).otherwise(0))
-        .cast("long")
-        .alias("_tot_tok")
+    # the batch token total IS the rollup's grand-total row — cache the
+    # 17-row aggregate so reading it twice (rows + total) runs the whole
+    # admission plan once, not twice
+    g = register_plan_cache(g.cache())
+    tot = g.filter(F.col("shard").isNull()).select(
+        F.col("n_tokens_appended").alias("_tot_tok")
     )
     share_raw = F.col("n_tokens_appended").cast("double") / F.col("_tot_tok").cast(
         "double"
@@ -478,10 +481,20 @@ SMALL_FILE_DIV = 4
 _MANIFEST_COLS = ("doc_id", "n_tokens", "n_bytes", "kept_text")
 
 
-def _shard_layout_dir(sf_dir: str) -> str:
+def _derived_dir(prefix: str, sf_dir: str) -> str:
+    """Deterministic scratch dir for a corpus-derived artifact: readable
+    basename plus a hash of the FULL path, so two corpora that share a leaf
+    name (pytest tmp dirs, parallel runs) cannot clobber each other."""
+    import hashlib
     import os
 
-    return f"/tmp/shard_layout_{os.path.basename(sf_dir.rstrip('/'))}"
+    leaf = os.path.basename(sf_dir.rstrip("/"))
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    return f"/tmp/{prefix}_{leaf}_{tag}"
+
+
+def _shard_layout_dir(sf_dir: str) -> str:
+    return _derived_dir("shard_layout", sf_dir)
 
 
 def _materialize_shard_layout(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -628,9 +641,7 @@ def pipeline_run_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("kept_text"),
         )
     )
-    import os
-
-    path = f"/tmp/pipeline_run_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _derived_dir("pipeline_run", sf_dir)
     vals = observed_write(
         man,
         path,

@@ -13,9 +13,14 @@ existing frames (each gate's plan is built exactly once per run; nothing is
 recomputed twice), each reduced to a 1-row aggregate and unioned.
 
 Every headline is normalized to a "badness percent" so one rule covers the
-table: ``pass ⇔ headline_pct ≤ threshold_pct``. Thresholds are committed
-module constants — the point of the scorecard is that changing a gate's
-tolerance is a reviewed diff here, not a notebook variable.
+table: ``pass ⇔ badness ≤ threshold_pct``, decided on the RAW badness
+(recomputed from integer counts where the source report publishes a rounded
+percent — a zero-tolerance gate must not let tiny-but-real badness round to
+0.0000 and pass) and failing CLOSED on NULL (an empty input slice blocks
+training rather than sailing through). ``headline_pct`` is the 4dp display
+of the same raw value. Thresholds are committed module constants — the
+point of the scorecard is that changing a gate's tolerance is a reviewed
+diff here, not a notebook variable.
 
 Scale (100 TB): the expensive inputs are the gate frames themselves, each
 already audited for scale shape (posexplode dim cells, broadcast eval
@@ -51,15 +56,20 @@ _GATES = (
 
 
 def _gate_row(order: int, gate: str, threshold: float, headline: DataFrame) -> DataFrame:
-    """Shape a 1-row (h: double) frame into a scorecard row; the verdict
-    compares the ROUNDED headline so both engines decide identically."""
-    h = round_half_up(F.col("h"), 4)
+    """Shape a 1-row (h: double) frame into a scorecard row. The verdict
+    compares the RAW headline (identical integer-sum/divide sequences on
+    both engines), not the 4dp display rounding — a zero-tolerance gate
+    must not let one leaked pair in a billion round to 0.0000 and pass —
+    and fails CLOSED: a NULL headline (empty input slice, zero
+    denominator) is `pass = false`, because "no data" is exactly when a
+    train gate must block."""
+    h = F.col("h")
     return headline.select(
         F.lit(order).cast("long").alias("gate_order"),
         F.lit(gate).alias("gate"),
-        h.alias("headline_pct"),
+        round_half_up(h, 4).alias("headline_pct"),
         F.lit(float(threshold)).alias("threshold_pct"),
-        (h <= F.lit(float(threshold))).alias("pass"),
+        F.coalesce(h <= F.lit(float(threshold)), F.lit(False)).alias("pass"),
     )
 
 
@@ -85,7 +95,11 @@ def corpus_readiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("h")
     )
-    cov_frame = embedding_coverage_audit(spark, sf_dir)
+    # two gates reduce the same 20-row audit — cache it so its full-outer
+    # doc⋈embedding plan runs once (scoped release via the session host)
+    from ..caching import register_plan_cache
+
+    cov_frame = register_plan_cache(embedding_coverage_audit(spark, sf_dir).cache())
     coverage = cov_frame.agg(
         F.max(
             F.when(
@@ -103,18 +117,34 @@ def corpus_readiness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("n_with_embedding") + F.sum("n_orphan_embeddings")).cast("double")
         ).alias("h")
     )
+    # zero-tolerance gate: recompute the share from the RAW counts — the
+    # report's 6dp leaked_pct would round one-in-a-billion leakage to 0
     leak = (
         split_leakage_compare(spark, sf_dir)
         .filter(F.col("policy") == "cluster_representative")
-        .select((F.coalesce(F.col("leaked_pct"), F.lit(0.0)) * 100.0).alias("h"))
+        .select(
+            F.when(
+                F.col("n_pairs_live") > 0,
+                F.lit(100.0)
+                * F.col("n_cross_split").cast("double")
+                / F.col("n_pairs_live").cast("double"),
+            )
+            .otherwise(F.lit(0.0))  # nothing live ⇒ nothing can leak
+            .alias("h")
+        )
     )
     decon = (
         decontamination_policy_sweep(spark, sf_dir)
         .filter(F.col("theta") == F.lit(DECON_THETA))
         .select(F.col("dropped_tokens_pct").alias("h"))
     )
+    # raw counts, not the report's 6dp vocab_lost_frac (same rationale)
     vocab = curation_vocab_impact(spark, sf_dir).agg(
-        (F.max("vocab_lost_frac") * 100.0).alias("h")
+        F.max(
+            F.lit(100.0)
+            * F.col("vocab_lost").cast("double")
+            / F.col("vocab_total").cast("double")
+        ).alias("h")
     )
 
     frames = dict(
@@ -152,7 +182,9 @@ def _sql_readiness() -> str:
          / CAST(SUM(n_with_embedding) + SUM(n_orphan_embeddings) AS DOUBLE) AS h
   FROM ({_COVERAGE_AUDIT_SQL}) c2""",
         "split_leakage": f"""
-  SELECT COALESCE(leaked_pct, 0.0) * 100.0 AS h
+  SELECT CASE WHEN n_pairs_live > 0 THEN
+           100.0 * CAST(n_cross_split AS DOUBLE) / CAST(n_pairs_live AS DOUBLE)
+         ELSE 0.0 END AS h
   FROM ({_sql_split_leakage()}) l
   WHERE policy = 'cluster_representative'""",
         "decontamination_cost": f"""
@@ -160,7 +192,7 @@ def _sql_readiness() -> str:
   FROM ({_sql_decon_policy_sweep()}) ds
   WHERE theta = {DECON_THETA!r}""",
         "vocab_loss": f"""
-  SELECT MAX(vocab_lost_frac) * 100.0 AS h
+  SELECT MAX(100.0 * CAST(vocab_lost AS DOUBLE) / CAST(vocab_total AS DOUBLE)) AS h
   FROM ({_sql_vocab_impact()}) v""",
     }
     arms = []
@@ -169,7 +201,7 @@ def _sql_readiness() -> str:
         arms.append(
             f"SELECT CAST({order} AS BIGINT) AS gate_order, '{gate}' AS gate,"
             f" {r} AS headline_pct, {float(thr)!r}::DOUBLE AS threshold_pct,"
-            f" {r} <= {float(thr)!r}::DOUBLE AS pass"
+            f" COALESCE(h <= {float(thr)!r}::DOUBLE, FALSE) AS pass"
             f" FROM ({heads[gate]}) s_{gate}"
         )
     return "SELECT * FROM (\n" + "\nUNION ALL\n".join(arms) + "\n) t ORDER BY gate_order"
