@@ -170,11 +170,16 @@ FROM groups
 
 def _shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
     """(id_col, shingle) distinct word-n-gram pairs. element_at is 1-based in
-    both Spark SQL and DuckDB, so the twins are literally parallel."""
+    both Spark SQL and DuckDB, so the twins are literally parallel. Docs
+    shorter than 3 tokens yield NO shingles (hence no signature row — they
+    collide with nothing), matching the SQL twin, where DuckDB's
+    end-exclusive range() is naturally empty; Spark's sequence(1, 0) steps
+    DOWNWARD to [1, 0] and must be guarded or element_at throws (found by
+    the hypothesis admission property test on a 1-token doc)."""
     toks = _tokens()
     shingle_expr = F.expr(
-        "transform(sequence(1, greatest(size(toks) - 2, 0)), "
-        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"
+        "if(size(toks) < 3, array(), transform(sequence(1, size(toks) - 2), "
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))"
     )
     return (
         docs.select(id_col, toks.alias("toks"))

@@ -326,9 +326,12 @@ ORDER BY bin
 
 # --- LM-proxy fluency scoring (corpus bigram statistics) -------------------
 
+# single-token docs yield NO bigrams: Spark's sequence(1, 0) steps DOWNWARD
+# to [1, 0] (element_at would throw); DuckDB's end-exclusive range() is
+# naturally empty, so the guard converges the engines
 _BIGRAMS = (
-    "transform(sequence(1, greatest(size(toks) - 1, 0)), "
-    "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+    "if(size(toks) < 2, array(), transform(sequence(1, size(toks) - 1), "
+    "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))))"
 )
 _SQL_BIGRAMS = (
     "list_transform(range(1, greatest(len(toks) - 1, 0) + 1), "
@@ -1452,10 +1455,11 @@ def token_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(_tokens().alias("toks"))
-    bigrams = toks.select(
+    # sequence(1, 0) guard (see _BIGRAMS): single-token docs have no bigrams
+    bigrams = toks.filter(F.size("toks") >= 2).select(
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(toks) - 1, 0)), "
+                "transform(sequence(1, size(toks) - 1), "
                 "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
             )
         ).alias("b")

@@ -297,3 +297,56 @@ def test_segment_rows_partition_and_boiler_rule(spark, docs):
     got_boiler = {r["digest"] for r in _boiler_digests(_segment_rows(base)).collect()}
     expect_boiler = {d for d, s in seg_docs.items() if len(s) >= BOILERPLATE_DF}
     assert got_boiler == expect_boiler
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=5,
+        max_size=12,
+    ),
+)
+def test_incremental_admission_one_sided_vs_rebuild(spark, docs, tmp_path_factory):
+    """On ARBITRARY corpora (tiny alphabet ⇒ heavy shared shingles, band
+    collisions, duplicated windows, minted boilerplate): every doc the
+    incremental gates ADMIT must (a) be kept by a full
+    `curated_shard_manifest` rebuild and (b) carry a byte-identical
+    manifest row (shard, token/byte counts, span-cut text) — the
+    one-sidedness contract `operators/ingest.py` claims by construction,
+    checked here against adversarial inputs instead of curated ones."""
+    from data_pipeline_for_autonomous_vehicles_spark.operators.corpus import (
+        curated_shard_manifest,
+    )
+    from data_pipeline_for_autonomous_vehicles_spark.operators.ingest import (
+        incremental_admission_manifest,
+    )
+
+    d = str(tmp_path_factory.mktemp("propcorpus"))
+    rows = []
+    for i, toks in enumerate(docs):
+        t = " ".join(toks)
+        rows.append((i, t, "en", "s0", len(t)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+
+    man = incremental_admission_manifest(spark, d).collect()
+    assert {r["doc_id"] for r in man} == {i for i in range(len(docs)) if i % 5 == 4}
+    admitted = [r for r in man if r["verdict"] == "admitted"]
+    for r in man:
+        if r["verdict"] != "admitted":
+            assert (r["n_tokens"], r["n_bytes"], r["kept_text"]) == (0, 0, "")
+    if not admitted:
+        return
+    rebuild = {r["doc_id"]: r for r in curated_shard_manifest(spark, d).collect()}
+    for r in admitted:
+        f = rebuild.get(r["doc_id"])
+        assert f is not None, f"admitted doc {r['doc_id']} dropped by rebuild"
+        assert (r["shard"], r["n_tokens"], r["n_bytes"], r["kept_text"]) == (
+            f["shard"], f["n_tokens"], f["n_bytes"], f["kept_text"],
+        )
