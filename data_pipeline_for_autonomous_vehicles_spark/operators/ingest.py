@@ -552,6 +552,25 @@ def shard_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     write itself is the shard writer this family exists to feed."""
     path = _shard_layout_dir(sf_dir)
     _materialize_shard_layout(spark, sf_dir, path)
+    from ..maintenance import list_partitions
+
+    if not list_partitions(spark, path, partition_col="shard"):
+        # a corpus the funnel rejects ENTIRELY (plus an all-rejected batch)
+        # writes no shard directory at all — the audit of an empty layout
+        # is an empty table, not a schema-inference crash
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(c, LongType())
+                    for c in (
+                        "shard", "n_files", "n_rows", "n_content_bytes", "n_small_files"
+                    )
+                ]
+            ),
+        )
     per_file = (
         spark.read.parquet(path)
         .groupBy(F.col("shard").cast("long").alias("shard"), F.input_file_name().alias("_f"))
