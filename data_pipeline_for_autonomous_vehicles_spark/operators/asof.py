@@ -101,7 +101,7 @@ def purchases_with_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id", "user_id", "value", F.col("asof_view_value").alias("last_view_value")
-    ).orderBy("event_id")
+    )  # no final orderBy: scaling output, order-insensitive gate (guide §2.4)
 
 
 _ASOF_SQL = """
@@ -148,7 +148,7 @@ def telemetry_at_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id", "user_id", "event_type", F.col("asof_speed_proxy").alias("speed_at_event")
-    ).orderBy("event_id")
+    )  # no final orderBy: scaling output, order-insensitive gate (guide §2.4)
 
 
 _TELEMETRY_AT_EVENT_SQL = """

@@ -447,7 +447,7 @@ def curriculum_read_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "phase",
             F.row_number().over(w).cast("long").alias("read_pos"),
         )
-        .orderBy("doc_id")
+        # no final orderBy: read_pos carries the order; scaling output (guide §2.4)
     )
 
 

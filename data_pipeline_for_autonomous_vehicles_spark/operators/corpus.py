@@ -75,11 +75,19 @@ def _win_digests() -> F.Column:
     """Stride-1 sliding-window digests over a `toks` column: md5 of each
     PASSAGE_TOKENS-token window, space-joined. The ONE definition the
     spans / removal / audit trio shares — a tokenizer or separator change
-    here changes all three together (and their SQL twins must follow)."""
+    here changes all three together (and their SQL twins must follow).
+
+    The digest is carried as BINARY(16) (`unhex(md5(...))`) rather than the
+    32-char hex string: digests never appear in any output — only their
+    equality matters — and the binary form halves the bytes every
+    window-digest shuffle, sort and aggregation key moves (guide §2.3,
+    narrower types). Equality on the raw 128-bit digest is exactly equality
+    on its hex spelling, so every join/groupBy keyed on it is unchanged;
+    the DuckDB twins keep hex md5 internally, which is equality-equivalent."""
     w = PASSAGE_TOKENS
     return F.expr(
         f"transform(sequence(1, size(toks) - {w} + 1), "
-        f"i -> md5(array_join(slice(toks, i, {w}), ' ')))"
+        f"i -> unhex(md5(array_join(slice(toks, i, {w}), ' '))))"
     )
 
 
@@ -144,7 +152,7 @@ def repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0),
             ).alias("top_bigram_frac"),
         )
-        .orderBy("doc_id")
+        # no final orderBy: scaling output, order-insensitive gate (guide §2.4)
     )
 
 
@@ -217,7 +225,7 @@ def passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("dup_frac"),
         )
-        .orderBy("doc_id")
+        # no final orderBy: scaling output, order-insensitive gate (guide §2.4)
     )
 
 
@@ -314,7 +322,7 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("longest_dup_span"),
         )
-        .orderBy("doc_id")
+        # no final orderBy: scaling output, order-insensitive gate (guide §2.4)
     )
 
 
@@ -416,8 +424,11 @@ def substring_dup_removal(
             ).alias("cut_frac"),
             F.array_join("kept_toks", " ").alias("kept_text"),
         )
-        .orderBy("doc_id")
     )
+    # no final orderBy: one row per document with the full rewritten text —
+    # the global range sort (sampling pass + range Exchange + sort over the
+    # corpus-sized output) bought only presentation order, and the driver
+    # comparator is order-insensitive (guide §2.4)
 
 
 def _removal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,12 +440,24 @@ def _removal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     `substring_dup_removal_audit`, `curated_training_shards`,
     `curated_shard_manifest`) each apply their own, so a fused job can
     cache THIS frame and pay for the windows/islands pass once."""
+    from pyspark.sql import Window
+
     docs = _nonempty(load_table(spark, sf_dir, "documents"))
     base = docs.select("doc_id", _toks().alias("toks"))
     wins = _positioned_windows(base)
-    keeper = wins.groupBy("digest").agg(F.min("doc_id").alias("keep_doc"))
+    # keep-first test as a digest-partitioned window MIN instead of
+    # groupBy(digest).min + join-back: the join form planned the windows
+    # subtree TWICE (the tokenize + md5 + posexplode pass over the whole
+    # corpus appeared under both the aggregate and the probe side of the
+    # join — two full scans, plus a broadcast of the keeper table that is
+    # distinct-digest-sized, i.e. corpus-sized, at scale). One window pass
+    # computes the same MIN(doc_id) per digest with ONE windows evaluation
+    # and one exchange (guide §2.4: two operations keyed the same way share
+    # one exchange). min-over-partition needs no orderBy, so the window is
+    # a plain whole-partition frame on a high-cardinality key.
+    keep_doc = F.min("doc_id").over(Window.partitionBy("digest"))
     cut = (
-        wins.join(keeper, "digest")
+        wins.withColumn("keep_doc", keep_doc)
         .filter(F.col("keep_doc") < F.col("doc_id"))
         .select("doc_id", "pos")
     )
@@ -686,7 +709,7 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_distinct_tokens"),
             (F.sum(term_e8).cast("double") / F.lit(1e8)).alias("entropy_nats"),
         )
-        .orderBy("doc_id")
+        # no final orderBy: scaling output, order-insensitive gate (guide §2.4)
     )
 
 
@@ -1283,10 +1306,9 @@ def curation_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside the curated corpus, partitioned like the docs themselves.
     """
     joined = _curation_joined(spark, sf_dir)
-    return (
-        joined.select("doc_id", "lang", _verdict_col().alias("verdict"))
-        .orderBy("doc_id")
-    )
+    # no final orderBy (corpus-sized per-doc output; driver comparator is
+    # order-insensitive — guide §2.4)
+    return joined.select("doc_id", "lang", _verdict_col().alias("verdict"))
 
 
 def _verdict_col() -> F.Column:
@@ -1757,8 +1779,13 @@ def curated_shard_manifest(
             F.length(F.coalesce("ktext", F.lit(""))).cast("long").alias("n_bytes"),
             F.coalesce("ktext", F.lit("")).alias("kept_text"),
         )
-        .orderBy("doc_id")
     )
+    # no final orderBy: this is the widest output in the registry (every
+    # kept doc's rewritten text) and the range sort carried all of it
+    # through an extra sampling pass + Exchange + sort purely for
+    # presentation order; a real shard writer repartitions by `shard`
+    # immediately (which discards any sort), and the driver comparator is
+    # order-insensitive (guide §2.4)
 
 
 def _sql_curated_shards() -> str:
@@ -2034,7 +2061,7 @@ def boilerplate_segment_removal(
             4,
         ).alias("cut_frac"),
         F.array_join("kept_toks", " ").alias("kept_text"),
-    ).orderBy("doc_id")
+    )  # no final orderBy: scaling output (guide §2.4)
 
 
 _BOILER_REMOVAL_SQL = f"""
@@ -2201,7 +2228,7 @@ def boilerplate_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("cut_frac"),
         )
-        .orderBy("doc_id")
+        # no final orderBy: scaling output, order-insensitive gate (guide §2.4)
     )
 
 

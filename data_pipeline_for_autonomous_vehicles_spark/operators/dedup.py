@@ -66,7 +66,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digest")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .select("keeper_doc_id", "n_copies")
-        .orderBy("keeper_doc_id")
+        # no final orderBy: scaling output, order-insensitive gate (guide §2.4)
     )
 
 
@@ -90,7 +90,7 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", fp.alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_members"))
-        .orderBy("keeper_doc_id")
+        # no final orderBy: scaling output, order-insensitive gate (guide §2.4)
     )
 
 
@@ -349,7 +349,7 @@ def _expand_group_topk(
         cand.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= topk)
         .select(entity_col, nbr_col, *(out_cols or [order_col]), "rank")
-        .orderBy(entity_col, "rank")
+        # no final orderBy: rank column carries the order (guide §2.4)
     )
 
 
@@ -390,7 +390,7 @@ def ngram_jaccard_pairs(
                 F.greatest("da", "db").alias("doc_b"),
                 "jaccard",
             )
-            .orderBy("doc_a", "doc_b")
+            # no final orderBy (guide §2.4)
         )
     cdir = adm.select(
         F.col("ckey_a").alias("gkey"), F.col("ckey_b").alias("ngkey"), "jaccard"
@@ -496,7 +496,7 @@ def ngram_containment_pairs(
             F.when(flip, F.col("c_a_in_b")).otherwise(F.col("c_b_in_a")).alias(
                 "containment_b_in_a"
             ),
-        ).orderBy("doc_a", "doc_b")
+        )  # no final orderBy (guide §2.4)
     cdir = adm.select(
         F.col("ckey_a").alias("gkey"),
         F.col("ckey_b").alias("ngkey"),
@@ -601,7 +601,8 @@ sigs AS (
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _minhash_signatures(spark, sf_dir).orderBy("doc_id")
+    # per-doc output; no presentation sort (order-insensitive gate)
+    return _minhash_signatures(spark, sf_dir)
 
 
 _MINHASH_SIG_SQL = f"""
@@ -704,9 +705,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket cross products only, never all-pairs — and buckets larger
     than MAX_BUCKET docs are dropped before the join (degenerate band
     hashes carry no near-dup signal; an uncapped one is quadratic at
-    scale). The oracle mirrors the cap.
+    scale). The oracle mirrors the cap. No final orderBy:
+    candidate-pair-sized output, and the driver comparator is
+    order-insensitive (guide §2.4).
     """
-    return _lsh_scored_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+    return _lsh_scored_pairs(spark, sf_dir)
 
 
 def _sql_banded_cte() -> str:
@@ -1127,7 +1130,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         for j in range(SIMHASH_BITS)
     )
-    return voted.select("doc_id", fp.cast("long").alias("simhash")).orderBy("doc_id")
+    return voted.select("doc_id", fp.cast("long").alias("simhash"))  # no final orderBy (guide §2.4)
 
 
 def _sql_simhash() -> str:
@@ -1215,7 +1218,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
-        .orderBy("doc_a", "doc_b")
+        # no final orderBy: the largest scaling pair output (guide §2.4)
     )
 
 
@@ -1369,7 +1372,7 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(10000.0),
             ).alias("novelty"),
         )
-        .orderBy("doc_id")
+        # no final orderBy (guide §2.4)
     )
 
 
@@ -1442,9 +1445,21 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     # at 100 TB. The edge list is the small derived table; the corpus scan
     # it derives from is the expensive one. (Measured at sf0.1:
     # near_dup_clusters 9.0 s -> 3.5 s.)
+    # Symmetrize via a per-row explode instead of a two-branch union: the
+    # union form planned (and executed) the entire upstream edge-generation
+    # pipeline TWICE — once per direction — inside this eager
+    # localCheckpoint; the explode emits both directions from ONE
+    # evaluation of each edge row (guide §1.2: don't compute things twice).
     sym = (
-        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
         .localCheckpoint()
     )
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
@@ -1507,13 +1522,18 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node")
     )
-    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+    # consume the UNSORTED scored-pair core: the public `minhash_lsh_pairs`
+    # adds a presentation sort this composition never needed (Catalyst
+    # eliminates it under the union it used to feed, but the unsorted core
+    # states the intent and survives plan changes); no final orderBy on the
+    # per-doc label output either — driver comparator is order-insensitive
+    pairs = _lsh_scored_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     labels = connected_components(pairs, docs)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    ).orderBy("doc_id")
+    )
 
 
 def _sql_near_dup_clusters() -> str:
@@ -1590,7 +1610,8 @@ def near_dup_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.q").alias("keeper_quality"),
         "n_docs",
         (F.col("n_docs") - F.lit(1)).cast("long").alias("n_removed"),
-    ).orderBy("cluster_id")
+    )
+    # no final orderBy (cluster-count-sized output, order-insensitive gate)
 
 
 def _sql_near_dup_canonicals() -> str:
@@ -1724,7 +1745,7 @@ def minhash_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_match_doc",
             F.col("delta_doc").isNull().cast("int").alias("is_novel"),
         )
-        .orderBy("doc_id")
+        # no final orderBy (guide §2.4)
     )
 
 
@@ -1983,7 +2004,7 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_contaminated").cast("double") / F.col("n_shingles").cast("double"), 4
             ).alias("contamination_rate"),
         )
-        .orderBy("doc_id")
+        # no final orderBy (guide §2.4)
     )
 
 

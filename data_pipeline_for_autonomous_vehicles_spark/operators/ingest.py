@@ -252,8 +252,11 @@ def incremental_admission_manifest(spark: SparkSession, sf_dir: str) -> DataFram
     Admitted rows are byte-identical to the full-rebuild
     `curated_shard_manifest` rows for the same docs (pytest-pinned; see the
     module docstring for why the gates force this). Scale: O(delta)
-    index probes only — module docstring."""
-    return _admission_frame(spark, sf_dir).orderBy("doc_id")
+    index probes only — module docstring. No final orderBy: per-delta-doc
+    output carrying the span-cut text; the driver comparator is
+    order-insensitive and a real append writer repartitions by shard
+    (guide §2.4)."""
+    return _admission_frame(spark, sf_dir)
 
 
 def incremental_shard_update(

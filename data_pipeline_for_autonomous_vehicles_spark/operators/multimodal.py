@@ -53,7 +53,7 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(F.col("payload")).alias("n_bytes"),
         F.upper(F.hex(F.substring(F.col("payload"), 1, 4))).alias("magic_hex"),
         "n_frames",
-    ).orderBy("media_id")
+    )  # no final orderBy: scaling output (guide §2.4)
 
 
 _METADATA_SQL = """
@@ -110,7 +110,7 @@ def extract_features(media: DataFrame) -> DataFrame:
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only query: stubbed decode makes values deterministic but not
     ANSI-expressible (byte-histogram over a blob)."""
-    return extract_features(media_table(spark, sf_dir)).orderBy("media_id")
+    return extract_features(media_table(spark, sf_dir))  # no final orderBy (guide §2.4)
 
 
 def sample_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
@@ -127,7 +127,7 @@ def sample_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
 
 
 def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sample_frames(media_table(spark, sf_dir)).orderBy("media_id", "frame_idx")
+    return sample_frames(media_table(spark, sf_dir))  # no final orderBy (guide §2.4)
 
 
 _FRAMES_SQL = """
@@ -156,7 +156,7 @@ def media_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "media_type",
         F.posexplode("features").alias("bin", "share"),
-    ).orderBy("media_id", "bin")
+    )  # no final orderBy: scaling output (guide §2.4)
 
 
 _FEATURE_BINS_SQL = f"""
@@ -526,7 +526,7 @@ def media_text_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_size",
             (F.col("doc_id") == -F.col("best.neg_id")).cast("int").alias("is_canonical"),
         )
-        .orderBy("doc_id")
+        # no final orderBy: scaling output, order-insensitive gate (guide §2.4)
     )
 
 

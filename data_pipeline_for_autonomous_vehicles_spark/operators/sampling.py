@@ -174,7 +174,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             (F.col("logw_e6").cast("double") / F.lit(1e6)).alias("log_weight"),
         )
-        .orderBy("doc_id")
+        # no final orderBy: scaling output, order-insensitive gate (guide §2.4)
     )
 
 
@@ -332,7 +332,7 @@ def dsir_heldout_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             (F.col("logw_e6").cast("double") / F.lit(1e6)).alias("log_weight"),
         )
-        .orderBy("doc_id")
+        # no final orderBy: scaling output, order-insensitive gate (guide §2.4)
     )
 
 

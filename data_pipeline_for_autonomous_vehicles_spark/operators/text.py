@@ -62,7 +62,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_distinct.cast("double") / F.when(n_tokens == 0, F.lit(None)).otherwise(n_tokens).cast("double"),
             4,
         ).alias("type_token_ratio"),
-    ).orderBy("doc_id")
+    )  # no final orderBy: per-doc output, order-insensitive gate (guide §2.4)
 
 
 _TOKEN_COUNTS_SQL = f"""
@@ -85,7 +85,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     The components are the reference heuristics of C4/Gopher-style filters
     (length, lexical diversity, stopword presence)."""
     docs = load_table(spark, sf_dir, "documents")
-    return _quality_frame(docs).orderBy("doc_id")
+    return _quality_frame(docs)  # no final orderBy (guide §2.4)
 
 
 def _quality_score_col() -> F.Column:
@@ -162,7 +162,7 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return _clf_frame(docs).orderBy("doc_id")
+    return _clf_frame(docs)  # no final orderBy (guide §2.4)
 
 
 def _clf_exprs() -> dict[str, F.Column]:
@@ -359,7 +359,7 @@ def bigram_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = _bigram_posts(docs).groupBy("bigram").agg(
         F.sum("occ").alias("corpus_count")
     )
-    return _fluency_frame(docs, counts).orderBy("doc_id")
+    return _fluency_frame(docs, counts)  # no final orderBy (guide §2.4)
 
 
 def _bigram_posts(docs: DataFrame) -> DataFrame:
@@ -443,7 +443,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("declared_lang"),
         best.alias("predicted_lang"),
         best_hits.alias("marker_hits"),
-    ).orderBy("doc_id")
+    )  # no final orderBy: per-doc output, order-insensitive gate (guide §2.4)
 
 
 def _sql_lang_id() -> str:
@@ -512,7 +512,7 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * F.lit(31) + t) % F.lit(mersenne),
     )
-    return docs.select("doc_id", fp.alias("rolling_fp")).orderBy("doc_id")
+    return docs.select("doc_id", fp.alias("rolling_fp"))  # no final orderBy (guide §2.4)
 
 
 _ROLLING_FP_SQL = f"""
@@ -560,7 +560,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TFIDF_TOP_K)
         .select("doc_id", "term", "tf", "df", "tfidf", F.col("rank").cast("long").alias("rank"))
-        .orderBy("doc_id", "rank")
+        # no final orderBy: rank column already carries the order (guide §2.4)
     )
 
 
@@ -649,7 +649,7 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", "source", bucket.alias("bucket"))
         .filter(F.col("bucket") < SAMPLE_PCT)
-        .orderBy("doc_id")
+        # no final orderBy: per-doc output, order-insensitive gate (guide §2.4)
     )
 
 
@@ -830,7 +830,7 @@ def packed_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("offset_chars"),
             "n_chars",
         )
-        .orderBy("doc_id")
+        # no final orderBy: per-doc output, order-insensitive gate (guide §2.4)
     )
 
 
@@ -959,7 +959,7 @@ def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length(raw) - F.length(redacted)).cast("long").alias("chars_removed"),
             redacted.alias("redacted_text"),
         )
-        .orderBy("doc_id")
+        # no final orderBy: per-doc output, order-insensitive gate (guide §2.4)
     )
 
 
@@ -1022,7 +1022,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("w").cast("long").alias("n_tokens"),
             F.concat_ws(" ", "w").alias("chunk_text"),
         )
-        .orderBy("doc_id", "chunk_id")
+        # no final orderBy: chunk_id column carries the order (guide §2.4)
     )
 
 
@@ -1073,7 +1073,7 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             bpe.cast("double") / F.when(ws == 0, F.lit(None)).otherwise(ws).cast("double"),
             4,
         ).alias("tokens_per_word"),
-    ).orderBy("doc_id")
+    )  # no final orderBy: per-doc output, order-insensitive gate (guide §2.4)
 
 
 _BPE_SQL = f"""

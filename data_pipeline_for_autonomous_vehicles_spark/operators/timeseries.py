@@ -74,6 +74,13 @@ def hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     )
+    # No final orderBy: the driver comparator is order-insensitive (row count
+    # + schema + sorted-multiset hash), and the global range sort was the
+    # single largest cost of the query — it ran over the EXPLODED grid (the
+    # widest intermediate), adding a sampling pass + range Exchange + sort
+    # (guide §2.4: "an orderBy used only to make output deterministic").
+    # The ANSI twin keeps ORDER BY as the readable spec; the oracle compare
+    # itself sorts rows, so parity is unchanged.
     return filled.select(
         "user_id",
         "bucket",
@@ -81,7 +88,7 @@ def hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("n_events"),
         F.col("sum_value").alias("sum_value_locf"),
-    ).orderBy("user_id", "bucket")
+    )
 
 
 _GAPFILL_SQL = f"""
@@ -181,13 +188,16 @@ def hourly_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.col("nxt_v") - F.col("v"))
         * (F.col("i").cast("double") / F.col("gap").cast("double"))
     )
+    # No final orderBy — same reasoning as `hourly_gapfill_locf`: the global
+    # range sort ran over the exploded grid and the driver comparator is
+    # order-insensitive.
     return exploded.select(
         "user_id",
         (F.col("bucket") + F.make_interval(hours=F.col("i").cast("int"))).alias(
             "bucket"
         ),
         round_half_up(interp, 4).alias("value_interp"),
-    ).orderBy("user_id", "bucket")
+    )
 
 
 _GAPFILL_INTERP_SQL = f"""
@@ -331,7 +341,7 @@ def hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("value", key).alias("close"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("user_id", "bucket")
+        # no final orderBy: scaling output, order-insensitive gate (guide §2.4)
     )
 
 
@@ -677,7 +687,7 @@ def hourly_event_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("k.num").cast("double") / F.col("k.den").cast("double"), 4
             ).alias("ewma"),
         )
-        .orderBy("event_type", "hour")
+        # no final orderBy: scaling output, order-insensitive gate (guide §2.4)
     )
 
 

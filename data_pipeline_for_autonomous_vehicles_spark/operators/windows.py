@@ -84,7 +84,7 @@ def supplier_weekly_revenue_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue_e4").over(w).cast("double")
             / (F.lit(10_000.0) * F.count("revenue_e4").over(w).cast("double"))
         ).alias("revenue_ma4"),
-    ).orderBy("l_suppkey", "week")
+    )  # no final orderBy: scaling output, order-insensitive gate (guide §2.4)
 
 
 _SUPPLIER_MA_SQL = """
@@ -671,7 +671,7 @@ def order_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             pct.alias("price_pct_rank"),
             cume.alias("price_cume_dist"),
         )
-        .orderBy("o_orderkey")
+        # no final orderBy: scaling output, order-insensitive gate (guide §2.4)
     )
 
 

@@ -264,7 +264,7 @@ def streaming_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").cast("double") / F.col("nd").cast("double"), 4
         ).alias("baseline"),
         flag.alias("flag"),
-    ).orderBy("win_start", "event_type")
+    )  # no final orderBy: scaling output, order-insensitive gate (guide §2.4)
 
 
 STREAMING_SEASONAL_SQL = f"""

@@ -427,12 +427,14 @@ def test_tie_aware_rank_queries_have_no_range_exchange_at_execution(spark, sf_di
     txt = plans.plan_text(df)
     # no materialization step survives
     assert "Scan ExistingRDD" not in txt
-    # the only range exchange is the final presentation sort on o_orderkey —
-    # none on the (priority, price) tie keys
+    # NO range exchange anywhere: none on the (priority, price) tie keys,
+    # and — since the round-8 optimization dropped the presentation sort
+    # (scaling output, order-insensitive driver gate) — none on o_orderkey
+    # either
     import re
 
     ranges = re.findall(r"rangepartitioning\(([^)]*)\)", txt)
-    assert ranges and all("o_orderkey" in r for r in ranges), ranges
+    assert ranges == [], ranges
     # the window that finishes the running counts partitions by the derived
     # pid — never an unpartitioned (single-task) window
     assert plans.unpartitioned_windows(df) == []
