@@ -208,9 +208,17 @@ def passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(passages).alias("passage"))
         .select("doc_id", F.md5("passage").alias("digest"))
     )
-    total = wins.groupBy("digest").agg(F.count(F.lit(1)).alias("n_inst"))
+    # instance count via a digest-partitioned window instead of
+    # groupBy + join-back — the join form planned the tokenize + md5 +
+    # explode pass twice (guide §1.2/§2.4; same rewrite as
+    # `substring_dup_spans` / `_removal_frame`); whole-partition frame,
+    # no orderBy, one exchange
+    from pyspark.sql import Window
+
     return (
-        wins.join(total, "digest")
+        wins.withColumn(
+            "n_inst", F.count(F.lit(1)).over(Window.partitionBy("digest"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_passages"),
@@ -282,11 +290,22 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("toks") >= w)
         .select("doc_id", F.posexplode(wins_expr).alias("pos", "digest"))
     )
-    nd = wins.groupBy("digest").agg(F.count_distinct("doc_id").alias("nd"))
-    flagged = wins.join(nd, "digest").select(
-        "doc_id", "pos", (F.col("nd") >= 2).alias("dup")
-    )
+    # Cross-doc test as a digest-partitioned window instead of
+    # groupBy(digest).count_distinct + join-back: the join form planned the
+    # windows subtree (tokenize + md5 + posexplode over the whole corpus)
+    # TWICE — once under the aggregate, once under the probe side (guide
+    # §1.2/§2.4; the same rewrite as `_removal_frame`). "≥ 2 distinct docs
+    # share the digest" ⇔ min(doc_id) ≠ max(doc_id) over the digest
+    # partition (within-doc repeats share one doc_id), and min/max share
+    # ONE whole-partition window frame — no orderBy, one exchange.
     from pyspark.sql import Window
+
+    wdig = Window.partitionBy("digest")
+    flagged = wins.select(
+        "doc_id",
+        "pos",
+        (F.min("doc_id").over(wdig) != F.max("doc_id").over(wdig)).alias("dup"),
+    )
 
     # single pass over the flagged windows: a running count of dup rows
     # turns consecutive dup positions into one island key (pos − rank),
@@ -611,17 +630,27 @@ def substring_dup_removal_audit(
     wins_expr = _win_digests()
 
     def _stats(frame: DataFrame, stage: str) -> DataFrame:
+        from pyspark.sql import Window
+
         wins = (
             frame.filter(F.size("toks") >= w)
             .select("doc_id", F.explode(wins_expr).alias("digest"))
         )
-        nd = wins.groupBy("digest").agg(F.count_distinct("doc_id").alias("nd"))
-        flagged = wins.join(nd, "digest")
+        # cross-doc test as a digest-partitioned window instead of
+        # groupBy(digest).count_distinct + join-back: the join form planned
+        # `wins` twice, and for the after-stage EACH evaluation is a full
+        # `_removal_frame` excision pass (guide §1.2/§2.4; same min≠max
+        # equivalence as `substring_dup_spans`)
+        wdig = Window.partitionBy("digest")
+        flagged = wins.select(
+            "doc_id",
+            (F.min("doc_id").over(wdig) != F.max("doc_id").over(wdig)).alias("dup"),
+        )
         return flagged.agg(
             F.count_distinct("doc_id").alias("n_docs_with_windows"),
             F.count(F.lit(1)).alias("n_windows"),
             F.coalesce(
-                F.sum((F.col("nd") >= 2).cast("long")), F.lit(0)
+                F.sum(F.col("dup").cast("long")), F.lit(0)
             ).alias("n_dup_windows"),
         ).select(
             F.lit(stage).alias("stage"),
@@ -698,11 +727,16 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    totals = tcnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    # doc totals via a doc-partitioned window instead of groupBy + join-back
+    # (the join form planned the explode + (doc, token) aggregate twice —
+    # guide §1.2/§2.4); the final groupBy then reuses the window's doc_id
+    # partitioning, so no extra exchange
+    from pyspark.sql import Window
+
     p = F.col("c").cast("double") / F.col("n").cast("double")
     term_e8 = F.floor((-p * F.log(p)) * F.lit(1e8) + F.lit(0.5)).cast("long")
     return (
-        tcnt.join(totals, "doc_id")
+        tcnt.withColumn("n", F.sum("c").over(Window.partitionBy("doc_id")))
         .groupBy("doc_id")
         .agg(
             F.max("n").cast("long").alias("n_tokens"),
@@ -861,6 +895,10 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # NOTE (round 8, measured): caching tcnt (it feeds totals + the entropy
+    # probe) was tried and is SLOWER (3.9 → 5.6 s at ~sf1) — materializing
+    # the corpus-token-sized aggregate costs more than recomputing it in
+    # parallel branches. Left uncached deliberately.
     tcnt = (
         docs.select("doc_id", F.explode(_toks()).alias("w"))
         .groupBy("doc_id", "w")
@@ -1262,32 +1300,33 @@ def _curation_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per document with every ladder signal joined on: is_keeper
     (near-dup canonical), quality_score, keep_flag (hashed classifier),
     fluency_score (LEFT — short docs have no bigrams). Shared by the
-    funnel report and the per-doc verdict manifest."""
-    from .dedup import near_dup_canonicals
-    from .text import (
-        bigram_fluency_scores,
-        quality_classifier_scores,
-        quality_scores,
-    )
+    funnel report and the per-doc verdict manifest.
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    keepers = near_dup_canonicals(spark, sf_dir).select(
-        F.col("keeper_doc_id").alias("doc_id"), F.lit(1).alias("is_keeper")
+    Plan shape (guide §1.2/§2.4): quality and classifier are both pure
+    per-row expressions over the same `documents` scan, so they are
+    computed in ONE fused projection instead of two independently scanned
+    frames joined back on doc_id — two full corpus scans and two
+    join exchanges removed. The fused signal frame is cached (scoped via
+    `caching.register_plan_cache`) and its quality column injected into
+    `near_dup_canonicals`, whose keeper election used to re-run the
+    quality scoring scan a third time."""
+    from .dedup import near_dup_canonicals
+    from .text import _clf_exprs, _quality_score_col, bigram_fluency_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        "lang",
+        _quality_score_col().alias("quality_score"),
+        _clf_exprs()["keep_flag"].alias("keep_flag"),
     )
-    return (
-        docs.join(keepers, "doc_id", "left")
-        .join(
-            quality_scores(spark, sf_dir).select("doc_id", "quality_score"), "doc_id"
-        )
-        .join(
-            quality_classifier_scores(spark, sf_dir).select("doc_id", "keep_flag"),
-            "doc_id",
-        )
-        .join(
-            bigram_fluency_scores(spark, sf_dir).select("doc_id", "fluency_score"),
-            "doc_id",
-            "left",
-        )
+    keepers = near_dup_canonicals(
+        spark, sf_dir, quality=sig.select("doc_id", "quality_score")
+    ).select(F.col("keeper_doc_id").alias("doc_id"), F.lit(1).alias("is_keeper"))
+    return sig.join(keepers, "doc_id", "left").join(
+        bigram_fluency_scores(spark, sf_dir).select("doc_id", "fluency_score"),
+        "doc_id",
+        "left",
     )
 
 
@@ -1994,10 +2033,15 @@ def _boiler_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own segments with a per-row higher-order filter — document text
     never shuffles wider than its own row, exactly like `_removal_frame`.
     """
+    from ..caching import register_plan_cache
+
     w = PASSAGE_TOKENS
     docs = _nonempty(load_table(spark, sf_dir, "documents"))
     base = docs.select("doc_id", _toks().alias("toks"))
-    segs = _segment_rows(base)
+    # scoped cache: segs feeds the df aggregate AND the cut-position probe
+    # — without it the tokenize + md5 segmentation pass over the corpus ran
+    # once per branch (guide §1.2)
+    segs = register_plan_cache(_segment_rows(base).cache())
     boiler = _boiler_digests(segs)
     cuts = (
         segs.join(boiler, "digest")
@@ -2161,10 +2205,14 @@ def _boiler_delta_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     on-sight boilerplate gate in `ingest._admission_frame`."""
     from .dedup import DELTA_MOD
 
+    from ..caching import register_plan_cache
+
     docs = _nonempty(load_table(spark, sf_dir, "documents"))
     base = docs.select("doc_id", _toks().alias("toks"))
     is_delta = (F.col("doc_id") % F.lit(DELTA_MOD)) == F.lit(DELTA_MOD - 1)
-    segs = _segment_rows(base)
+    # scoped cache: segs feeds the corpus-df aggregate, the delta probe,
+    # and the delta-df aggregate — three segmentation passes without it
+    segs = register_plan_cache(_segment_rows(base).cache())
     corpus_df = (
         segs.filter(~is_delta)
         .groupBy("digest")

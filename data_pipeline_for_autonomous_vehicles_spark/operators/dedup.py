@@ -987,7 +987,17 @@ def minhash_estimate_audit(
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", matches.cast("int").alias("est_matches"))
     )
-    sh = _register_cache(_shingles_df(docs).cache())
+    # the exact-intersection verify only tests shingle EQUALITY, so carry
+    # the 16-byte binary md5 digest instead of the raw n-gram string
+    # through the cache and both per-pair join shuffles (guide §2.3,
+    # narrower types; the same md5-equality-as-identity convention as
+    # `_win_digests` and the passage digests — the DuckDB twin keeps
+    # strings, and the sweep hashes prove value-identity)
+    sh = _register_cache(
+        _shingles_df(docs)
+        .select("doc_id", F.unhex(F.md5("shingle")).alias("shingle"))
+        .cache()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
@@ -1268,8 +1278,13 @@ def near_dup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # each edge list feeds two branches (own count + the overlap join);
     # cache the bounded, cap-limited pair lists so neither detector's
-    # banded join runs twice (the sweep harness clears caches per query)
-    mh = _register_cache(minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").cache())
+    # banded join runs twice (the sweep harness clears caches per query).
+    # The MinHash side consumes the CANDIDATE set (`_lsh_candidates`), not
+    # the scored pairs: agreement compares edge SETS, and the scored form
+    # re-joined the 16-column signature frame twice per pair to compute an
+    # est_jaccard this report never reads (guide §1.2).
+    sigs = _register_cache(_minhash_signatures(spark, sf_dir).cache())
+    mh = _register_cache(_lsh_candidates(sigs).cache())
     sh = _register_cache(simhash_hamming_pairs(spark, sf_dir).select("doc_a", "doc_b").cache())
     n_mh = mh.agg(F.count(F.lit(1)).alias("n_minhash"))
     n_sh = sh.agg(F.count(F.lit(1)).alias("n_simhash"))
@@ -1409,7 +1424,8 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     diameter (near-dup clusters are shallow: a handful).
 
     The loop is DRIVER CONTROL FLOW ONLY — per round one join + one
-    aggregate, all data-parallel; the driver sees a single `changed` count.
+    aggregate, all data-parallel; the driver sees a single exact label-sum
+    (monotone non-increasing, so "sum unchanged" ⇔ fixpoint).
     Each round's labels are `localCheckpoint`ed (eager), which truncates
     BOTH lineage and the logical plan: with plain cache() the plan tree
     still nests one join level per round, and a large-diameter graph
@@ -1462,15 +1478,39 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
         .localCheckpoint()
     )
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    # Iterate over EDGE-ENDPOINT nodes only (guide §1.2: don't shuffle work
+    # that cannot change). A node with no edge keeps label = itself forever,
+    # yet the old corpus-sized `labels` frame dragged every singleton
+    # through the propagation join, the pointer-jump join, and the
+    # convergence check EVERY round — at dedup scale the overwhelming
+    # majority of documents are singletons. Labels now cover only the
+    # (symmetrized) edge endpoints; singletons are appended once after the
+    # fixpoint as label = node (exactly what the loop would have computed).
+    active = sym.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    labels = active.select("node", F.col("node").alias("label")).localCheckpoint()
     spark = nodes.sparkSession
     scratch: str | None = None
+    # Convergence via the label-sum invariant instead of a per-round
+    # join + count: every round takes least(own, ...) per node, so labels
+    # are monotone non-increasing and the EXACT sum (decimal(38,0) — no
+    # int64 overflow at any node count) strictly decreases iff any label
+    # changed. One 1-row aggregate replaces a labels⋈labels join per round.
+    _sum_label = F.coalesce(
+        F.sum(F.col("label").cast("decimal(38,0)")),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    prev_sum = labels.agg(_sum_label.alias("s")).collect()[0]["s"]
     for it in range(CC_MAX_ITER):
         nbr_min = (
             sym.join(labels, sym.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
             .groupBy("node")
             .agg(F.min("label").alias("nbr_label"))
+            # referenced TWICE below (the propagation and, via `propagated`,
+            # both sides of the pointer-jump join) — checkpoint so the
+            # edge-sized neighbor join + aggregate runs once per round, not
+            # twice (guide §1.2)
+            .localCheckpoint()
         )
         propagated = labels.join(nbr_min, "node", "left").select(
             "node",
@@ -1502,16 +1542,38 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
             new_labels = spark.read.parquet(path)
         else:
             new_labels = new_plan.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        cur_sum = new_labels.agg(_sum_label.alias("s")).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
-    return labels
+        prev_sum = cur_sum
+    singles = nodes.join(active, "node", "left_anti").select(
+        "node", F.col("node").alias("label")
+    )
+    return labels.unionByName(singles)
+
+
+def _near_dup_label_frame(
+    spark: SparkSession, sf_dir: str, cand: DataFrame | None = None
+) -> DataFrame:
+    """(node, label) connected-component labels of the MinHash-LSH candidate
+    graph over all documents — the shared core of `near_dup_clusters` and
+    `split_leakage_compare`. Consumes the CANDIDATE pair set
+    (`_lsh_candidates`), not the scored pairs: the component pass only needs
+    the edge SET, and the scored form re-joined the 16-column signature
+    frame twice per pair purely to compute an est_jaccard the loop drops on
+    the floor (guide §1.2: don't compute what you throw away). `cand`
+    injects a pre-built (optionally cached) candidate frame so a caller
+    that also aggregates the pairs (the leakage audit) runs the banded join
+    once."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    if cand is None:
+        sigs = _register_cache(_minhash_signatures(spark, sf_dir).cache())
+        cand = _lsh_candidates(sigs)
+    pairs = cand.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    return connected_components(pairs, docs)
 
 
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1519,19 +1581,9 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     its connected component of the MinHash-LSH candidate graph); docs with
     no near-dup are singleton clusters. This is the assignment a dedup
     stage keeps one representative per cluster from."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("node")
-    )
-    # consume the UNSORTED scored-pair core: the public `minhash_lsh_pairs`
-    # adds a presentation sort this composition never needed (Catalyst
-    # eliminates it under the union it used to feed, but the unsorted core
-    # states the intent and survives plan changes); no final orderBy on the
-    # per-doc label output either — driver comparator is order-insensitive
-    pairs = _lsh_scored_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    )
-    labels = connected_components(pairs, docs)
-    return labels.select(
+    # no final orderBy on the per-doc label output — driver comparator is
+    # order-insensitive
+    return _near_dup_label_frame(spark, sf_dir).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
@@ -1571,7 +1623,9 @@ GROUP BY size ORDER BY size
 """
 
 
-def near_dup_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def near_dup_canonicals(
+    spark: SparkSession, sf_dir: str, quality: DataFrame | None = None
+) -> DataFrame:
     """Canonical-document selection: for every near-dup cluster, the single
     document a dedup stage KEEPS — the cluster member with the highest
     heuristic quality score (doc_id ascending as the deterministic
@@ -1586,11 +1640,14 @@ def near_dup_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the keeper is ONE partial-aggregating `max(struct(quality, -doc_id))`
     per cluster — no window, no second shuffle beyond the label join, and
     the quality scan fuses with the `documents` read Catalyst already
-    plans for the label side."""
+    plans for the label side. `quality` injects a pre-built (optionally
+    cached) (doc_id, quality_score) frame so a funnel job that also joins
+    the score per doc computes the scoring scan once."""
     from .text import quality_scores
 
     clusters = near_dup_clusters(spark, sf_dir)
-    quality = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    if quality is None:
+        quality = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
     best = (
         clusters.join(quality, "doc_id")
         .groupBy("cluster_id")
@@ -1657,10 +1714,16 @@ def corpus_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     fly. The degenerate-bucket cap is applied at build time (index side),
     exactly as `_lsh_candidates` does for the batch self-join. Shared by
     `minhash_delta_probe` and the streaming probe."""
-    bands = _banded(_minhash_signatures(spark, sf_dir))
-    return _cap_buckets(
-        bands.filter(~_is_delta()), ["band_id", "band_hash"], MAX_BUCKET
-    ).select(F.col("doc_id").alias("corpus_doc"), "band_id", "band_hash")
+    # scoped cache: `_cap_buckets` reads its input twice (bucket-count side
+    # + semi-join probe side), and each read was a full shingle → signature
+    # → banding pass over the corpus; the caller checkpoints the RESULT, so
+    # without the cache the build pays the signature pass twice
+    bands = _register_cache(
+        _banded(_minhash_signatures(spark, sf_dir)).filter(~_is_delta()).cache()
+    )
+    return _cap_buckets(bands, ["band_id", "band_hash"], MAX_BUCKET).select(
+        F.col("doc_id").alias("corpus_doc"), "band_id", "band_hash"
+    )
 
 
 def probe_band_index(delta_docs: DataFrame, index: DataFrame) -> DataFrame:
@@ -1863,11 +1926,16 @@ def split_leakage_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.scalars import portable_hash
 
     # the candidate SET suffices (scores are irrelevant to leakage), so
-    # skip _lsh_scored_pairs' two 16-column signature re-joins
+    # skip _lsh_scored_pairs' two 16-column signature re-joins; cache the
+    # candidate frame and inject it into the component pass, so the banded
+    # self-join runs ONCE for both the pair aggregate and the rep labels
+    # (it used to run twice — once per consumer)
     sigs = _register_cache(_minhash_signatures(spark, sf_dir).cache())
-    pairs = _lsh_candidates(sigs)
-    reps = near_dup_clusters(spark, sf_dir).filter(
-        F.col("doc_id") == F.col("cluster_id")
+    pairs = _register_cache(_lsh_candidates(sigs).cache())
+    reps = (
+        _near_dup_label_frame(spark, sf_dir, cand=pairs)
+        .filter(F.col("node") == F.col("label"))
+        .select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     )
 
     def _doc_side(side: str) -> DataFrame:

@@ -189,17 +189,28 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian anywhere.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
+    # Per-order pair expansion as ONE collect_set + per-row array expansion
+    # instead of distinct + self-join (guide §2.4: remove shuffles
+    # outright). The join form shuffled the (order, part) table three ways
+    # — the distinct, then both self-join sides re-keyed by order; the
+    # basket array form is a single partial-aggregating shuffle keyed by
+    # order, and the O(k²) expansion happens inside each row (driver-data
+    # baskets are single digits; real pipelines cap giant baskets — same
+    # caveat as before, now visible in one place). Pair set is identical:
+    # sorted distinct parts per order, all (p1 < p2) combinations, distinct.
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
         .select(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
         )
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .distinct()
         # read by the degree agg, the orientation join, and the count —
         # materialize once EAGERLY (narrow int64 pairs): the lazy form let

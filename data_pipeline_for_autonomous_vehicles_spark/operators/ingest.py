@@ -170,6 +170,15 @@ def _admission_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mere presence: ids are not ingest-ordered, and the rebuild's
     # keep-first rule is min-id); combined with the batch's own min the cut
     # condition equals the rebuild's exactly
+    # NOTE (round 8, measured): a digest-partitioned window rewrite of this
+    # block (one pass, conditional corpus/delta MINs) was tried and is
+    # SLOWER here (14.6 → 26.9 s at ~sf1): the join form's three `wins`
+    # evaluations are each heavily filtered or partially aggregated BEFORE
+    # their shuffles (c_keep ships ~distinct digests, d_keep/dwins ship
+    # only delta windows), while the window form shuffles + sorts the
+    # ENTIRE corpus window frame through one exchange. Unlike
+    # `_removal_frame` (whose every row participates), the delta split
+    # makes recompute-cheap-and-filter the right trade.
     base_all = _nonempty(docs).select("doc_id", _toks().alias("toks"))
     wins = _positioned_windows(base_all)
     c_keep = wins.filter(~_is_delta()).groupBy("digest").agg(

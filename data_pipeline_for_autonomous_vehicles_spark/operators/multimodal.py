@@ -467,13 +467,18 @@ def _pair_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     media_id IS the doc linkage) and its caption near-dup component (over
     `minhash_lsh_pairs`). Shared by the pair manifest and the savings
     report."""
-    from .dedup import connected_components, minhash_lsh_pairs
+    from ..caching import register_plan_cache
+    from .dedup import _lsh_candidates, _minhash_signatures, connected_components
 
     docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
     img_edges = media_near_dups(spark, sf_dir).select(
         F.col("media_a").alias("a"), F.col("media_b").alias("b")
     )
-    txt_edges = minhash_lsh_pairs(spark, sf_dir).select(
+    # candidate SET, not scored pairs: the component pass only needs edges,
+    # and the scored form re-joins the 16-column signature frame twice per
+    # pair for an est_jaccard the CC loop drops (guide §1.2)
+    sigs = register_plan_cache(_minhash_signatures(spark, sf_dir).cache())
+    txt_edges = _lsh_candidates(sigs).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     img = connected_components(img_edges, docs).select(
@@ -509,6 +514,13 @@ def media_text_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = _pair_groups(spark, sf_dir)
     quality = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
     j = grp.join(quality, "doc_id")
+    # NOTE (round 8, measured): a whole-partition window form of the
+    # canonical election (one pass over j, no join-back) was tried and is
+    # SLOWER (29.2 → 32.8 s at ~sf1): the pair-group subtree j references
+    # twice is cheap to re-derive — both component passes are eagerly
+    # checkpointed inside `connected_components` — while the window forces
+    # a full sort of the corpus-sized joined frame. groupBy + join-back
+    # keeps the partial-aggregating shuffle instead.
     best = j.groupBy("img_group", "txt_group").agg(
         F.max(
             F.struct(

@@ -467,6 +467,10 @@ def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(_cosine(F.col("qemb"), F.col("emb")), 4).alias("cosine"),
         )
     )
+    # the tagged candidate set feeds BOTH the per-budget top-k and the
+    # per-budget candidate counts — cache it (scoped) so the corpus
+    # assignment + probe join runs once, not once per branch
+    cand = _register_cache(cand.cache())
     budgets = F.explode(F.array(*[F.lit(p) for p in NPROBE_SWEEP])).alias("nprobe")
     c2 = cand.select("*", budgets).filter(F.col("rn") <= F.col("nprobe"))
     w_rank = Window.partitionBy("nprobe", "query_id").orderBy(
@@ -1039,7 +1043,11 @@ def _km_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(2):
         assigned = _km_assign(vecs, cents)
-        cents = _km_update(assigned)
+        # eager k-row checkpoint per Lloyd round: broadcasting the next
+        # round's codebook otherwise re-executes every PREVIOUS round's
+        # corpus-sized assignment pass inside the broadcast job (guide
+        # §1.2; same fix as `_pq_codebooks`)
+        cents = _km_update(assigned).localCheckpoint(eager=True)
     return _km_assign(vecs, cents)
 
 
@@ -1209,6 +1217,14 @@ def _pq_codebooks(vecs: DataFrame) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
             ).alias("c")
         )
+        # Eagerly materialize each round's codebooks (M·K rows): without
+        # this, every later broadcast of `_pq_cb_row(cents)` — the next
+        # Lloyd round's assignment AND each query path's encode/ADC pass —
+        # re-executed the ENTIRE chain of previous rounds' corpus-sized
+        # assignment passes inside the broadcast job (guide §1.2: each
+        # round's plan referenced the previous round's, so corpus passes
+        # multiplied instead of adding). Iteration state as a (tiny) table.
+        cents = cents.localCheckpoint(eager=True)
     return cents
 
 
@@ -1717,7 +1733,10 @@ def _semdedup_frames(
         .withColumn("mrank", F.row_number().over(w_m))
         .withColumn("n2", dot(F.col("sx"), F.col("sx")))
     )
-    ex = mem.filter(F.col("mrank") <= SEMDEDUP_CAP)
+    # the capped examined set is ≤ k·SEMDEDUP_CAP rows and feeds BOTH sides
+    # of the pairwise join plus the examined-count aggregate — cache it so
+    # the corpus-sized rank window runs once, not once per branch
+    ex = _register_cache(mem.filter(F.col("mrank") <= SEMDEDUP_CAP).cache())
     a = ex.select("cid", F.col("vec_id").alias("va"), F.col("sx").alias("xa"), F.col("n2").alias("na"))
     b = ex.select("cid", F.col("vec_id").alias("vb"), F.col("sx").alias("xb"), F.col("n2").alias("nb"))
     pairs = (
@@ -1979,7 +1998,10 @@ def incremental_semdedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("int").alias("cid"), F.col("sx").alias("c")
     )
     for _ in range(2):
-        cents = _km_update(_km_assign(corpus, cents))
+        # eager k-row checkpoint per Lloyd round (same fix as
+        # `_km_final_assignment`): broadcasting a later round's codebook
+        # otherwise replays every previous round's corpus pass
+        cents = _km_update(_km_assign(corpus, cents)).localCheckpoint(eager=True)
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
     )
@@ -2464,7 +2486,9 @@ def uncertainty_sampling_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("int").alias("cid"), F.col("sx").alias("c")
     )
     for _ in range(2):
-        cents = _km_update(_km_assign(vecs, cents))
+        # eager k-row checkpoint per Lloyd round (same fix as
+        # `_km_final_assignment`)
+        cents = _km_update(_km_assign(vecs, cents)).localCheckpoint(eager=True)
     cb = cents.agg(F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("_cb"))
     ranked = F.array_sort(
         F.transform(

@@ -354,12 +354,29 @@ def bigram_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches it with CMS; exact here). Doc postings join it on the bigram
     key — hash-partitioned, map-side pre-aggregated by (doc, bigram) with
     occurrence weights, so hot bigrams ship once per doc, not once per
-    occurrence."""
+    occurrence.
+
+    Corpus counts come from a bigram-partitioned window SUM over the
+    postings instead of a groupBy + join-back: the join form planned (and
+    executed) the explode → (doc, bigram) aggregate over the whole corpus
+    TWICE — once under the count aggregate, once under the probe side —
+    and with a full-corpus model every posting matches, so the inner join
+    IS the window (guide §1.2/§2.4: two operations keyed the same way
+    share one exchange). The streaming curation gate keeps the join form
+    (`_fluency_frame`) because its model table is static and genuinely a
+    different relation."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    counts = _bigram_posts(docs).groupBy("bigram").agg(
-        F.sum("occ").alias("corpus_count")
+    posts = _bigram_posts(docs)
+    scored = (
+        posts.withColumn(
+            "corpus_count", F.sum("occ").over(Window.partitionBy("bigram"))
+        )
+        .groupBy("doc_id")
+        .agg(*_fluency_aggs())
     )
-    return _fluency_frame(docs, counts)  # no final orderBy (guide §2.4)
+    return _fluency_finish(docs, scored)  # no final orderBy (guide §2.4)
 
 
 def _bigram_posts(docs: DataFrame) -> DataFrame:
@@ -382,11 +399,24 @@ def _fluency_frame(docs: DataFrame, counts: DataFrame) -> DataFrame:
     gives it (and with a full-corpus model every posting hits, so the
     batch op's output is unchanged)."""
     posts = _bigram_posts(docs)
-    scored = posts.join(counts, "bigram").groupBy("doc_id").agg(
+    scored = posts.join(counts, "bigram").groupBy("doc_id").agg(*_fluency_aggs())
+    return _fluency_finish(docs, scored)
+
+
+def _fluency_aggs() -> list[F.Column]:
+    """The per-doc fluency aggregates over a (doc_id, occ, corpus_count)
+    postings frame — the ONE definition shared by the batch window form
+    and the static-model join form."""
+    return [
         F.sum("occ").cast("long").alias("n_bigrams"),
         F.min("corpus_count").cast("long").alias("rarest_count"),
         F.sum(F.col("occ") * F.col("corpus_count")).cast("long").alias("count_sum"),
-    )
+    ]
+
+
+def _fluency_finish(docs: DataFrame, scored: DataFrame) -> DataFrame:
+    """Resurrect zero-bigram docs (LEFT join) and shape the output — shared
+    by both fluency forms."""
     out = docs.select("doc_id").join(scored, "doc_id", "left")
     return out.select(
         "doc_id",
