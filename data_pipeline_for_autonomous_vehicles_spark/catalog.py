@@ -60,6 +60,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Floor the map-side parallelism of a compute-heavy pass whose input
+    scan produced fewer splits than the cluster has cores (guide §6: split
+    parallelism is bounded by parquet row groups — a single-row-group file
+    scans as ONE task no matter the cluster size, serializing every
+    downstream per-row expression until the first exchange. Measured at
+    ~sf1: the documents tokenize+shingle pass runs 3.8 s on its 1-split
+    scan vs 0.6 s spread across the cores).
+
+    SCALE-ADAPTIVE, not a local[32] tune: the target is the cluster's
+    defaultParallelism and the repartition fires only when the scan's own
+    split count is BELOW it — at 100 TB every real table scans to thousands
+    of splits and this is a plain no-op (no exchange is ever added to the
+    plan). The keyless round-robin repartition is retry-safe (Spark's
+    sort-before-repartition, on by default, keeps the row→partition
+    assignment deterministic under task re-runs — guide §2.5) and changes
+    no query's result multiset. Apply it ONLY where heavyweight per-row
+    work (tokenize + md5 explodes, vector-expression scoring) follows the
+    scan directly; a scan feeding a cheap projection into a shuffle gains
+    nothing from the extra exchange."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register each table as a temp view so SQL-form operators can run."""
     for name in names:

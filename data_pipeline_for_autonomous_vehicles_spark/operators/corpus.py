@@ -68,7 +68,14 @@ PASSAGE_TOKENS = 8
 
 
 def _nonempty(docs: DataFrame) -> DataFrame:
-    return docs.filter(F.trim(F.col("text")) != "")
+    # spread_small_scan: every consumer follows this filter with tokenize +
+    # md5 + explode passes whose per-row cost dwarfs one round-robin
+    # exchange of the narrow text rows — and the documents file scans as a
+    # single split locally (one parquet row group), serializing all of it
+    # on one core otherwise. No-op on any at-scale scan (catalog docstring).
+    from ..catalog import spread_small_scan
+
+    return spread_small_scan(docs.filter(F.trim(F.col("text")) != ""))
 
 
 def _win_digests() -> F.Column:
@@ -781,7 +788,11 @@ def source_dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the self-join is on the digest over the (digest, source)
     DISTINCT reduction, so per-digest fan-out is bounded by the number of
     sources (enum-sized), never by document count."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..catalog import spread_small_scan
+
+    # spread_small_scan: per-doc full-token-array sort + md5 is the heavy
+    # map pass here; single-split scan locally, no-op at scale
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     fp = F.md5(F.array_join(F.array_sort(F.array_distinct(_toks())), " "))
     per = (
         docs.select(fp.alias("digest"), "source")
@@ -1306,14 +1317,22 @@ def _curation_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row expressions over the same `documents` scan, so they are
     computed in ONE fused projection instead of two independently scanned
     frames joined back on doc_id — two full corpus scans and two
-    join exchanges removed. The fused signal frame is cached (scoped via
-    `caching.register_plan_cache`) and its quality column injected into
+    join exchanges removed. The fused signal frame is DELIBERATELY NOT
+    cached (round 8, measured: a cached variant ran 21.9 s vs 18.3 s on
+    `curated_shard_manifest` at ~sf1 — materializing it serialized scans
+    that otherwise run as parallel independent stages; plain plan reuse
+    keeps the parallelism). Its quality column is injected into
     `near_dup_canonicals`, whose keeper election used to re-run the
     quality scoring scan a third time."""
     from .dedup import near_dup_canonicals
     from .text import _clf_exprs, _quality_score_col, bigram_fluency_scores
 
-    docs = load_table(spark, sf_dir, "documents")
+    from ..catalog import spread_small_scan
+
+    # spread_small_scan: the fused projection below tokenizes each doc
+    # several times (quality components + classifier hash fold) — the
+    # funnel family's dominant map pass over a single-split scan locally
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     sig = docs.select(
         "doc_id",
         "lang",

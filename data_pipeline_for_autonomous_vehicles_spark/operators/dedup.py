@@ -176,13 +176,20 @@ def _shingles_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFra
     end-exclusive range() is naturally empty; Spark's sequence(1, 0) steps
     DOWNWARD to [1, 0] and must be guarded or element_at throws (found by
     the hypothesis admission property test on a 1-token doc)."""
+    from ..catalog import spread_small_scan
+
     toks = _tokens()
     shingle_expr = F.expr(
         "if(size(toks) < 3, array(), transform(sequence(1, size(toks) - 2), "
         "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))"
     )
     return (
-        docs.select(id_col, toks.alias("toks"))
+        # spread_small_scan: the tokenize + shingle explode below is the
+        # dedup family's dominant map pass (measured 3.8 s single-split vs
+        # 0.6 s spread at ~sf1); no-op whenever the input already splits to
+        # cluster parallelism (catalog docstring)
+        spread_small_scan(docs)
+        .select(id_col, toks.alias("toks"))
         .select(id_col, F.explode(F.array_distinct(shingle_expr)).alias("shingle"))
     )
 
@@ -976,7 +983,10 @@ def minhash_estimate_audit(
     """
     docs = load_table(spark, sf_dir, "documents")
     sigs = _register_cache(_minhash_signatures(spark, sf_dir).cache())
-    cand = _lsh_candidates(sigs)
+    # the candidate pair set feeds three consumers below (the estimate join,
+    # the exact-intersection join, and the endpoint set that prunes the
+    # shingle postings) — cache it so the banded self-join runs once
+    cand = _register_cache(_lsh_candidates(sigs).cache())
     sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(MINHASH_K)])
     sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(MINHASH_K)])
     matches = sum(
@@ -992,10 +1002,24 @@ def minhash_estimate_audit(
     # through the cache and both per-pair join shuffles (guide §2.3,
     # narrower types; the same md5-equality-as-identity convention as
     # `_win_digests` and the passage digests — the DuckDB twin keeps
-    # strings, and the sweep hashes prove value-identity)
+    # strings, and the sweep hashes prove value-identity).
+    # Only CANDIDATE-PAIR ENDPOINTS' shingles can reach the per-pair joins
+    # (est/inter/sizes all join inner on doc_a/doc_b drawn from `cand`), so
+    # semi-join the posting list down to those docs BEFORE caching it
+    # (guide §3.2 — pre-filter the big side; the endpoint set is tiny and
+    # broadcasts). At dedup scale the overwhelming majority of documents
+    # are in no candidate pair, so this shrinks the cached relation and
+    # both per-pair join shuffles by the non-candidate share of the corpus.
+    # The oracle twin keeps the unfiltered posting CTE: its sizes/inter
+    # rows for non-candidate docs are dropped by the same inner joins, so
+    # the results are identical.
+    cand_docs = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
     sh = _register_cache(
         _shingles_df(docs)
         .select("doc_id", F.unhex(F.md5("shingle")).alias("shingle"))
+        .join(cand_docs, "doc_id", "left_semi")
         .cache()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -1123,10 +1147,14 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no lateral blow-up.
     """
     docs = load_table(spark, sf_dir, "documents")
+    from ..catalog import spread_small_scan
     from ..functions.scalars import portable_hash
 
     tok = (
-        docs.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
+        # spread_small_scan: tokenize + per-token hash + 32 vote aggregates
+        # is this query's dominant map pass; single-split locally otherwise
+        spread_small_scan(docs)
+        .select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
         .select("doc_id", portable_hash("token").alias("h"))
     )
     votes = [
@@ -1417,7 +1445,9 @@ CC_MAX_ITER = 25
 STATS_RESET_EVERY = 6  # CC rounds between stats-reset flushes (see connected_components)
 
 
-def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+def connected_components(
+    edges: DataFrame | None, nodes: DataFrame, sym: DataFrame | None = None
+) -> DataFrame:
     """Distributed connected components by min-label propagation: every node
     starts labeled with itself; each round every node takes the min label in
     its closed neighborhood; stop at fixpoint. Rounds needed = graph
@@ -1433,8 +1463,20 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     driver heap just *printing* the plan. Same hygiene as PageRank's
     per-iteration checkpoint (graph.py).
 
-    edges: (a, b) undirected; nodes: (node) — superset of edge endpoints
-    (isolated nodes become singleton clusters).
+    edges: (a, b) undirected; nodes: (node) — MUST be a superset of the edge
+    endpoints (isolated nodes become singleton clusters). This is a hard
+    precondition, not a projection: an endpoint missing from `nodes` still
+    gets a label row from the propagation loop (the old corpus-labels form
+    silently dropped such endpoints at the final join; the endpoint-only
+    iteration keeps them). Every current caller passes the full entity
+    table its edges were mined from, so the two forms agree.
+
+    sym: optional PRE-MATERIALIZED symmetric edge frame (src, dst) — must
+    hold BOTH directions of every edge and be cheap to re-scan per round
+    (e.g. a filtered view of one localCheckpointed tagged frame shared by
+    several component passes — see multimodal._pair_groups, which builds
+    the image and caption edge pipelines in ONE checkpoint job instead of
+    two). When given, `edges` is ignored and may be None.
 
     Statistics-squaring hazard (found round 7, image-CC at ~sf1): every
     round's plan references `labels` TWICE (the neighbor join and the
@@ -1466,18 +1508,19 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     # pipeline TWICE — once per direction — inside this eager
     # localCheckpoint; the explode emits both directions from ONE
     # evaluation of each edge row (guide §1.2: don't compute things twice).
-    sym = (
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
-                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
-                )
-            ).alias("_e")
+    if sym is None:
+        sym = (
+            edges.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                        F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                    )
+                ).alias("_e")
+            )
+            .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
+            .localCheckpoint()
         )
-        .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
-        .localCheckpoint()
-    )
     # Iterate over EDGE-ENDPOINT nodes only (guide §1.2: don't shuffle work
     # that cannot change). A node with no edge keeps label = itself forever,
     # yet the old corpus-sized `labels` frame dragged every singleton
@@ -1523,6 +1566,15 @@ def connected_components(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         # 1500-node proximity graph at sf0.1 has diameter > 25 and silently
         # hit CC_MAX_ITER unconverged (caught by the sf0.1 oracle sweep);
         # with the jump, chains halve every round → O(log diameter).
+        # NOTE (round 9, measured): a SECOND jump per round was tried (label
+        # chains would compress ~3x per round instead of 2x, fewer rounds)
+        # and is SLOWER — spatial_clusters 13.9 → 19.9 s, near_dup_clusters
+        # 4.1 → 4.6 s, media_text_pair_dedup's two loops compounding it —
+        # because each extra jump DOUBLES the un-checkpointed
+        # propagate+jump subtree (the labels⋈nbr_min join runs 4x per
+        # round instead of 2x, plus one more label-sized exchange), which
+        # costs more per round than the saved log₃-vs-log₂ rounds return
+        # on every graph in the registry. Single jump stays.
         lookup = propagated.select(
             F.col("node").alias("label"), F.col("label").alias("label2")
         )

@@ -168,6 +168,107 @@ ORDER BY pos
 """
 
 
+# Baskets up to this size expand on the single-row array fast path (≤ ~8k
+# pair structs per row); larger baskets spill to the chunked path below so
+# one pathological giant order cannot straggle a single task with an O(k²)
+# in-row expansion (round-9 verdict task 7).
+BASKET_CAP = 128
+
+
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Distinct co-purchase part pairs (p1 < p2) from a lineitem frame,
+    eagerly checkpointed. Per-order pair expansion as ONE collect_set +
+    per-row array expansion instead of distinct + self-join (guide §2.4:
+    remove shuffles outright — the join form shuffled the (order, part)
+    table three ways; the basket array form is a single partial-aggregating
+    shuffle keyed by order). Pair set is identical: sorted distinct parts
+    per order, all (p1 < p2) combinations, distinct.
+
+    Oversized-basket guard (guide §2.5 — skew): a basket of k parts emits
+    C(k, 2) structs inside ONE row, i.e. inside one task — fine for real
+    order baskets (driver data: single digits; BASKET_CAP bounds the row at
+    ~8k structs) but a pathological hot order would straggle its task with
+    no shuffle able to spread the work. Baskets larger than BASKET_CAP are
+    split into BASKET_CAP-sized chunks of the same sorted array; each
+    (chunk_i ≤ chunk_j) pair becomes its OWN row, those rows are hash-
+    repartitioned across the cluster, and the per-row expansion is then
+    bounded by BASKET_CAP² — a giant basket fans out to (k/CAP)² parallel
+    tasks instead of one. The chunks preserve the sorted order, so within-
+    chunk combinations and cross-chunk products emit exactly the (p1 < p2)
+    pairs of the unchunked expansion; the trailing .distinct() is shared.
+    The hot branch is EMPTY on sane baskets: the filter prunes it to zero
+    rows and the fast path's plan work is one extra (cheap, basket-sized)
+    checkpoint of the basket frame both branches read.
+    """
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        # read by BOTH the fast path and the hot-basket spill path —
+        # materialize once (narrow: one row per order)
+        .localCheckpoint(eager=True)
+    )
+    small = (
+        baskets.filter(F.size("ps") <= BASKET_CAP)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, (size(ps) - 1) div {BASKET_CAP}), "
+        f"c -> slice(ps, c * {BASKET_CAP} + 1, {BASKET_CAP}))"
+    )
+    chunk_pairs = (
+        baskets.filter(F.size("ps") > BASKET_CAP)
+        .select("l_orderkey", chunks.alias("cs"))
+        .select(
+            "l_orderkey",
+            F.explode(
+                F.expr(
+                    "flatten(transform(cs, (ca, i) -> "
+                    "transform(slice(cs, i + 1, size(cs) - i), (cb, j) -> "
+                    "struct(i AS ci, i + j AS cj, ca AS ca, cb AS cb))))"
+                )
+            ).alias("cp"),
+        )
+        .select("l_orderkey", "cp.ci", "cp.cj", "cp.ca", "cp.cb")
+        # SPREAD the chunk-pair rows: without this exchange every chunk
+        # pair of one order stays in the task that built its basket row
+        .repartition("l_orderkey", "ci", "cj")
+    )
+    within = F.expr(
+        "flatten(transform(ca, (x, i) -> transform(slice(ca, i + 2, size(ca)), "
+        "y -> struct(x AS p1, y AS p2))))"
+    )
+    cross = F.expr(
+        "flatten(transform(ca, x -> transform(cb, y -> struct(x AS p1, y AS p2))))"
+    )
+    hot = (
+        chunk_pairs.select(
+            F.explode(
+                F.when(F.col("ci") == F.col("cj"), within).otherwise(cross)
+            ).alias("pr")
+        )
+        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+    )
+    return (
+        small.unionByName(hot)
+        .distinct()
+        # read by the degree agg, the orientation join, and the count —
+        # materialize once EAGERLY (narrow int64 pairs): the lazy form let
+        # each downstream branch race to materialize it and re-derived the
+        # pair expansion along the way (measured 105 s vs 60 s staged at
+        # ~sf1 for the whole census)
+        .localCheckpoint(eager=True)
+    )
+
+
 def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the part co-purchase graph: nodes = parts, an edge
     joins two parts bought in the same order, a triangle = three mutually
@@ -189,36 +290,7 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian anywhere.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # Per-order pair expansion as ONE collect_set + per-row array expansion
-    # instead of distinct + self-join (guide §2.4: remove shuffles
-    # outright). The join form shuffled the (order, part) table three ways
-    # — the distinct, then both self-join sides re-keyed by order; the
-    # basket array form is a single partial-aggregating shuffle keyed by
-    # order, and the O(k²) expansion happens inside each row (driver-data
-    # baskets are single digits; real pipelines cap giant baskets — same
-    # caveat as before, now visible in one place). Pair set is identical:
-    # sorted distinct parts per order, all (p1 < p2) combinations, distinct.
-    edges = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS p1, y AS p2))))"
-                )
-            ).alias("pr")
-        )
-        .select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
-        .distinct()
-        # read by the degree agg, the orientation join, and the count —
-        # materialize once EAGERLY (narrow int64 pairs): the lazy form let
-        # each downstream branch race to materialize it and re-derived the
-        # pair expansion along the way (measured 105 s vs 60 s staged at
-        # ~sf1 for the whole census)
-        .localCheckpoint(eager=True)
-    )
+    edges = _copurchase_edges(li)
     nodes = edges.select(F.col("p1").alias("p")).unionByName(
         edges.select(F.col("p2").alias("p"))
     )

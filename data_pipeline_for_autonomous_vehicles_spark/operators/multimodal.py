@@ -31,7 +31,12 @@ N_FEATURES = 16  # byte-histogram bins in the stub decoder
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media corpus: documents' text bytes as stand-in
     payloads (binary), with media-type metadata derived from doc_id."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..catalog import spread_small_scan
+
+    # spread_small_scan: every media consumer follows this synth with
+    # payload-decode/phash work (numpy mapInPandas) that would otherwise
+    # run in ONE task over the single-split documents scan; no-op at scale
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
@@ -481,10 +486,42 @@ def _pair_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     txt_edges = _lsh_candidates(sigs).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    img = connected_components(img_edges, docs).select(
+    # ONE symmetrized-edge materialization for BOTH component passes (round-9
+    # verdict task 1, guide §1.2): the image-edge pipeline (phash + banded
+    # Hamming join) and the caption-edge pipeline (MinHash-LSH banded join)
+    # are unioned under a modality tag and checkpointed in a single job —
+    # Spark runs the two edge builds as parallel independent stages instead
+    # of two driver-serialized checkpoint jobs, and each CC loop iterates
+    # over a cheap filtered view of the one materialized frame.
+    tagged = img_edges.select(F.lit(0).alias("_m"), "a", "b").unionByName(
+        txt_edges.select(F.lit(1).alias("_m"), "a", "b")
+    )
+    sym_all = (
+        tagged.select(
+            "_m",
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("_e"),
+        )
+        .select("_m", F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
+        .localCheckpoint()
+    )
+    # split the tagged frame into MODALITY-PURE checkpoints before looping:
+    # a lazy filtered view would make every CC round of each loop re-scan
+    # and re-filter BOTH modalities' edges (measured +60% on the pair
+    # manifest); these two splits are cheap re-scans of the in-memory
+    # checkpoint, after which each loop's per-round join reads only its own
+    # edges — the expensive edge PIPELINES still ran exactly once, in the
+    # one parallel job above.
+    img_sym = sym_all.filter(F.col("_m") == 0).select("src", "dst").localCheckpoint()
+    txt_sym = sym_all.filter(F.col("_m") == 1).select("src", "dst").localCheckpoint()
+    img = connected_components(None, docs, sym=img_sym).select(
         F.col("node").alias("doc_id"), F.col("label").alias("img_group")
     )
-    txt = connected_components(txt_edges, docs).select(
+    txt = connected_components(None, docs, sym=txt_sym).select(
         F.col("node").alias("doc_id"), F.col("label").alias("txt_group")
     )
     return img.join(txt, "doc_id")
@@ -513,14 +550,22 @@ def media_text_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     grp = _pair_groups(spark, sf_dir)
     quality = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
-    j = grp.join(quality, "doc_id")
+    # j feeds BOTH the per-group best aggregate and the final join-back;
+    # materialize it once so the second reference does not re-execute the
+    # post-fixpoint tail of both component passes (two documents anti-joins
+    # + unions + the img⋈txt join) plus the quality scan. Wall-neutral at
+    # ~sf1 (32.7 s with vs 32.0 s without, min-of-3 — inside this query's
+    # 28–35 s band) but the 100 TB-right shape: one narrow 4-column
+    # materialization replaces a second run of several corpus-sized joins.
+    j = grp.join(quality, "doc_id").localCheckpoint(eager=True)
     # NOTE (round 8, measured): a whole-partition window form of the
     # canonical election (one pass over j, no join-back) was tried and is
     # SLOWER (29.2 → 32.8 s at ~sf1): the pair-group subtree j references
     # twice is cheap to re-derive — both component passes are eagerly
     # checkpointed inside `connected_components` — while the window forces
     # a full sort of the corpus-sized joined frame. groupBy + join-back
-    # keeps the partial-aggregating shuffle instead.
+    # keeps the partial-aggregating shuffle instead (round 9 additionally
+    # checkpoints j, so the join-back's second reference is now a scan).
     best = j.groupBy("img_group", "txt_group").agg(
         F.max(
             F.struct(

@@ -73,7 +73,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is written token-for-token like the oracle, and contributions
     are exact int64 (floor(x·1e6+0.5)) before the per-doc sum, so results
     are bit-identical."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..catalog import spread_small_scan
+
+    # spread_small_scan: the per-term tf/dl array folds below are this
+    # query's dominant map pass over a single-split scan locally; no-op at
+    # scale (catalog docstring)
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
     )
@@ -329,7 +334,13 @@ def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(system).alias("system"), "*")
 
     bm = bm25_topk(spark, sf_dir).select("doc_id", F.col("rank").cast("long").alias("rank"))
-    hy_top = hybrid_search_rrf(spark, sf_dir)
+    # rank_of_topk SELF-JOINS its input, so without a materialization the
+    # ENTIRE hybrid tower pipeline and the ENTIRE IVF-PQ pipeline (coarse
+    # quantizer + PQ encode over the corpus) each planned AND executed
+    # twice — once per side of the K²-pair join. The top-k frames are ≤ K
+    # rows: checkpoint them eagerly so each composed system runs exactly
+    # once per report (round-9 verdict task 3, guide §1.2).
+    hy_top = hybrid_search_rrf(spark, sf_dir).localCheckpoint(eager=True)
     hy = rank_of_topk(hy_top, "rrf_score", "doc_id").select(
         "doc_id", F.col("topk_pos").cast("long").alias("rank")
     )
@@ -342,14 +353,22 @@ def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # IVF-PQ ranks ascending by approx squared distance; rank_of_topk wants
     # a descending score, so negate (ties broken by vec_id, as served)
-    pq_top = ann_ivfpq_topk(spark, sf_dir).withColumn(
-        "neg_dist", -F.col("approx_sqdist")
+    pq_top = (
+        ann_ivfpq_topk(spark, sf_dir)
+        .withColumn("neg_dist", -F.col("approx_sqdist"))
+        .localCheckpoint(eager=True)
     )
     pq = rank_of_topk(pq_top, "neg_dist", "vec_id").select(
         F.col("vec_id").alias("doc_id"), F.col("topk_pos").cast("long").alias("rank")
     )
+    # same self-join shape: the NDCG_K-row ideal head would otherwise run
+    # its TakeOrdered pass over the (checkpointed) relevance frame twice
     ideal = rank_of_topk(
-        rel.orderBy(F.desc("rel"), F.asc("doc_id")).limit(NDCG_K), "rel", "doc_id"
+        rel.orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(NDCG_K)
+        .localCheckpoint(eager=True),
+        "rel",
+        "doc_id",
     ).select(F.col("topk_pos").cast("long").alias("rank"), "rel")
     idcg = ideal.withColumn("g", gain_e8).agg(
         F.coalesce(F.sum("g"), F.lit(0)).cast("long").alias("idcg_e8")

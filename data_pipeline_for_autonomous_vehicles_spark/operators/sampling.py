@@ -102,7 +102,12 @@ def _dsir_doc_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     (< DSIR_BUCKETS) so the per-doc aggregation is fully map-side
     combinable and the shuffle carries ≤ B cells per doc.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from ..catalog import spread_small_scan
+
+    # spread_small_scan: the per-gram portable-md5 fold below is the DSIR
+    # family's dominant map pass (the "md5-bound" wall) and the documents
+    # file scans as one split locally; no-op at scale (catalog docstring)
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     bigrams = F.expr(
         "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)), "

@@ -15,8 +15,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_small_scan
 from ..functions.scalars import round_half_up, sql_round_half_up
+
+
+def _docs_table(spark, sf_dir):
+    """The documents scan with its map-side parallelism floored
+    (catalog.spread_small_scan): every consumer in this module follows the
+    scan with tokenize/explode/hash-fold passes whose per-row cost dwarfs
+    one round-robin exchange of the narrow text rows — the file scans as a
+    single split locally (one parquet row group), serializing that work on
+    one core otherwise. No-op on any at-scale scan (catalog docstring)."""
+    return spread_small_scan(load_table(spark, sf_dir, "documents"))
 
 def _tokens() -> F.Column:
     return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
@@ -49,7 +59,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count + distinct-token count + type/token ratio."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     n_tokens = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(F.size(_tokens()))
     n_distinct = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
         F.size(F.array_distinct(_tokens()))
@@ -84,7 +94,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.4·min(1, n_chars/400) + 0.3·type_token_ratio + 0.3·stopword_ratio.
     The components are the reference heuristics of C4/Gopher-style filters
     (length, lexical diversity, stopword presence)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     return _quality_frame(docs)  # no final orderBy (guide §2.4)
 
 
@@ -161,7 +171,7 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole pass is map-only and codegen'd, so it runs at scan speed on
     100 TB.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     return _clf_frame(docs)  # no final orderBy (guide §2.4)
 
 
@@ -255,7 +265,7 @@ def quality_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join form is kept for plan-shape consistency with the funnel; at
     100 TB id-bucketed storage makes it shuffle-free anyway.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     clf = _clf_frame(docs).select("doc_id", "clf_score", "keep_flag")
     qual = _quality_frame(docs).select("doc_id", "quality_score")
     clf_e4 = F.floor(F.col("clf_score") * 10000.0 + F.lit(0.5)).cast("long")
@@ -367,7 +377,7 @@ def bigram_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     different relation."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     posts = _bigram_posts(docs)
     scored = (
         posts.withColumn(
@@ -454,7 +464,7 @@ ORDER BY d.doc_id
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-vocabulary language ID: count distinct marker hits per language,
     predict the argmax (deterministic tiebreak: language code order)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     toks = F.array_distinct(_tokens())
     hits = {
         lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
@@ -502,7 +512,7 @@ ORDER BY doc_id
 def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus language histogram with mean document length — the monitoring
     rollup a curation pipeline tracks per snapshot."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     return (
         docs.groupBy("lang")
         .agg(
@@ -530,7 +540,7 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     token portable-hashes, h = (h·31 + t) mod 2^61-1, as a sequential
     aggregate fold — catches exact re-orderings that the sorted fingerprint
     (dedup.dedup_fingerprint) deliberately ignores."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     # modulus 2^31-1 keeps acc*31 + t < 2^37 — no int64 overflow in either
     # engine (DuckDB raises on BIGINT overflow; Spark would wrap silently)
     mersenne = (1 << 31) - 1
@@ -572,7 +582,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg over distinct doc-terms; both shuffles carry (term) or (doc, term)
     pairs — never document bodies. The N scalar is a broadcast single row.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     terms = docs.select(
         "doc_id", F.explode(_tokens()).alias("term")
     ).filter(F.col("term") != "")
@@ -621,7 +631,7 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source curation report: doc count, mean quality score, exact
     duplicate rate (1 − distinct digests / docs) — the table a data curator
     ranks sources by before filtering a crawl."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     scored = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
     joined = docs.select("doc_id", "source", F.md5(F.col("text")).alias("digest")).join(
         scored, "doc_id"
@@ -674,7 +684,7 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data subsample needs (held-out splits, ablations)."""
     from ..functions.scalars import portable_hash
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     bucket = portable_hash(F.col("doc_id").cast("string")) % 100
     return (
         docs.select("doc_id", "source", bucket.alias("bucket"))
@@ -712,7 +722,7 @@ def stratified_sample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB data mix is rebalanced without materializing the sample."""
     from ..functions.scalars import portable_hash
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     bucket = portable_hash(F.col("doc_id").cast("string")) % 100
     target = F.coalesce(
         *[
@@ -767,7 +777,7 @@ def token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shard key becomes (lang, hash(doc_id) % n_shards) so each shard's
     sort fits one task; packing quality is unchanged because bins never
     cross shards."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     return (
         docs.withColumn("bin_id", pack_bin_col(F.col("doc_id")))
         .groupBy("lang", "bin_id")
@@ -846,7 +856,7 @@ def packed_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the same one window pass as `token_budget_bins` (offset and
     bin id are both pure functions of the exclusive running total); output
     is one row per doc, the `curation_kept_docs` manifest weight."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     cum = pack_cum_before(F.col("doc_id"))
     base = docs.select("doc_id", "lang", "n_chars", cum.alias("_cum"))
     bin_id = pack_bin_of(F.col("_cum"))
@@ -930,7 +940,7 @@ _SQL_PII_REDACTED = (
 def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per source: docs scanned, PII spans found (emails / phones), and the
     size delta after masking — the audit report a scrub pass emits."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     raw = _pii_raw()
     redacted = _pii_redacted(raw)
     per_doc = docs.select(
@@ -978,7 +988,7 @@ def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: embarrassingly parallel — two JVM-side regexp_replace passes
     per row, zero shuffles before the presentation sort.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     raw = _pii_raw()
     redacted = _pii_redacted(raw)
     return (
@@ -1023,7 +1033,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     `slice + concat_ws` to materialize each window. Embarrassingly
     parallel — zero shuffles before the presentation sort; at 100 TB this
     is a map-only job whose output is ~n_tokens/stride rows per doc."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     words = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(words)
     # ceil((n - CHUNK)/STRIDE) + 1 for n > CHUNK, else 1 — all int math
@@ -1090,7 +1100,7 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     data pipeline actually bills by (whitespace words undercount punctuation
     and digit splits). Pure per-row regexp map, JVM-side, no shuffle until
     the final sort; tokens_per_word shows the subword inflation factor."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     bpe = F.size(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN_SPARK), F.lit(0))
     )
@@ -1133,7 +1143,7 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure per-row regexp map then a |langs|-cell aggregation;
     nothing shuffles but the language cells.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     bpe = F.size(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN_SPARK), F.lit(0))
     )
@@ -1203,7 +1213,7 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-k is TakeOrderedAndProject. Full BPE training iterates this
     with the winning pair merged — each round is this same one-agg plan.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     words = docs.select(F.explode(_tokens()).alias("word")).filter(F.length("word") >= 2)
     pairs = words.select(
         F.explode(
@@ -1272,7 +1282,7 @@ def _bpe_induct(spark: SparkSession, sf_dir: str):
     with ALL K merges applied, [per-round 1-row merge frames]). The merge
     table feeds `bpe_merge_rounds`; the merged vocab is the induced
     tokenizer `bpe_compression_by_lang` applies back to the corpus."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     vocab = (
         docs.select(F.explode(_tokens()).alias("word"))
         .filter(F.col("word") != "")
@@ -1357,7 +1367,7 @@ def bpe_compression_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("word").alias("n_chars_w"),
     )
     words = (
-        load_table(spark, sf_dir, "documents")
+        _docs_table(spark, sf_dir)
         .select("lang", F.explode(_tokens()).alias("word"))
         .filter(F.col("word") != "")
     )
@@ -1483,7 +1493,7 @@ def token_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unigram relation re-joins broadcast. Top-k is
     TakeOrderedAndProject.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     toks = docs.select(_tokens().alias("toks"))
     # sequence(1, 0) guard (see _BIGRAMS): single-token docs have no bigrams
     bigrams = toks.filter(F.size("toks") >= 2).select(
@@ -1564,7 +1574,7 @@ def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass 2 is a per-row map + broadcast hash lookup + per-source agg. No
     data-sized shuffle carries token strings twice.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     toks = docs.select(
         "source", F.explode(_tokens()).alias("token")
     ).filter(F.length("token") >= 1)
@@ -1634,7 +1644,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-comparison (zipf's pattern — no global window), and the whole
     grid prices as conditional sums in ONE aggregate over ≤max(grid)
     cells + a 1-row totals broadcast."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     freqs = (
         docs.filter(F.trim(F.col("text")) != "")
         .select(F.explode(_tokens()).alias("token"))
@@ -1752,7 +1762,7 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.scalars import portable_hash
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     shard = (portable_hash(F.col("doc_id").cast("string")) % N_SHARDS).alias("shard")
     n_tok = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(F.size(_tokens()))
     return (
@@ -1801,7 +1811,7 @@ def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one explode → token hash-agg (the tfidf shuffle), a top-K
     TakeOrderedAndProject, and a 1-row reduction over K cells.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_table(spark, sf_dir)
     freqs = (
         docs.filter(F.trim(F.col("text")) != "")
         .select(F.explode(_tokens()).alias("token"))

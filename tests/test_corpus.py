@@ -795,12 +795,17 @@ def test_boilerplate_drops_all_occurrences_including_first(spark, tmp_path):
     assert audit["after"]["n_boiler_segments"] == 0
 
     frame = fused_boiler_frame(spark, d)  # cached: the df pass runs once
-    assert boilerplate_segment_removal(spark, d, frame).collect() == sorted(
-        got.values(), key=lambda r: r["doc_id"]
-    )
-    assert (
-        boilerplate_removal_audit(spark, d, frame).collect()
-        == boilerplate_removal_audit(spark, d).collect()
+    # sort both sides: the output is per-doc (order-insensitive contract) and
+    # the spread_small_scan round-robin exchange permutes collect() order
+    assert sorted(
+        boilerplate_segment_removal(spark, d, frame).collect(),
+        key=lambda r: r["doc_id"],
+    ) == sorted(got.values(), key=lambda r: r["doc_id"])
+    assert sorted(
+        boilerplate_removal_audit(spark, d, frame).collect(),
+        key=lambda r: r["stage"],
+    ) == sorted(
+        boilerplate_removal_audit(spark, d).collect(), key=lambda r: r["stage"]
     )
 
 

@@ -711,6 +711,44 @@ def test_triangle_count_invariants(spark, sf_dir):
     assert 0 <= t <= e * (n - 2) // 3
 
 
+def test_copurchase_edges_hot_basket_spill(spark):
+    """A basket larger than BASKET_CAP must spill to the chunked expansion
+    path and still produce exactly the pair set of the naive distinct +
+    self-join (the round-9 oversized-basket guard: one pathological giant
+    order may not expand O(k²) structs inside a single row/task)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_for_autonomous_vehicles_spark.operators.graph import (
+        BASKET_CAP,
+        _copurchase_edges,
+    )
+
+    hot_k = BASKET_CAP * 2 + 7  # spans 3 chunks, incl. a partial tail chunk
+    rows = [(1, p * 3 + 1) for p in range(hot_k)]  # the hot order
+    rows += [(2, p) for p in (5, 9, 2)]  # a normal basket
+    rows += [(3, 7), (3, 7), (3, 11)]  # duplicate lineitems collapse
+    rows += [(4, 42)]  # singleton basket: no pairs
+    li = spark.createDataFrame(rows, "l_orderkey INT, l_partkey INT")
+
+    got = {(r["p1"], r["p2"]) for r in _copurchase_edges(li).collect()}
+
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    want = {
+        (r["p1"], r["p2"])
+        for r in a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    assert len(want) >= hot_k * (hot_k - 1) // 2  # the hot basket really fanned out
+
+
 def test_postings_sorted_capped_consistent(spark, sf_dir):
     from data_pipeline_for_autonomous_vehicles_spark.operators import ranking
 
